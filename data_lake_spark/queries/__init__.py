@@ -1,0 +1,33 @@
+"""Named query registry — the driver-facing surface.
+
+Each module contributes ``REGISTRY: dict[name, QuerySpec]`` entries; a
+QuerySpec pairs the Spark implementation with the equivalent DuckDB oracle
+SQL (or ``None`` for non-SQL-expressible operators, which get rows-only
+checks). ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views
+over this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One driver-checkable query: Spark impl + DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+def full_registry() -> dict[str, QuerySpec]:
+    from data_lake_spark.queries import llm, relational
+
+    reg: dict[str, QuerySpec] = {}
+    reg.update(relational.REGISTRY)
+    reg.update(llm.REGISTRY)
+    return reg

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives so every entry point
+(tests, bench, driver contract) runs with the same, scale-minded settings:
+AQE on (runtime re-planning + skew-join handling), shuffle partitions sized
+to the machine instead of the 200 default, Arrow enabled for the pandas-UDF
+paths, UTC session timezone so results compare bit-for-bit against external
+engines (DuckDB oracle, Presto semantics in the reference).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_lake_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything here is master-agnostic except the local[] fallback.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE: coalesce small post-shuffle partitions, re-plan joins at
+        # runtime, split skewed partitions — all critical at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic cross-engine comparison (Presto/Athena and the
+        # DuckDB oracle are UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / applyInPandas / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet pushdown knobs (defaults are on; pinned for clarity).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long nanos (convert where needed).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Larger broadcast threshold: our dims (users/customer/nation)
+        # are dim-sized even at 100 TB fact scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cpus}]")
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
