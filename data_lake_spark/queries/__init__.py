@@ -25,9 +25,10 @@ class QuerySpec:
 
 
 def full_registry() -> dict[str, QuerySpec]:
-    from data_lake_spark.queries import llm, relational
+    from data_lake_spark.queries import api_queries, llm, relational
 
     reg: dict[str, QuerySpec] = {}
     reg.update(relational.REGISTRY)
     reg.update(llm.REGISTRY)
+    reg.update(api_queries.REGISTRY)
     return reg
