@@ -1,0 +1,102 @@
+"""Medallion I/O: zones, sources, sinks (SURVEY §2.1).
+
+The reference's S3 bucket with ``bronze/ silver/ gold/`` prefixes plus Glue
+crawlers (data-lake-stack.yml:313-323, :218-276) becomes a warehouse
+directory of Parquet tables plus the Spark catalog. Writers default to
+Parquet partitioned on the business date — that single choice buys Athena's
+two main optimizations (partition pruning + columnar scan) natively in
+Spark at any scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ZONES = ("bronze", "silver", "gold")
+
+
+class Lake:
+    """A warehouse root with bronze/silver/gold zones.
+
+    Replaces the CloudFormation bucket+prefixes; ``register`` replaces the
+    Glue crawlers (schema comes from the Parquet footer, not a crawl).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, zone: str, table: str) -> str:
+        if zone not in ZONES:
+            raise ValueError(f"unknown zone {zone!r}; expected one of {ZONES}")
+        return os.path.join(self.root, zone, table)
+
+    # --- sinks ------------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        partition_by: Optional[list[str]] = None,
+        mode: str = "overwrite",
+        fmt: str = "parquet",
+    ) -> str:
+        """S4/S5/S6/S10: zone sink, Parquet by default, optionally
+        partitioned (bronze_ingest_streamate_mock.py:51-52 partitions on
+        processing_date; silver JSON sinks silver_ingest_streamate_mock.py:99-111
+        are supported via fmt='json' but Parquet is the default here)."""
+        out = self.path(zone, table)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        getattr(w, fmt)(out)
+        return out
+
+    # --- sources ----------------------------------------------------------
+
+    def read(self, zone: str, table: str, fmt: str = "parquet") -> DataFrame:
+        return getattr(self.spark.read, fmt)(self.path(zone, table))
+
+    def exists(self, zone: str, table: str) -> bool:
+        return os.path.exists(self.path(zone, table))
+
+    def register(self, zone: str, table: str, fmt: str = "parquet") -> DataFrame:
+        """S8: catalog registration — the crawler replacement."""
+        df = self.read(zone, table, fmt)
+        df.createOrReplaceTempView(f"{zone}_{table}")
+        return df
+
+
+def read_json_payload(
+    spark: SparkSession,
+    payload: dict | list | str,
+    schema: Optional[T.StructType] = None,
+) -> DataFrame:
+    """S1: REST-API JSON payload → DataFrame
+    (bronze_ingest_streamate_mock.py:28-33 does
+    ``read.json(parallelize([json.dumps(api_response)]))``; same idea,
+    schema optional — pass one in production to skip inference)."""
+    text = payload if isinstance(payload, str) else json.dumps(payload)
+    rdd = spark.sparkContext.parallelize([text])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(rdd)
+
+
+def read_records(
+    spark: SparkSession,
+    records: list[dict],
+    schema: Optional[T.StructType | str] = None,
+) -> DataFrame:
+    """S2: API row list → DataFrame (bronze_ingest_users_mock.py:19-22 goes
+    through pandas; Spark takes the rows directly)."""
+    if schema is not None:
+        return spark.createDataFrame(records, schema=schema)
+    return spark.createDataFrame(records)

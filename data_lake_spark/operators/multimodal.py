@@ -1,0 +1,127 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+Beyond the reference surface (BASELINE.json north_star): a 100 TB training
+pipeline carries media as ``binary`` columns with metadata structs, and
+runs decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` stages. The image/audio codec libraries are NOT in this
+container, so the decode kernels are STUBS — ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake (derived from the bytes) so the Spark-side plumbing —
+schema, batch iteration, partitioning, UDF signatures — is real and
+testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source_uri", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_frames int, embedding array<float>"
+)
+
+_EMB_DIM = 16
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for a codec: dimensions and a feature vector
+    derived from a content digest. REPLACE with PIL/ffmpeg kernels where
+    those libraries exist; signatures and schemas stay identical."""
+    digest = hashlib.sha256(content).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    n_frames = 1 + digest[2] % 16
+    emb = [((b / 255.0) * 2 - 1) for b in digest[:_EMB_DIM]]
+    return width, height, n_frames, emb
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract stage over Arrow batches (mapInPandas —
+    one Python worker per partition, vectorized transfer; at scale,
+    repartition upstream so batches are ~workable-MB-sized, and the decode
+    cost parallelizes across executors)."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/torchaudio/ffmpeg) are not available in this "
+            "environment; call with fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"])
+                w, h, nf, emb = _fake_decode(content)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(content),
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf if r["kind"] == "video" else 1,
+                        "embedding": emb,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame indices 0..n_frames-1
+    and keep every Nth — pure built-ins (sequence + explode), no UDF; the
+    decode stub stands in for the actual frame grab."""
+    return (
+        decoded.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % every_n == 0)
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests: treat document text bytes as opaque media
+    content so the multimodal plumbing runs against real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("source_uri"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,125 @@
+"""Keyed upsert with decrease-traceability (SURVEY §2.8 D3/D4) and the
+dedup family (D1/D2).
+
+The reference upserts one record per HTTP POST: probe Athena for
+``(_id, date)``, overwrite the S3 JSON object if present, and append a
+traceability record when ``total_earnings`` decreases
+(``/root/reference/src/lambdas/ingest/ingestStreamateModelPerformance.py:72-142``,
+identical jasmin twin). That design is O(1 query + 1 S3 write) *per
+record* — at scale the same semantics are a set-oriented MERGE:
+
+- incoming batch is deduped keep-latest per key (idempotent re-delivery);
+- matched rows are overwritten, unmatched inserted (anti-join + union —
+  the plain-Parquet emulation of Delta's ``MERGE INTO``; swap in Delta on
+  a cluster that has it);
+- the decrease-audit becomes a pre-join producing a trace side-output.
+
+Note: the reference compares earnings as *strings* (Athena VarCharValue);
+here the comparison is numeric — a deliberate fix, flagged for parity
+review.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class UpsertResult:
+    merged: DataFrame  # the new table state
+    trace: DataFrame  # decrease-audit side-output (may be empty)
+    n_updated_expr: DataFrame  # per-action counts for observability
+
+
+def keep_latest(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """D1/D4 scale-safe dedup: one deterministic winner per key
+    (bronze_ingest_streamate_mock.py:42-48 uses dropDuplicates — order-
+    dependent on a cluster; a window with explicit recency + tiebreak is
+    reproducible on any partitioning)."""
+    order = [F.col(order_col).desc_nulls_last()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_content(df: DataFrame, ignore_cols: list[str]) -> DataFrame:
+    """D2: drop duplicates on all columns EXCEPT audit columns
+    (bronze_ingest_users_mock.py:79-80 excludes year/month/day/hour/minute)."""
+    content_cols = [c for c in df.columns if c not in set(ignore_cols)]
+    return df.dropDuplicates(content_cols)
+
+
+def upsert_performance(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str] = ("_id", "date"),
+    value_col: str = "total_earnings",
+    order_col: str = "updated_at",
+) -> UpsertResult:
+    """D3: batch MERGE of performance records with decrease-traceability.
+
+    Scale shape: both sides hash-shuffle on the (high-cardinality, uniform)
+    key — one shuffle each, no skew; the trace join reuses the same
+    partitioning. With Delta available this becomes
+    ``MERGE INTO ... WHEN MATCHED [AND s.v < t.v → also insert trace]``.
+    """
+    keys = list(keys)
+    inc = keep_latest(incoming, keys, order_col)
+
+    ex = existing.alias("t")
+    new = inc.alias("s")
+    joined = new.join(ex, keys, "left")
+
+    # decrease-audit (trace_data fields per ingestStreamateModelPerformance.py:98-108)
+    trace = joined.filter(
+        F.col(f"t.{value_col}").isNotNull()
+        & (
+            F.col(f"s.{value_col}").cast("double")
+            < F.col(f"t.{value_col}").cast("double")
+        )
+    ).select(
+        *[F.col(k) for k in keys],
+        F.col(f"t.{value_col}").alias(f"prev_{value_col}"),
+        F.col(f"s.{value_col}").alias(f"new_{value_col}"),
+        F.col("t.online_seconds").alias("prev_online_seconds"),
+        F.col("s.online_seconds").alias("new_online_seconds"),
+        F.col(f"s.{order_col}").alias("processed_at"),
+    )
+
+    untouched = ex.join(new, keys, "left_anti")
+    merged = untouched.select(existing.columns).unionByName(
+        inc.select(existing.columns)
+    )
+
+    counts = joined.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(
+            F.when(F.col(f"t.{value_col}").isNotNull(), 1).otherwise(0)
+        ).alias("n_updated"),
+        F.sum(F.when(F.col(f"t.{value_col}").isNull(), 1).otherwise(0)).alias(
+            "n_inserted"
+        ),
+    )
+    return UpsertResult(merged=merged, trace=trace, n_updated_expr=counts)
+
+
+def high_watermark_filter(
+    df: DataFrame, watermark_col: str, last_processed
+) -> DataFrame:
+    """S11: incremental-scan equivalent of Glue job bookmarks
+    (data-lake-stack.yml:36): process only rows past the stored watermark.
+    The predicate pushes down to the Parquet scan, so old partitions are
+    never read."""
+    if last_processed is None:
+        return df
+    return df.filter(F.col(watermark_col) > F.lit(last_processed))

@@ -1,0 +1,104 @@
+"""Incremental / streaming ingest (SURVEY §2.1 S7, S11; §2.11).
+
+The reference has two incremental mechanisms: per-record push ingest
+(one Lambda invocation per record, ``ingestStreamateModelPerformance.py:145-175``)
+and Glue job bookmarks (``data-lake-stack.yml:36``). The Spark-native
+equivalents:
+
+- a Structured Streaming file source with checkpointing (the bookmark),
+- ``foreachBatch`` + the batch MERGE from ``operators.upsert`` (the
+  record-push path, amortized over micro-batches — same semantics,
+  set-oriented cost),
+- watermark + tumbling-window aggregation for the time-series rollups the
+  serving layer asks for (this goes BEYOND the reference, which has no
+  streaming operators — SURVEY §2.11 — but is the idiomatic Spark shape
+  for the same dashboards).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data handling. Works on a
+    streaming OR batch DataFrame (same plan — Spark's unified semantics);
+    the watermark bounds state so it runs forever at any input rate."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_file_ingest(
+    spark,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    batch_handler: Callable[[DataFrame, int], None],
+    trigger_available_now: bool = True,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """S11: checkpointed file-source ingest. ``Trigger.AvailableNow``
+    processes the backlog then stops — the batch-job-with-bookmarks
+    pattern; leave it False for a continuously running ingest. Each
+    micro-batch goes through ``batch_handler`` (typically a closure over
+    ``operators.upsert.upsert_performance`` + a zone write)."""
+    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(batch_handler)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization via lag + cumulative gap counting (the
+    guide's recommended shape): a new session starts when the gap to the
+    previous event exceeds the threshold. One shuffle on user_id; the
+    window never spans users, so state stays bounded and skew follows the
+    per-user event distribution."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return (
+        events.withColumn(
+            "is_new_session",
+            (gap.isNull() | (gap > gap_minutes * 60)).cast("long"),
+        )
+        .withColumn("session_seq", F.sum("is_new_session").over(w))
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq")),
+        )
+        .drop("is_new_session")
+    )

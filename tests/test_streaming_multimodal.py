@@ -1,0 +1,119 @@
+"""Structured Streaming ingest + multimodal plumbing (M2/M4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    frame_sample,
+)
+from data_lake_spark.operators.upsert import keep_latest
+from data_lake_spark.streaming.incremental import (
+    sessionize,
+    start_file_ingest,
+    windowed_event_rollup,
+)
+
+
+def _events_ts(spark, sf_dir):
+    """events with a real timestamp col (parquet ns → long; see session.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def test_windowed_rollup_batch(spark, sf_dir):
+    out = windowed_event_rollup(_events_ts(spark, sf_dir), window="1 hour").collect()
+    assert len(out) > 0
+    assert all(r.n_events > 0 for r in out)
+    # every window is exactly 1 hour
+    assert all((r.window_end - r.window_start).total_seconds() == 3600 for r in out)
+
+
+def test_windowed_rollup_streaming(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    _events_ts(spark, sf_dir).limit(500).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_rollup(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM rollup_out").first().c
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_file_ingest_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.range(50).withColumn("v", F.col("id") * 2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    seen = {}
+
+    def handler(batch_df, epoch_id):
+        seen["rows"] = batch_df.count()
+
+    q = start_file_ingest(
+        spark, src, schema, str(tmp_path / "ckpt"), handler, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    assert seen["rows"] == 50
+    # second run with same checkpoint: bookmark skips processed files
+    seen["rows"] = -1
+    q2 = start_file_ingest(
+        spark, src, schema, str(tmp_path / "ckpt"), handler, trigger_available_now=True
+    )
+    q2.awaitTermination(120)
+    assert seen["rows"] in (-1, 0)  # no new data → handler not called or empty
+
+
+def test_sessionize(spark, sf_dir):
+    out = sessionize(_events_ts(spark, sf_dir).limit(2000), gap_minutes=30)
+    row = out.filter(F.col("session_id").isNotNull()).first()
+    assert row is not None
+    per_user = out.groupBy("user_id").agg(F.countDistinct("session_id").alias("n"))
+    assert per_user.filter(F.col("n") < 1).count() == 0
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    with pytest.raises(NotImplementedError):
+        decode_media(media)  # real codecs absent → explicit stub error
+    decoded = decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 60
+    assert all(len(r.embedding) == 16 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+    # determinism: same bytes → same fake decode
+    again = {r.media_id: r.sha256 for r in decode_media(media, fake=True).collect()}
+    assert all(again[r.media_id] == r.sha256 for r in rows)
+    # videos have frames; images/audio exactly 1
+    kinds = {r.media_id: (r.kind, r.n_frames) for r in rows}
+    assert all(nf == 1 for k, nf in kinds.values() if k != "video")
+
+
+def test_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    decoded = decode_media(documents_as_media(docs), fake=True)
+    frames = frame_sample(decoded, every_n=4).collect()
+    assert all(r.frame_idx % 4 == 0 for r in frames)
+
+
+def test_keep_latest_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    latest = keep_latest(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    assert latest.groupBy("user_id", "event_type").count().filter(
+        F.col("count") > 1
+    ).count() == 0
