@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring production ANN systems:
+
+- :func:`cosine_topk` — exact brute force: correct baseline, O(Q×N);
+  right when Q (queries) is small and broadcastable.
+- :func:`srp_buckets` + :func:`ann_topk_bucketed` — sign-random-projection
+  (SimHash-for-vectors) bucketing: each vector maps to a small bucket id
+  from the signs of n_planes ±1-weighted projections; candidates come from
+  an equi-join on the bucket — the LSH scale path, O(Q×bucket size).
+- :func:`ivf_assign` — IVF-style partitioning: assign every vector to its
+  nearest centroid; searches then probe only the closest cells. Here
+  centroids come from the labeled groups (k-means' update step is the same
+  aggregation, iterated).
+
+Determinism: per-element products stay in IEEE double and are quantized
+with floor at 1e-12 before the (exact, associative) integer sum — the
+same recipe as functions/exact.py, so scores are bit-identical across
+partitionings and engines. Plane weights are ±1 derived from md5 parity,
+reproducible everywhere with no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PSCALE = 1e12
+
+
+def _to_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def dot_exact(a: str, b: str) -> Column:
+    """Order-independent dot product of two array<double> columns."""
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: F.floor(x * y * F.lit(PSCALE)))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, p: acc + p).cast(
+        "double"
+    ) / F.lit(PSCALE)
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
+
+
+def cosine_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set, stream the corpus.
+    queries: (query_id, qv), candidates: (cand_id, cv)."""
+    pairs = F.broadcast(queries).crossJoin(candidates).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = pairs.select("query_id", "cand_id", cosine("qv", "cv").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def srp_buckets(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector.
+
+    Plane weights w(p, d) ∈ {+1, -1} come from md5 parity of "p:d" — a
+    fixed, engine-independent hash family. bit_p = [Σ_d w(p,d)·x_d > 0];
+    bucket = Σ 2^p·bit_p. One explode (D rows/vec) + one groupBy — linear,
+    map-side combinable, no cross join anywhere."""
+    elems = emb.select(
+        F.col(id_col), F.posexplode(_to_double(vec_col)).alias("d", "x")
+    )
+    planes = elems.select(
+        F.col(id_col),
+        "d",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
+    )
+    sign = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                1,
+            )
+        )
+        % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    terms = planes.select(
+        F.col(id_col),
+        "p",
+        F.floor(sign * F.col("x") * F.lit(PSCALE)).alias("t"),
+    )
+    bits = terms.groupBy(id_col, "p").agg(F.sum("t").alias("proj"))
+    return bits.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+def ann_topk_bucketed(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine only within the query's bucket.
+    Recall < 1 by design (single probe); add multi-probe or more tables
+    for higher recall — the plan shape stays an equi-join."""
+    buckets = srp_buckets(emb, n_planes, id_col, vec_col)
+    vecs = emb.select(F.col(id_col), _to_double(vec_col).alias("v")).join(
+        buckets, id_col
+    )
+    q = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
+    )
+    c = vecs.select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), F.col("bucket").alias("cb")
+    )
+    pairs = F.broadcast(q).join(c, F.col("qb") == F.col("cb")).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = pairs.select("query_id", "cand_id", cosine("qv", "cv").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """IVF cell assignment: centroids = per-label exact means (micros per
+    dimension), every vector assigned to the nearest centroid by squared
+    L2. This is one k-means step; iterate to convergence for real IVF
+    training. Explode → groupBy → join on dimension: every stage is a
+    hash shuffle on uniform keys."""
+    elems = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(_to_double(vec_col)).alias("d", "x"),
+    )
+    centroids = elems.groupBy(label_col, "d").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(PSCALE))).cast("double")
+            / F.lit(PSCALE)
+            / F.count("x")
+        ).alias("c")
+    )
+    cj = centroids.select(
+        F.col(label_col).alias("cell"), F.col("d"), F.col("c")
+    )
+    dists = (
+        elems.join(cj, "d")
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            "cell",
+            F.floor((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(PSCALE)).alias("t"),
+        )
+        .groupBy(id_col, label_col, "cell")
+        .agg(F.sum("t").alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("orig_label"),
+            F.col("cell").alias("assigned_cell"),
+            (F.col("d2").cast("double") / F.lit(PSCALE)).alias("dist2"),
+        )
+    )

@@ -25,10 +25,11 @@ class QuerySpec:
 
 
 def full_registry() -> dict[str, QuerySpec]:
-    from data_lake_spark.queries import api_queries, llm, relational
+    from data_lake_spark.queries import api_queries, llm, llm2, relational
 
     reg: dict[str, QuerySpec] = {}
     reg.update(relational.REGISTRY)
     reg.update(llm.REGISTRY)
+    reg.update(llm2.REGISTRY)
     reg.update(api_queries.REGISTRY)
     return reg

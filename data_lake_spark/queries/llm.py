@@ -165,40 +165,12 @@ def q_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |∩| / (|A|+|B|-|∩|) from exact integer counts. Restricted to a doc_id
     window so pair volume stays bounded in the gate; the plan shape is the
     100 TB one."""
+    from data_lake_spark.operators.textdedup import jaccard_pairs, shingles
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    toks = docs.select(
-        "doc_id", F.posexplode(_toks()).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("t2", F.lead("tok", 1).over(w))
-        .withColumn("t3", F.lead("tok", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t2", "t3").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (
-                F.col("n_common") * 1.0
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.01)
+        jaccard_pairs(shingles(docs, n=3), min_jaccard=0.01)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -301,35 +273,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled in double, top-10 per query by (score desc, vec_id). The
     candidate side streams — no shuffle of the corpus; the tiny query set
     broadcasts."""
+    from data_lake_spark.operators.similarity import _to_double, cosine_topk
+
     emb = load_table(spark, sf_dir, "embeddings")
-    to_dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    q = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), to_dbl("embedding").alias("qv"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), to_dbl("embedding").alias("cv"))
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("cand_id"))
-
-    def dot_exact(a: str, b: str) -> F.Column:
-        prods = F.zip_with(F.col(a), F.col(b), lambda x, y: F.floor(x * y * F.lit(1e12)))
-        return F.aggregate(
-            prods, F.lit(0).cast("long"), lambda acc, p: acc + p
-        ).cast("double") / F.lit(1e12)
-
-    scored = pairs.select(
-        "query_id",
-        "cand_id",
-        (
-            dot_exact("qv", "cv")
-            / (F.sqrt(dot_exact("qv", "qv")) * F.sqrt(dot_exact("cv", "cv")))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .orderBy("query_id", "rk")
-    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _to_double("embedding").alias("cv"))
+    return cosine_topk(q, c, k=10).orderBy("query_id", "rk")
 
 
 ORACLE_COSINE_TOPK = f"""

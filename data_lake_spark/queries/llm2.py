@@ -1,0 +1,226 @@
+"""Scale-path LLM-pipeline queries: MinHash+LSH near-dup, SRP-bucketed ANN,
+winnowing fingerprints, IVF cell assignment — the operators behind them
+live in ``operators.textdedup`` / ``operators.similarity``; here they're
+bound to the testdata and mirrored in DuckDB oracle SQL (md5/parity hashing
+and floor-quantized arithmetic keep both engines bit-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.similarity import ann_topk_bucketed, ivf_assign
+from data_lake_spark.operators.textdedup import minhash_lsh_pairs, winnow_fingerprints
+from data_lake_spark.queries import QuerySpec
+
+_PS = "1000000000000.0"
+
+# shared oracle fragments ----------------------------------------------------
+
+_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+)
+"""
+
+_ELEMS_SQL = """
+elems AS (
+  SELECT vec_id, label,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d
+  FROM embeddings
+)
+"""
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates at corpus scale: shingle → 8-hash MinHash →
+    4 bands × 2 rows → inverted-index band join (operators/textdedup.py).
+    Every stage is a map-side-combinable groupBy or an equi-join — no
+    cross join anywhere, which is what makes this the 100 TB dedup path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, n_hashes=8, rows_per_band=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(MD5('{i}:' || shingle)) AS sig{i}" for i in range(8))}
+  FROM sh GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, MD5(sig0 || sig1) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sigs
+  UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sigs
+  UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sigs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 tokens, window=4), reduced
+    to a per-doc profile (count + lexicographic min) for the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"), F.min("fingerprint").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WINNOW = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, pos, MD5(sh5) AS h FROM (
+    SELECT doc_id, pos,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS sh5
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE sh5 IS NOT NULL
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM hashed
+)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(fingerprint) AS min_fp
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- SRP-bucketed ANN --------------------------------------------------------
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate nearest neighbours: sign-random-projection
+    buckets (8 md5-parity planes) + exact cosine within the query's bucket,
+    top-3 (operators/similarity.py). The scale path next to cosine_topk's
+    exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bucketed(emb, query_ids=[0, 1, 2, 3, 4], k=3, n_planes=8).orderBy(
+        "query_id", "rk"
+    )
+
+
+ORACLE_ANN_LSH = f"""
+WITH {_ELEMS_SQL},
+planes AS (
+  SELECT vec_id, d, x, CAST(t.range AS INT) AS p
+  FROM elems CROSS JOIN range(0, 8) t
+),
+terms AS (
+  SELECT vec_id, p,
+         FLOOR((CASE WHEN ASCII(SUBSTR(MD5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1
+                     THEN 1 ELSE -1 END) * x * {_PS}) AS t
+  FROM planes
+),
+bits AS (SELECT vec_id, p, SUM(t) AS proj FROM terms GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY 1
+),
+vecs AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.embedding AS qv, c.embedding AS cv
+  FROM vecs q JOIN vecs c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+),
+pelems AS (
+  SELECT query_id, cand_id,
+         CAST(UNNEST(qv) AS DOUBLE) AS qe, CAST(UNNEST(cv) AS DOUBLE) AS ce
+  FROM pairs
+),
+sums AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(CAST(FLOOR(qe * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot,
+         CAST(SUM(CAST(FLOOR(qe * qe * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS qq,
+         CAST(SUM(CAST(FLOOR(ce * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS cc
+  FROM pelems GROUP BY 1, 2
+)
+SELECT query_id, cand_id, dot / (SQRT(qq) * SQRT(cc)) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, cand_id)
+            AS BIGINT) AS rk
+FROM sums
+QUALIFY rk <= 3
+ORDER BY query_id, rk
+"""
+
+
+# --- IVF assignment ----------------------------------------------------------
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: per-label exact-mean centroids, nearest-cell
+    by squared L2 (one k-means step; operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_assign(emb)
+    return out.select(
+        "vec_id",
+        F.col("orig_label").cast("long").alias("orig_label"),
+        F.col("assigned_cell").cast("long").alias("assigned_cell"),
+        "dist2",
+    ).orderBy("vec_id")
+
+
+ORACLE_IVF = f"""
+WITH {_ELEMS_SQL},
+centroids AS (
+  SELECT label, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} / COUNT(x) AS c
+  FROM elems GROUP BY 1, 2
+),
+dists AS (
+  SELECT e.vec_id, e.label AS orig_label, c.label AS cell,
+         SUM(CAST(FLOOR((e.x - c.c) * (e.x - c.c) * {_PS}) AS BIGINT)) AS d2
+  FROM elems e JOIN centroids c ON e.d = c.d
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, CAST(orig_label AS BIGINT) AS orig_label,
+       CAST(cell AS BIGINT) AS assigned_cell,
+       CAST(d2 AS DOUBLE) / {_PS} AS dist2
+FROM dists
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) = 1
+ORDER BY vec_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "minhash_lsh": QuerySpec(q_minhash_lsh, ORACLE_MINHASH_LSH, "MinHash+LSH near-dup candidates"),
+    "winnow_fingerprint": QuerySpec(q_winnow_fingerprint, ORACLE_WINNOW, "winnowing rolling-hash fingerprints"),
+    "ann_lsh": QuerySpec(q_ann_lsh, ORACLE_ANN_LSH, "SRP-bucketed ANN top-k"),
+    "ivf_assign": QuerySpec(q_ivf_assign, ORACLE_IVF, "IVF nearest-centroid assignment"),
+}
