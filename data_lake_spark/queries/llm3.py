@@ -1,0 +1,242 @@
+"""Training-data-pipeline queries, part 3: BPE-ish token counting,
+embedding-cosine near-duplicate detection, and the multimodal decode /
+frame-sample plumbing — each with a bit-identical DuckDB oracle.
+
+Beyond the reference surface (north-star extensions per BASELINE.json);
+the multimodal stub mirrors how the reference treats opaque payloads
+(bronze keeps raw bytes; conformance happens downstream —
+/root/reference/src/glue_jobs/streamate/bronze_ingest_streamate_mock.py:32-36).
+
+Scale notes baked into each plan:
+- tokenization is a pure per-row projection — embarrassingly parallel,
+  whole-stage-codegen, zero shuffle;
+- near-dup candidates come from an equi-join on a blocking key (here the
+  IVF-style ``label`` cell), never an unblocked cross join — at 100 TB the
+  blocking key is the SRP/IVF bucket from operators.similarity;
+- the decode stage is mapInPandas over Arrow batches: one Python worker
+  per partition, vectorized transfer, linear scaling with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.multimodal import decode_media, documents_as_media
+from data_lake_spark.operators.similarity import _to_double, cosine
+from data_lake_spark.queries import QuerySpec
+
+# GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) produce identical token streams: contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting with two tokenizers: whitespace split
+    and a BPE-style regex pretokenizer (regexp_extract_all — JVM-side, no
+    UDF). ``fertility`` = regex tokens per whitespace word, the standard
+    tokenizer-cost metric for corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n_ws_tokens"),
+            F.size(bpe).cast("long").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(bpe)).cast("long").alias("n_unique_tokens"),
+            (F.size(bpe) * 1.0 / F.size(ws)).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_PAT_SQL}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '{_BPE_PAT_SQL}')))
+            AS BIGINT) AS n_unique_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_PAT_SQL}')) * 1.0
+         / LEN(STRING_SPLIT(text, ' ')) AS fertility
+FROM documents ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_NEARDUP_TAU = 0.30
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup assignment: candidate pairs from an
+    equi-join on the blocking cell (``label`` — at scale, the IVF/SRP
+    bucket), exact cosine verify with the floor-quantized dot recipe,
+    then per-vector keeper = min matching lower id. Vectors absent from
+    the output are cluster keepers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _to_double("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= _NEARDUP_TAU)
+    )
+    return (
+        scored.groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(
+            F.min("vec_a").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("cos").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+elems AS (
+  SELECT vec_a, vec_b,
+         CAST(UNNEST(va) AS DOUBLE) AS xa,
+         CAST(UNNEST(vb) AS DOUBLE) AS xb
+  FROM pairs
+),
+sums AS (
+  SELECT vec_a, vec_b,
+         CAST(SUM(CAST(FLOOR(xa * xb * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000000.0 AS dot,
+         CAST(SUM(CAST(FLOOR(xa * xa * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000000.0 AS aa,
+         CAST(SUM(CAST(FLOOR(xb * xb * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000000000.0 AS bb
+  FROM elems GROUP BY 1, 2
+),
+scored AS (
+  SELECT vec_a, vec_b, dot / (SQRT(aa) * SQRT(bb)) AS cos FROM sums
+  WHERE dot / (SQRT(aa) * SQRT(bb)) >= {_NEARDUP_TAU}
+)
+SELECT vec_b AS vec_id,
+       MIN(vec_a) AS dup_of,
+       COUNT(*) AS n_matches,
+       MAX(cos) AS max_cosine
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode + frame sampling (stubbed codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+# hex-nibble value, expressible in both engines: strpos over the alphabet
+_HEXV = "(STRPOS('0123456789abcdef', SUBSTR(h, {i}, 1)) - 1)"
+
+
+def _byte_sql(pos: int) -> str:
+    """Integer value of sha256-digest byte ``pos`` (0-based) from hex text."""
+    hi = _HEXV.format(i=2 * pos + 1)
+    lo = _HEXV.format(i=2 * pos + 2)
+    return f"(16 * {hi} + {lo})"
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline over opaque binary payloads: documents
+    adapted to (media_id, kind, content binary, meta struct), decoded via
+    the mapInPandas Arrow stage (deterministic digest-based stub standing
+    in for PIL/ffmpeg). The oracle recomputes the stub's digest arithmetic
+    in SQL — the Python batch stage is fully checked, not rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_media(documents_as_media(docs), fake=True)
+    return dec.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL_DECODE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'video'
+              WHEN doc_id % 3 = 1 THEN 'image'
+              ELSE 'audio' END AS kind,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+         SHA256(text) AS h
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, h AS sha256,
+       CAST(64 + {_byte_sql(0)} % 192 AS BIGINT) AS width,
+       CAST(64 + {_byte_sql(1)} % 192 AS BIGINT) AS height,
+       CAST(CASE WHEN kind = 'video' THEN 1 + {_byte_sql(2)} % 16
+                 ELSE 1 END AS BIGINT) AS n_frames
+FROM media ORDER BY 1
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: decode, then explode frame indices
+    0..n_frames-1 keeping every 4th (sequence + explode — built-ins; the
+    stub stands in for the frame grab)."""
+    from data_lake_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_media(documents_as_media(docs), fake=True)
+    return (
+        frame_sample(dec, every_n=4)
+        .select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, SHA256(text) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+frames AS (
+  SELECT media_id,
+         UNNEST(GENERATE_SERIES(0, {_byte_sql(2)} % 16)) AS frame_idx
+  FROM vids
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx
+FROM frames WHERE frame_idx % 4 = 0
+ORDER BY 1, 2
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "bpe_tokens": QuerySpec(
+        q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"
+    ),
+    "embedding_neardup": QuerySpec(
+        q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP,
+        "embedding-cosine near-dup keeper assignment",
+    ),
+    "multimodal_decode": QuerySpec(
+        q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,
+        "binary decode via mapInPandas, digest-checked",
+    ),
+    "frame_sample": QuerySpec(
+        q_frame_sample, ORACLE_FRAME_SAMPLE, "video frame sampling plumbing"
+    ),
+}
