@@ -34,6 +34,11 @@ HEADLINE = [
     "simhash",
     "shingle_pairs",
     "cosine_topk",
+    "bpe_tokens",
+    "minhash_lsh",
+    "ann_lsh",
+    "embedding_neardup",
+    "multimodal_decode",
 ]
 
 

@@ -73,18 +73,18 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"])
+            for mid, kind, raw in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                content = bytes(raw)
                 w, h, nf, emb = _fake_decode(content)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "n_bytes": len(content),
                         "sha256": hashlib.sha256(content).hexdigest(),
                         "width": w,
                         "height": h,
-                        "n_frames": nf if r["kind"] == "video" else 1,
+                        "n_frames": nf if kind == "video" else 1,
                         "embedding": emb,
                     }
                 )

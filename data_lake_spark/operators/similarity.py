@@ -44,15 +44,30 @@ def cosine(a: str, b: str) -> Column:
     return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
 
 
+def norm_exact(col: str) -> Column:
+    """L2 norm with the same quantized-sum determinism as dot_exact.
+    Precompute this per vector BEFORE any pairwise join: it turns
+    O(pairs × dim) self-dot work into O(vectors × dim) — same IEEE value
+    (sqrt of the identical exact sum), just computed once."""
+    return F.sqrt(dot_exact(col, col))
+
+
 def cosine_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set, stream the corpus.
-    queries: (query_id, qv), candidates: (cand_id, cv)."""
-    pairs = F.broadcast(queries).crossJoin(candidates).filter(
+    queries: (query_id, qv), candidates: (cand_id, cv). Norms are
+    precomputed per side so each pair pays one dot product, not three."""
+    q = queries.withColumn("qn", norm_exact("qv"))
+    c = candidates.withColumn("cn", norm_exact("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("cand_id")
     )
-    scored = pairs.select("query_id", "cand_id", cosine("qv", "cv").alias("cosine"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot_exact("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -129,10 +144,16 @@ def ann_topk_bucketed(
     c = vecs.select(
         F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), F.col("bucket").alias("cb")
     )
-    pairs = F.broadcast(q).join(c, F.col("qb") == F.col("cb")).filter(
-        F.col("query_id") != F.col("cand_id")
+    pairs = (
+        F.broadcast(q.withColumn("qn", norm_exact("qv")))
+        .join(c.withColumn("cn", norm_exact("cv")), F.col("qb") == F.col("cb"))
+        .filter(F.col("query_id") != F.col("cand_id"))
     )
-    scored = pairs.select("query_id", "cand_id", cosine("qv", "cv").alias("cosine"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot_exact("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.operators.multimodal import decode_media, documents_as_media
-from data_lake_spark.operators.similarity import _to_double, cosine
+from data_lake_spark.operators.similarity import _to_double, dot_exact, norm_exact
 from data_lake_spark.queries import QuerySpec
 
 # GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and RE2
@@ -86,13 +86,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then per-vector keeper = min matching lower id. Vectors absent from
     the output are cluster keepers."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", _to_double("embedding").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("v").alias("vb"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        _to_double("embedding").alias("v"),
+    ).withColumn("nrm", norm_exact("v"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     scored = (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine("va", "vb").alias("cos"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot_exact("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .filter(F.col("cos") >= _NEARDUP_TAU)
     )
     return (
