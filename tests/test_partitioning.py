@@ -1,0 +1,102 @@
+"""Physical-layout operators: bucketed joins must plan zero Exchange,
+salted joins must be row-equivalent to plain joins, partitioned layouts
+must prune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_spark.operators.partitioning import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_join_no_shuffle(spark):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "b_left", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(right, "b_right", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = bucketed_join(spark, "b_left", "b_right", ["k"])
+        assert joined.count() == 1000
+        plan = _executed_plan(joined)
+        # same bucket spec on both sides -> no shuffle on either side
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    # control: the same join without bucketing plans at least one Exchange
+    left = spark.range(0, 1000).select(F.col("id").alias("k"))
+    right = spark.range(0, 1000).select(F.col("id").alias("k"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(left.join(right, "k"))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key + a long tail
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    expected = sorted(
+        big.join(small, "k").select("k", "payload", "dim").collect()
+    )
+    got = sorted(
+        salted_join(big, small, "k", n_salts=8)
+        .select("k", "payload", "dim")
+        .collect()
+    )
+    assert got == expected
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_salted_join_outer_rows_preserved(spark, how):
+    big = spark.range(0, 100).select((F.col("id") % 5).alias("k"), "id")
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    expected = big.join(small, "k", how).count()
+    assert salted_join(big, small, "k", n_salts=4, how=how).count() == expected
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 10).cast("string").alias("day")
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(df, path, ["day"])
+    back = spark.read.parquet(path).filter(F.col("day") == "3")
+    assert back.count() == 100
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "day" in plan
