@@ -25,12 +25,20 @@ class QuerySpec:
 
 
 def full_registry() -> dict[str, QuerySpec]:
-    from data_lake_spark.queries import api_queries, llm, llm2, llm3, relational
+    from data_lake_spark.queries import (
+        api_queries,
+        llm,
+        llm2,
+        llm3,
+        relational,
+        temporal,
+    )
 
     reg: dict[str, QuerySpec] = {}
     reg.update(relational.REGISTRY)
     reg.update(llm.REGISTRY)
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)
+    reg.update(temporal.REGISTRY)
     reg.update(api_queries.REGISTRY)
     return reg

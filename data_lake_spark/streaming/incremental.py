@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from data_lake_spark.functions.exact import sum_exact
+
 
 def windowed_event_rollup(
     events: DataFrame,
@@ -39,7 +41,9 @@ def windowed_event_rollup(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # exact associative sum: identical totals on any partitioning,
+            # any micro-batch boundary, and in the DuckDB oracle mirror
+            sum_exact("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
