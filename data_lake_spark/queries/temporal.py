@@ -113,11 +113,69 @@ FROM e GROUP BY 1, 2, 3 ORDER BY 1, 3
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: every click event gets the most recent
+    prior (or simultaneous) view by the same user — the as-of join
+    (operators/asof.py: union + one shuffle + ordered carry-forward, the
+    composition Spark lacks as a built-in). Right side deduped to one row
+    per (user, ts) for determinism."""
+    from data_lake_spark.operators.asof import asof_join_backward
+    from data_lake_spark.operators.upsert import keep_latest
+
+    e = _events_secs(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = keep_latest(
+        e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value"),
+        keys=["user_id", "ts"],
+        order_col="event_id",
+    ).select("user_id", "ts", "value")
+    return (
+        asof_join_backward(clicks, views, on=["user_id"], ts_col="ts", value_cols=["value"])
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("asof_ts").cast("long").alias("asof_ts"),
+            F.col("asof_value").cast("double").alias("asof_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // {_NS} AS ts_s
+  FROM events
+),
+clicks AS (
+  SELECT event_id, user_id, ts_s, value FROM e WHERE event_type = 'click'
+),
+views_ranked AS (
+  SELECT user_id, ts_s, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts_s ORDER BY event_id DESC) AS rn
+  FROM e WHERE event_type = 'view'
+),
+views AS (SELECT user_id, ts_s, value FROM views_ranked WHERE rn = 1)
+SELECT c.event_id, c.user_id, c.ts_s AS ts, c.value,
+       v.ts_s AS asof_ts, v.value AS asof_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts_s >= v.ts_s
+ORDER BY c.event_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "session_stats": QuerySpec(
         q_session_stats, ORACLE_SESSION_STATS, "30-min-gap sessionization + per-session agg"
     ),
     "windowed_rollup": QuerySpec(
         q_windowed_rollup, ORACLE_WINDOWED_ROLLUP, "15-min tumbling rollup (streaming operator, batch face)"
+    ),
+    "asof_join": QuerySpec(
+        q_asof_join, ORACLE_ASOF_JOIN, "backward as-of join (point-in-time enrichment)"
     ),
 }
