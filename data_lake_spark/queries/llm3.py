@@ -238,6 +238,41 @@ ORDER BY 1, 2
 """
 
 
+def q_length_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-blocking near-dup prefilter: pairs of documents whose char
+    counts differ by ≤ 2, via the banded range join (operators/rangejoin.py
+    — bucket floor(n/eps), join own+adjacent buckets, exact refine). The
+    same plan at 100 TB is one hash shuffle + 3× replication of one side,
+    not the O(n²) inequality nested loop Spark would otherwise plan."""
+    from data_lake_spark.operators.rangejoin import band_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b"))
+    return (
+        band_join(a, b, "chars_a", "chars_b", eps=2.0)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "chars_a",
+            "chars_b",
+            F.abs(F.col("chars_a") - F.col("chars_b")).cast("long").alias("char_diff"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_LENGTH_BAND_JOIN = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.n_chars AS chars_a, b.n_chars AS chars_b,
+       CAST(ABS(a.n_chars - b.n_chars) AS BIGINT) AS char_diff
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 2
+ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "bpe_tokens": QuerySpec(
         q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"
@@ -252,5 +287,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "frame_sample": QuerySpec(
         q_frame_sample, ORACLE_FRAME_SAMPLE, "video frame sampling plumbing"
+    ),
+    "length_band_join": QuerySpec(
+        q_length_band_join, ORACLE_LENGTH_BAND_JOIN,
+        "banded range join (length-blocked near-dup prefilter)",
     ),
 }
