@@ -106,3 +106,83 @@ def sessionize(
         )
         .drop("is_new_session")
     )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """True streaming sessionization via ``applyInPandasWithState`` —
+    the custom stateful operator shape for semantics tumbling windows
+    can't express (data-driven session boundaries).
+
+    State per user = the open session (start, last ts, count, exact-sum
+    micros); a micro-batch's events extend it or close it. Closed
+    sessions are EMITTED (append mode); the open one stays in state, so
+    memory is O(users), not O(events) — bounded forever at any rate.
+    Totals use the same floor-micros integer sum as functions.exact, so a
+    session's total is identical however the stream is micro-batched —
+    the streaming twin of the batch ``sessionize`` (same boundaries, same
+    numbers, different arrival mode).
+
+    ``ts`` is epoch seconds (long). Output: one row per CLOSED session.
+    Assumes event-time-ordered arrival ACROSS micro-batches (append logs /
+    replayed files); within a batch any order is fine (sorted here). For
+    sources that deliver late data, front it with a watermarked
+    event-time buffer or use the batch ``sessionize`` over closed windows.
+    """
+    from typing import Any, Iterable, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start_ts long, last_ts long, n long, micros long"
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (user,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        start, last, n, micros = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        closed = []
+        for ts, val in zip(rows[ts_col], rows[value_col]):
+            ts = int(ts)
+            if start is None:
+                start, last, n, micros = ts, ts, 0, 0
+            elif ts - last > gap_s:
+                closed.append((user, start, last, n, micros / 1_000_000.0))
+                start, last, n, micros = ts, ts, 0, 0
+            micros += int(math.floor(float(val) * 1_000_000.0))
+            n += 1
+            last = max(last, ts)
+        state.update((start, last, n, micros))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[user_col, "session_start", "session_end", "n_events", "total_value"],
+            )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

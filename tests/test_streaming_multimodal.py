@@ -117,3 +117,50 @@ def test_keep_latest_on_events(spark, sf_dir):
     assert latest.groupBy("user_id", "event_type").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_sessionize_stateful_two_batches(spark, tmp_path):
+    """Closed sessions emit across micro-batch boundaries; totals match
+    the batch sessionizer's exact sums."""
+    from data_lake_spark.streaming.incremental import sessionize_stateful
+
+    src = str(tmp_path / "sess_src")
+    schema = "user_id long, ts long, value double"
+    # batch 1: user 1 has two sessions (gap 7200 > 1800), second still open
+    # one file per micro-batch: the operator assumes event-time-ordered
+    # arrival across batches (append logs); a multi-file batch would be
+    # picked up in arbitrary file order
+    spark.createDataFrame(
+        [(1, 1000, 1.25), (1, 1300, 2.50), (1, 9000, 4.00)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        sessionize_stateful(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert first == {(1, 1000): (1300, 2, 3.75)}
+        # batch 2: an event far past 9000 closes the open session
+        spark.createDataFrame([(1, 20000, 8.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        both = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert both == {
+            (1, 1000): (1300, 2, 3.75),
+            (1, 9000): (9000, 1, 4.0),
+        }
+    finally:
+        q.stop()
