@@ -273,6 +273,54 @@ ORDER BY 1, 2
 """
 
 
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation by per-language quality quantile: score every doc
+    (length/stopword heuristic), compute each language's exact p25 with
+    ``F.percentile`` (interpolation arithmetic matches DuckDB
+    quantile_cont bit-for-bit), broadcast the tiny per-lang thresholds
+    back, keep docs at or above threshold. One pass + one broadcast join —
+    the shape that drops straight onto a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(ws, lambda t: t.isin("the", "a", "of", "and", "to")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.least(F.size(ws) / 100.0, F.lit(1.0)) * 0.5
+            + (n_stop * 1.0 / F.size(ws)) * 0.5
+        ).alias("quality_score"),
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile("quality_score", 0.25).alias("p25")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("quality_score") >= F.col("p25"))
+        .select("doc_id", "lang", "quality_score", "p25")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_QUANTILE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0) * 0.5
+           + (LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                              t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+              / LEN(STRING_SPLIT(text, ' '))) * 0.5 AS quality_score
+  FROM documents
+),
+thresholds AS (
+  SELECT lang, QUANTILE_CONT(quality_score, 0.25) AS p25 FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.quality_score, t.p25
+FROM scored s JOIN thresholds t ON s.lang = t.lang
+WHERE s.quality_score >= t.p25
+ORDER BY s.doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "bpe_tokens": QuerySpec(
         q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"
@@ -291,5 +339,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "length_band_join": QuerySpec(
         q_length_band_join, ORACLE_LENGTH_BAND_JOIN,
         "banded range join (length-blocked near-dup prefilter)",
+    ),
+    "quality_quantile_filter": QuerySpec(
+        q_quality_quantile_filter, ORACLE_QUALITY_QUANTILE,
+        "per-language p25 quality-threshold curation",
     ),
 }
