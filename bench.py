@@ -39,6 +39,11 @@ HEADLINE = [
     "ann_lsh",
     "embedding_neardup",
     "multimodal_decode",
+    "session_stats",
+    "windowed_rollup",
+    "asof_join",
+    "length_band_join",
+    "quality_quantile_filter",
 ]
 
 
