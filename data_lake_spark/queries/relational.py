@@ -924,6 +924,45 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: year → month → grand total via
+    ROLLUP (the subtotal family the reference assembles with separate
+    UNION ALL queries, e.g. totalProfitReport.py:81-97's literal-dim +
+    per-category subqueries — here it's one shuffle with partial aggs).
+    Keys are coalesced to 'ALL' in both engines so no nullable-int dtype
+    ambiguity reaches the compare."""
+    orders = _orders_dated(spark, sf_dir)
+    return (
+        orders.rollup(
+            F.year("o_date").cast("string").alias("y"),
+            F.month("o_date").cast("string").alias("m"),
+        )
+        .agg(
+            sum_exact("o_totalprice").alias("total_amount"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("y", F.lit("ALL")).alias("year_key"),
+            F.coalesce("m", F.lit("ALL")).alias("month_key"),
+            "total_amount",
+            "n_orders",
+        )
+        .orderBy("year_key", "month_key")
+    )
+
+
+ORACLE_ROLLUP_REPORT = f"""
+SELECT COALESCE(CAST(YEAR(CAST(o_orderdate AS DATE)) AS VARCHAR), 'ALL') AS year_key,
+       COALESCE(CAST(MONTH(CAST(o_orderdate AS DATE)) AS VARCHAR), 'ALL') AS month_key,
+       {_SUMX_PRICE} AS total_amount,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(YEAR(CAST(o_orderdate AS DATE)), MONTH(CAST(o_orderdate AS DATE)))
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -951,4 +990,5 @@ REGISTRY: dict[str, QuerySpec] = {
     "date_parts": QuerySpec(q_date_parts, ORACLE_DATE_PARTS, "§2.9 parity"),
     "nested_flatten": QuerySpec(q_nested_flatten, ORACLE_NESTED_FLATTEN, "N1 explode"),
     "json_payload": QuerySpec(q_json_payload, ORACLE_JSON_PAYLOAD, "S1 JSON parse"),
+    "rollup_report": QuerySpec(q_rollup_report, ORACLE_ROLLUP_REPORT, "ROLLUP year/month/grand subtotals"),
 }
