@@ -1,0 +1,62 @@
+"""Plan contracts: the physical-plan properties the 100 TB posture rests
+on, asserted so a future edit can't silently regress them.
+
+These don't check answers (the oracle suite does); they check HOW Spark
+will execute — dims broadcast, predicates reach the parquet scan, and no
+operator falls back to a cartesian/nested-loop pair space.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_lake_spark.queries import full_registry
+
+_REG = full_registry()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _REG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+# literal-dim LEFT JOINs against one-row aggregates legitimately plan a
+# 3x1 BroadcastNestedLoopJoin; everything else must stay out of the
+# pair-space fallbacks
+_BNLJ_OK = {"api_needle", "api_avg_profitability", "api_total_profit", "api_profit_avg"}
+
+
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_no_cartesian_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    if name not in _BNLJ_OK and name != "cosine_topk":
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["earnings_by_day", "multi_agg_attrs", "or_key_join", "top5_distribution"]
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "point_lookup")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), plan
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    # flagship reads orders (9 cols); the scan schema must not carry
+    # columns the query never touches (e.g. o_comment, o_clerk)
+    plan = _plan(spark, sf_dir, "earnings_by_day")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    assert "o_comment" not in m.group(1) and "o_clerk" not in m.group(1)
