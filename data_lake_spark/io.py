@@ -100,3 +100,48 @@ def read_records(
     if schema is not None:
         return spark.createDataFrame(records, schema=schema)
     return spark.createDataFrame(records)
+
+
+# --- table maintenance ------------------------------------------------------
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(bytes/target) files. The reference's per-record upsert sink
+    (ingestStreamateModelPerformance.py:161-169, one S3 object per record)
+    is exactly the pattern that degrades a lake at scale — a million tiny
+    objects turn every scan into metadata churn. Run this per
+    partition-directory after incremental ingest; 128 MB targets align
+    file and HDFS/S3 read-granularity. Returns the new file count.
+
+    (Plain-parquet stand-in for Delta OPTIMIZE / bin-packing.)
+    """
+    size = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (same filesystem)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footers of every file so late
+    columns (added by newer writers) surface as nulls on old rows — the
+    crawler's schema-drift behavior (data-lake-stack.yml:218-276), native
+    to parquet via mergeSchema. Pay the footer fan-in only where drift is
+    real; a fixed-schema read stays the default."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

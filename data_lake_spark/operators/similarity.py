@@ -206,3 +206,71 @@ def ivf_assign(
             (F.col("d2").cast("double") / F.lit(PSCALE)).alias("dist2"),
         )
     )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF probe search: rank cells by query→centroid distance, search
+    ONLY the ``n_probe`` nearest cells' inverted lists, exact cosine
+    within them. The 100 TB shape: the corpus is partitioned by cell, a
+    query touches n_probe/N_cells of it, and every step is an equi-join
+    or map-side-combinable aggregate. Recall < 1 by design; raise n_probe
+    to trade cost for recall."""
+    elems = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(_to_double(vec_col)).alias("d", "x"),
+    )
+    centroids = elems.groupBy(label_col, "d").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(PSCALE))).cast("double")
+            / F.lit(PSCALE)
+            / F.count("x")
+        ).alias("c")
+    ).select(F.col(label_col).alias("cell"), "d", "c")
+
+    q_elems = elems.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "d", "x"
+    )
+    qdist = (
+        q_elems.join(centroids, "d")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.sum(
+                F.floor((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(PSCALE))
+            ).alias("d2")
+        )
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probed = qdist.withColumn("cr", F.row_number().over(w_cell)).filter(
+        F.col("cr") <= n_probe
+    ).select("query_id", "cell")
+
+    vecs = emb.select(
+        F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")
+    ).withColumn("nrm", norm_exact("v"))
+    q = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cands = (
+        F.broadcast(probed.join(q, "query_id"))
+        .join(vecs, F.col(label_col) == F.col("cell"))
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.col("cell"),
+        (dot_exact("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

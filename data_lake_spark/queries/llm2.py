@@ -218,9 +218,79 @@ ORDER BY vec_id
 """
 
 
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (operators/similarity.py ivf_search): rank cells
+    by query→centroid distance, exact-cosine ONLY inside the 2 nearest
+    cells' inverted lists — a query touches n_probe/N_cells of the corpus
+    instead of all of it."""
+    from data_lake_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_search(emb, query_ids=[0, 1, 2, 3, 4], k=5, n_probe=2)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("cell").cast("long").alias("cell"),
+        "cosine",
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
+ORACLE_IVF_SEARCH = f"""
+WITH {_ELEMS_SQL},
+centroids AS (
+  SELECT label AS cell, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} / COUNT(x) AS c
+  FROM elems GROUP BY 1, 2
+),
+qdist AS (
+  SELECT e.vec_id AS query_id, c.cell,
+         SUM(CAST(FLOOR((e.x - c.c) * (e.x - c.c) * {_PS}) AS BIGINT)) AS d2
+  FROM elems e JOIN centroids c ON e.d = c.d
+  WHERE e.vec_id < 5
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT query_id, cell FROM qdist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2 ASC, cell ASC) <= 2
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(FLOOR(x * x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS}) AS nrm
+  FROM elems GROUP BY 1
+),
+pair_elems AS (
+  SELECT p.query_id, ce.vec_id AS cand_id, p.cell, qe.x AS qx, ce.x AS cx
+  FROM probed p
+  JOIN elems qe ON qe.vec_id = p.query_id
+  JOIN elems ce ON ce.d = qe.d AND ce.label = p.cell
+  WHERE ce.vec_id != p.query_id
+),
+dots AS (
+  SELECT query_id, cand_id, cell,
+         CAST(SUM(CAST(FLOOR(qx * cx * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot
+  FROM pair_elems GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.query_id, d.cand_id, CAST(d.cell AS BIGINT) AS cell,
+         d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, cell, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh": QuerySpec(q_minhash_lsh, ORACLE_MINHASH_LSH, "MinHash+LSH near-dup candidates"),
     "winnow_fingerprint": QuerySpec(q_winnow_fingerprint, ORACLE_WINNOW, "winnowing rolling-hash fingerprints"),
     "ann_lsh": QuerySpec(q_ann_lsh, ORACLE_ANN_LSH, "SRP-bucketed ANN top-k"),
     "ivf_assign": QuerySpec(q_ivf_assign, ORACLE_IVF, "IVF nearest-centroid assignment"),
+    "ivf_search": QuerySpec(q_ivf_search, ORACLE_IVF_SEARCH, "IVF probe search (2 nearest cells)"),
 }

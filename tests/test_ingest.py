@@ -193,3 +193,34 @@ def test_high_watermark(spark):
     df = spark.range(100).withColumn("ts", F.col("id"))
     assert high_watermark_filter(df, "ts", 89).count() == 10
     assert high_watermark_filter(df, "ts", None).count() == 100
+
+
+def test_compact_small_files(spark, tmp_path):
+    from data_lake_spark.io import compact
+
+    path = str(tmp_path / "sprawl")
+    # simulate per-record ingest: 40 tiny files
+    spark.range(0, 400).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 30
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+    n = compact(spark, path)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n == 1  # tiny table -> one right-sized file
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    from data_lake_spark.io import read_merged_schema
+
+    path = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    merged = read_merged_schema(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}  # old rows surface the new col as null
