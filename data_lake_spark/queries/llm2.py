@@ -287,10 +287,72 @@ ORDER BY query_id, rk
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: MinHash band-collision pairs become an
+    undirected graph; connected components (operators/graph.py, iterative
+    min-label propagation — each round one equi-join + min-agg) assign
+    every doc its cluster; the keeper is the min doc id. The iterative
+    fixpoint is deterministic, so even this non-single-query algorithm is
+    oracle-checked (DuckDB recursive CTE computes the same closure)."""
+    from data_lake_spark.operators.graph import connected_components
+    from data_lake_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, n=3, n_hashes=8, rows_per_band=2).select(
+        "doc_a", "doc_b"
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges, src_col="doc_a", dst_col="doc_b")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(MD5('{i}:' || shingle)) AS sig{i}" for i in range(8))}
+  FROM sh GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, MD5(sig0 || sig1) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sigs
+  UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sigs
+  UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sigs
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+undirected AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.root FROM reach r JOIN undirected u ON u.a = r.node
+)
+SELECT node AS doc_id,
+       MIN(root) AS cluster_id,
+       CAST(node = MIN(root) AS BIGINT) AS is_keeper
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh": QuerySpec(q_minhash_lsh, ORACLE_MINHASH_LSH, "MinHash+LSH near-dup candidates"),
     "winnow_fingerprint": QuerySpec(q_winnow_fingerprint, ORACLE_WINNOW, "winnowing rolling-hash fingerprints"),
     "ann_lsh": QuerySpec(q_ann_lsh, ORACLE_ANN_LSH, "SRP-bucketed ANN top-k"),
     "ivf_assign": QuerySpec(q_ivf_assign, ORACLE_IVF, "IVF nearest-centroid assignment"),
     "ivf_search": QuerySpec(q_ivf_search, ORACLE_IVF_SEARCH, "IVF probe search (2 nearest cells)"),
+    "dedup_clusters": QuerySpec(
+        q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
+        "connected-components dedup clustering over MinHash edges",
+    ),
 }
