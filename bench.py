@@ -44,6 +44,9 @@ HEADLINE = [
     "asof_join",
     "length_band_join",
     "quality_quantile_filter",
+    "ivf_search",
+    "dedup_clusters",
+    "vocab_stats",
 ]
 
 

@@ -321,6 +321,38 @@ ORDER BY s.doc_id
 """
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency per token,
+    top-200 by (tf desc, token). One explode + one groupBy — the partial
+    (map-side) aggregation means the shuffle carries one row per distinct
+    (partition, token), not one per occurrence; at 100 TB the token key
+    space shards uniformly. df/tf are the inputs to IDF weighting and
+    vocab pruning (IDF's log is left to the caller: transcendental
+    functions aren't bit-portable across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
+ORACLE_VOCAB_STATS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks GROUP BY 1
+ORDER BY 2 DESC, 1
+LIMIT 200
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "bpe_tokens": QuerySpec(
         q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"
@@ -343,5 +375,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_quantile_filter": QuerySpec(
         q_quality_quantile_filter, ORACLE_QUALITY_QUANTILE,
         "per-language p25 quality-threshold curation",
+    ),
+    "vocab_stats": QuerySpec(
+        q_vocab_stats, ORACLE_VOCAB_STATS,
+        "corpus vocabulary: term + document frequency, top-200",
     ),
 }
