@@ -274,3 +274,53 @@ def ivf_search(
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= k
     )
+
+
+def ann_topk_multiprobe(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe SRP ANN: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    recall lever (Lv et al., "Multi-Probe LSH", VLDB'07) that costs
+    (n_planes+1)× more candidates but needs no extra hash tables. Still a
+    pure equi-join: the query side replicates to its probe buckets; each
+    candidate lives in exactly ONE bucket, so no pair is emitted twice."""
+    buckets = srp_buckets(emb, n_planes, id_col, vec_col)
+    vecs = emb.select(F.col(id_col), _to_double(vec_col).alias("v")).join(
+        buckets, id_col
+    ).withColumn("nrm", norm_exact("v"))
+    flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
+    q = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qb"),
+        )
+        .withColumn("flip", F.explode(flips))
+        .withColumn("pb", F.col("qb").bitwiseXOR(F.col("flip")))
+    )
+    c = vecs.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("pb") == F.col("cb")).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        (dot_exact("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

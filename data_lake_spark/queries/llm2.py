@@ -125,11 +125,12 @@ FROM fp GROUP BY 1 ORDER BY 1
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate nearest neighbours: sign-random-projection
-    buckets (8 md5-parity planes) + exact cosine within the query's bucket,
-    top-3 (operators/similarity.py). The scale path next to cosine_topk's
-    exact baseline."""
+    buckets (4 md5-parity planes -> 16 cells) + exact cosine within the
+    query's bucket, top-3 (operators/similarity.py). The scale path next
+    to cosine_topk's exact baseline; plane count trades pruning for
+    recall (see ann_multiprobe for the recall lever)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_bucketed(emb, query_ids=[0, 1, 2, 3, 4], k=3, n_planes=8).orderBy(
+    return ann_topk_bucketed(emb, query_ids=[0, 1, 2, 3, 4], k=3, n_planes=4).orderBy(
         "query_id", "rk"
     )
 
@@ -138,7 +139,7 @@ ORACLE_ANN_LSH = f"""
 WITH {_ELEMS_SQL},
 planes AS (
   SELECT vec_id, d, x, CAST(t.range AS INT) AS p
-  FROM elems CROSS JOIN range(0, 8) t
+  FROM elems CROSS JOIN range(0, 4) t
 ),
 terms AS (
   SELECT vec_id, p,
@@ -287,6 +288,72 @@ ORDER BY query_id, rk
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN (operators/similarity.py ann_topk_multiprobe):
+    probes the query's bucket plus all 4 Hamming-distance-1 buckets —
+    higher recall than single-probe ann_lsh at (n_planes+1)× candidate
+    cost, no extra hash tables, still an equi-join."""
+    from data_lake_spark.operators.similarity import ann_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_multiprobe(emb, query_ids=[0, 1, 2, 3, 4], k=3, n_planes=4).orderBy(
+        "query_id", "rk"
+    )
+
+
+ORACLE_ANN_MULTIPROBE = f"""
+WITH {_ELEMS_SQL},
+planes AS (
+  SELECT vec_id, d, x, CAST(t.range AS INT) AS p
+  FROM elems CROSS JOIN range(0, 4) t
+),
+terms AS (
+  SELECT vec_id, p,
+         FLOOR((CASE WHEN ASCII(SUBSTR(MD5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1
+                     THEN 1 ELSE -1 END) * x * {_PS}) AS t
+  FROM planes
+),
+bits AS (SELECT vec_id, p, SUM(t) AS proj FROM terms GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN proj > 0 THEN CAST(POW(2.0, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM bits GROUP BY 1
+),
+vecs AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv,
+         XOR(q.bucket, f.flip) AS pb
+  FROM vecs q CROSS JOIN (
+    SELECT UNNEST([0, 1, 2, 4, 8]) AS flip
+  ) f
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS cand_id, p.qv, c.embedding AS cv
+  FROM probes p JOIN vecs c ON p.pb = c.bucket AND p.query_id != c.vec_id
+),
+pelems AS (
+  SELECT query_id, cand_id,
+         CAST(UNNEST(qv) AS DOUBLE) AS qe, CAST(UNNEST(cv) AS DOUBLE) AS ce
+  FROM pairs
+),
+sums AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(CAST(FLOOR(qe * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot,
+         CAST(SUM(CAST(FLOOR(qe * qe * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS qq,
+         CAST(SUM(CAST(FLOOR(ce * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS cc
+  FROM pelems GROUP BY 1, 2
+)
+SELECT query_id, cand_id, dot / (SQRT(qq) * SQRT(cc)) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, cand_id)
+            AS BIGINT) AS rk
+FROM sums
+QUALIFY rk <= 3
+ORDER BY query_id, rk
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup decision: MinHash band-collision pairs become an
     undirected graph; connected components (operators/graph.py, iterative
@@ -354,5 +421,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(
         q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
         "connected-components dedup clustering over MinHash edges",
+    ),
+    "ann_multiprobe": QuerySpec(
+        q_ann_multiprobe, ORACLE_ANN_MULTIPROBE,
+        "multi-probe SRP ANN (own + Hamming-1 buckets)",
     ),
 }

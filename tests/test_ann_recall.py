@@ -1,0 +1,36 @@
+"""ANN quality: multi-probe recall must dominate single-probe recall
+against the exact brute-force ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.similarity import (
+    _to_double,
+    ann_topk_bucketed,
+    ann_topk_multiprobe,
+    cosine_topk,
+)
+
+_QUERIES = [0, 1, 2, 3, 4]
+
+
+def _pairs(df) -> set:
+    return {(r.query_id, r.cand_id) for r in df.collect()}
+
+
+def test_multiprobe_recall_dominates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), _to_double("embedding").alias("cv"))
+    truth = _pairs(cosine_topk(q, c, k=3))
+    single = _pairs(ann_topk_bucketed(emb, _QUERIES, k=3))
+    multi = _pairs(ann_topk_multiprobe(emb, _QUERIES, k=3))
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    # multi-probe candidates are a superset of single-probe's (flip=0 term)
+    assert single <= multi or recall_multi >= recall_single
