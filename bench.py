@@ -47,6 +47,11 @@ HEADLINE = [
     "ivf_search",
     "dedup_clusters",
     "vocab_stats",
+    "running_total",
+    "topk_per_group",
+    "train_split",
+    "repetition_stats",
+    "decontam",
 ]
 
 

@@ -27,15 +27,19 @@ class QuerySpec:
 def full_registry() -> dict[str, QuerySpec]:
     from data_lake_spark.queries import (
         api_queries,
+        curation,
         llm,
         llm2,
         llm3,
         relational,
+        relational2,
         temporal,
     )
 
     reg: dict[str, QuerySpec] = {}
     reg.update(relational.REGISTRY)
+    reg.update(relational2.REGISTRY)
+    reg.update(curation.REGISTRY)
     reg.update(llm.REGISTRY)
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)
