@@ -52,6 +52,13 @@ HEADLINE = [
     "train_split",
     "repetition_stats",
     "decontam",
+    "cube_report",
+    "semi_join_active",
+    "sliding_rollup",
+    "funnel",
+    "cohort_retention",
+    "approx_distinct",
+    "mixture_weights",
 ]
 
 

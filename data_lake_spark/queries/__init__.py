@@ -33,16 +33,22 @@ def full_registry() -> dict[str, QuerySpec]:
         llm3,
         relational,
         relational2,
+        relational3,
+        sketches,
         temporal,
+        temporal2,
     )
 
     reg: dict[str, QuerySpec] = {}
     reg.update(relational.REGISTRY)
     reg.update(relational2.REGISTRY)
+    reg.update(relational3.REGISTRY)
     reg.update(curation.REGISTRY)
+    reg.update(sketches.REGISTRY)
     reg.update(llm.REGISTRY)
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)
     reg.update(temporal.REGISTRY)
+    reg.update(temporal2.REGISTRY)
     reg.update(api_queries.REGISTRY)
     return reg

@@ -273,6 +273,51 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# mixture_weights — language-balanced deterministic subsample
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-language keep-rate chosen so every
+    language contributes ≈ the minority language's document count, applied
+    with the same deterministic md5 u16 key as hash_sample. The rate table
+    is integer arithmetic (thr = 65536·min_cnt ÷ cnt) computed from a
+    dim-sized aggregate and broadcast — the corpus scan stays map-only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # scalar min over the dim-sized rate table via an empty-partition
+    # window (the pct-of-total pattern) — keeps the plan cartesian-free
+    thr = counts.withColumn(
+        "mn", F.min("cnt").over(Window.partitionBy())
+    ).select("lang", "cnt", F.expr("(65536 * mn) div cnt").alias("thr"))
+    return (
+        docs.withColumn("u", doc_u16())
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("u") < F.col("thr"))
+        .groupBy("lang", "cnt", "thr")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select("lang", F.col("cnt").alias("n_total"), "thr", "n_kept")
+        .orderBy("lang")
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+thr AS (
+  SELECT lang, cnt,
+         (65536 * (SELECT MIN(cnt) FROM counts)) // cnt AS thr
+  FROM counts
+)
+SELECT d.lang, t.cnt AS n_total, t.thr, COUNT(*) AS n_kept
+FROM documents d JOIN thr t ON d.lang = t.lang
+WHERE {_oracle_u16('d.doc_id')} < t.thr
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "hash_sample": QuerySpec(
         q_hash_sample, ORACLE_HASH_SAMPLE,
@@ -289,5 +334,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontam": QuerySpec(
         q_decontam, ORACLE_DECONTAM,
         "benchmark n-gram overlap decontamination scan",
+    ),
+    "mixture_weights": QuerySpec(
+        q_mixture_weights, ORACLE_MIXTURE_WEIGHTS,
+        "language-balanced deterministic mixture subsample",
     ),
 }
