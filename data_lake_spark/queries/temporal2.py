@@ -215,6 +215,78 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# scd2_history — versioned dimension built from event history
+# ---------------------------------------------------------------------------
+
+_OPEN = 99_999_999
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension from event history: each user's latest daily JSON
+    property, bucketed, folded into validity intervals by the SCD2
+    operator (operators/scd.py — consecutive-duplicate collapse + lead
+    window). The reference overwrites its user dim in place and loses
+    history (BronzeIngestUsers.py:69-77); this is the lakehouse answer.
+    Day keys are integer epoch-days; the open end is a sentinel int."""
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.scd import scd2_apply
+    from data_lake_spark.operators.upsert import keep_latest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"(ts div {_NS}) div 86400").alias("day"),
+        F.expr(f"ts div {_NS}").alias("ts_s"),
+        (F.get_json_object("props", "$.k").cast("long") / 25)
+        .cast("long")
+        .alias("k_bucket"),
+    )
+    daily = keep_latest(
+        ev, keys=["user_id", "day"], order_col="ts_s", tiebreak=["event_id"]
+    ).select("user_id", "k_bucket", F.col("day").alias("eff_date"))
+    empty = spark.createDataFrame(
+        [], "user_id long, k_bucket long, valid_from long"
+    )
+    return (
+        scd2_apply(
+            empty, daily, key="user_id", attrs=["k_bucket"], open_end=_OPEN
+        )
+        .select("user_id", "k_bucket", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+ORACLE_SCD2_HISTORY = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         (epoch_ns(ts) // {_NS}) // 86400 AS day,
+         epoch_ns(ts) // {_NS} AS ts_s,
+         CAST(props ->> '$.k' AS BIGINT) // 25 AS k_bucket
+  FROM events
+),
+daily AS (
+  SELECT user_id, k_bucket, day AS valid_from FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                 ORDER BY ts_s DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+changed AS (
+  SELECT user_id, k_bucket, valid_from FROM (
+    SELECT *, LAG(k_bucket) OVER (PARTITION BY user_id ORDER BY valid_from) AS pk
+    FROM daily
+  ) WHERE pk IS NULL OR k_bucket != pk
+)
+SELECT user_id, k_bucket, valid_from,
+       COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+                {_OPEN}) AS valid_to,
+       CAST(COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+                {_OPEN}) = {_OPEN} AS BIGINT) AS is_current
+FROM changed ORDER BY user_id, valid_from
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "sliding_rollup": QuerySpec(
         q_sliding_rollup, ORACLE_SLIDING_ROLLUP,
@@ -231,5 +303,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "json_props": QuerySpec(
         q_json_props, ORACLE_JSON_PROPS,
         "JSON property extraction + rollup",
+    ),
+    "scd2_history": QuerySpec(
+        q_scd2_history, ORACLE_SCD2_HISTORY,
+        "SCD2 versioned dimension folded from event history",
     ),
 }

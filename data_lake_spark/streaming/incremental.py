@@ -108,6 +108,65 @@ def sessionize(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    within_seconds: int = 1800,
+    watermark: str = "1 hour",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matches right events
+    by the same key whose timestamp falls in ``[left.ts - within, left.ts]``
+    — the attribution join as a LIVE join of two streams. Both sides carry
+    a watermark and the join condition bounds the time range on BOTH
+    sides, which is what lets Spark expire state: a buffered right row can
+    be dropped once the left watermark passes ``r_ts + within``.
+
+    Works identically on batch DataFrames (watermarks are skipped), so the
+    batch face is directly comparable in tests. ``ts_col`` must be a
+    TIMESTAMP column on both sides."""
+    r = right.select(
+        F.col(on).alias(f"{right_prefix}{on}"),
+        F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in (on, ts_col)
+        ],
+    )
+    if left.isStreaming:
+        left = left.withWatermark(ts_col, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"{right_prefix}{ts_col}", watermark)
+    rts = F.col(f"{right_prefix}{ts_col}")
+    cond = (
+        (F.col(on) == F.col(f"{right_prefix}{on}"))
+        & (rts <= F.col(ts_col))
+        & (rts >= F.col(ts_col) - F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    )
+    return left.join(r, cond, "inner").drop(f"{right_prefix}{on}")
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once key dedup for a stream: ``dropDuplicatesWithinWatermark``
+    keeps first-arrival per key and expires state once the watermark
+    passes — the streaming twin of ``operators.upsert.keep_latest``'s
+    at-rest dedup (D1). On a batch DataFrame it degrades to plain
+    ``dropDuplicates`` (same keys, unbounded horizon)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_minutes: int = 30,
