@@ -31,9 +31,11 @@ def full_registry() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         relational,
         relational2,
         relational3,
+        relational4,
         sketches,
         temporal,
         temporal2,
@@ -43,11 +45,13 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(relational.REGISTRY)
     reg.update(relational2.REGISTRY)
     reg.update(relational3.REGISTRY)
+    reg.update(relational4.REGISTRY)
     reg.update(curation.REGISTRY)
     reg.update(sketches.REGISTRY)
     reg.update(llm.REGISTRY)
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)
+    reg.update(llm4.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
     reg.update(api_queries.REGISTRY)

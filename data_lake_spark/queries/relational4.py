@@ -1,0 +1,93 @@
+"""Relational extensions, part 4: distribution analytics the reference's
+dashboard layer approximates client-side — decile segmentation and exact
+percentile reports, both single-shuffle window/aggregate plans.
+
+The reference's ranking endpoint pages a global sort through the client
+(detailedRanking.py:223-235); NTILE gives the same "where does this
+account sit" answer as one windowed pass, and exact percentiles replace
+eyeballing sorted output. Both partition by a group key, so no global
+single-reducer window at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import oracle_sum_exact, sum_exact
+from data_lake_spark.queries import QuerySpec
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles within each market segment: NTILE(10) over
+    (segment, balance) with the customer key as a deterministic
+    tie-break, then per-decile population and balance range."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+ORACLE_NTILE_DECILES = """
+WITH t AS (
+  SELECT c_mktsegment AS segment, c_acctbal,
+         CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal ASC, c_custkey ASC)
+              AS BIGINT) AS decile
+  FROM customer
+)
+SELECT segment, decile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-price percentiles per order priority: median and p90
+    via the exact percentile aggregate (bit-identical to DuckDB
+    quantile_cont including interpolation), plus an order-independent
+    exact total. The reference reports only sums/averages; percentiles
+    are the robust version of the same dashboard."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+            sum_exact("o_totalprice").alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_PERCENTILE_REPORT = f"""
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+       QUANTILE_CONT(o_totalprice, 0.5) AS median_price,
+       QUANTILE_CONT(o_totalprice, 0.9) AS p90_price,
+       {oracle_sum_exact("o_totalprice")} AS total_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "ntile_deciles": QuerySpec(
+        q_ntile_deciles, ORACLE_NTILE_DECILES,
+        "NTILE(10) balance deciles per market segment",
+    ),
+    "percentile_report": QuerySpec(
+        q_percentile_report, ORACLE_PERCENTILE_REPORT,
+        "exact median/p90 percentiles per order priority",
+    ),
+}

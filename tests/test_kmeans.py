@@ -1,0 +1,52 @@
+"""Lloyd-loop convergence + packing invariants (operators/kmeans.py,
+operators/packing.py). The per-step codebook itself is oracle-checked by
+the kmeans_refine query; here we check the iterative properties SQL
+can't express."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.kmeans import kmeans_fit, lloyd_step
+from data_lake_spark.operators.packing import pack_sequences
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_lloyd_inertia_non_increasing(spark):
+    emb = load_table(spark, SF, "embeddings")
+    _, inertia = kmeans_fit(emb, n_iter=3)
+    assert len(inertia) == 3
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+
+
+def test_lloyd_step_partitions_all_vectors(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = lloyd_step(emb)
+    n_vecs = emb.count()
+    got = out.groupBy("cell").agg(F.max("n_members").alias("n")).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert got == n_vecs  # every vector lands in exactly one cell
+    dims = out.select("d").distinct().count()
+    assert dims == 64
+
+
+def test_pack_sequences_contiguous(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 700) for i in range(10)], "doc_id long, lang string, n_tokens long"
+    )
+    out = pack_sequences(
+        df, budget=2048, group_cols=["lang"], order_cols=["doc_id"]
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # start offsets are the running sum; seq boundaries at 2048-token marks
+    assert by_id[0].start_off == 0 and by_id[0].seq_id == 0
+    assert by_id[2].start_off == 1400 and by_id[2].seq_id == 0
+    assert by_id[3].start_off == 2100 and by_id[3].seq_id == 1
+    # seq_id is non-decreasing in doc order within the group
+    seqs = [by_id[i].seq_id for i in range(10)]
+    assert seqs == sorted(seqs)
