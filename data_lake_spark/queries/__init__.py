@@ -39,6 +39,7 @@ def full_registry() -> dict[str, QuerySpec]:
         sketches,
         temporal,
         temporal2,
+        temporal3,
     )
 
     reg: dict[str, QuerySpec] = {}
@@ -54,5 +55,6 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm4.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
+    reg.update(temporal3.REGISTRY)
     reg.update(api_queries.REGISTRY)
     return reg
