@@ -15,6 +15,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ZONES = ("bronze", "silver", "gold")
@@ -100,6 +101,49 @@ def read_records(
     if schema is not None:
         return spark.createDataFrame(records, schema=schema)
     return spark.createDataFrame(records)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Schema-on-read CSV with explicit malformed-row handling — the gold
+    zone's Athena results are CSV (earnings.py OutputLocation), and feed
+    files from partners arrive dirty. PERMISSIVE keeps bad rows with the
+    raw line captured in ``_corrupt_record`` (quarantine-able downstream);
+    DROPMALFORMED silently filters them; FAILFAST turns the first bad row
+    into a job error. Never infer the schema in production paths — one
+    pass of inference over 100 TB is a full extra scan."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if mode == "PERMISSIVE":
+        base = (
+            schema
+            if isinstance(schema, T.StructType)
+            else T.StructType.fromDDL(schema)
+        )
+        schema = base.add("_corrupt_record", T.StringType())
+    return reader.schema(schema).csv(path)
+
+
+def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE read into (clean, quarantined) — clean rows
+    drop the corrupt column; quarantined rows keep only the raw line for
+    a dead-letter table. The medallion move: bronze keeps everything,
+    quarantine is itself a table you can re-parse after a schema fix."""
+    # Spark refuses to answer queries that reference ONLY the internal
+    # corrupt-record column of a raw CSV/JSON scan; materialize first.
+    df = df.cache()
+    corrupt = F.col("_corrupt_record").isNotNull()
+    clean = df.filter(~corrupt).drop("_corrupt_record")
+    bad = df.filter(corrupt).select("_corrupt_record")
+    return clean, bad
 
 
 # --- table maintenance ------------------------------------------------------
