@@ -59,6 +59,12 @@ HEADLINE = [
     "cohort_retention",
     "approx_distinct",
     "mixture_weights",
+    "seq_pack",
+    "tfidf_topterms",
+    "kmeans_refine",
+    "session_native",
+    "date_spine_fill",
+    "scd2_history",
 ]
 
 
