@@ -65,6 +65,7 @@ HEADLINE = [
     "session_native",
     "date_spine_fill",
     "scd2_history",
+    "classifier_filter",
 ]
 
 

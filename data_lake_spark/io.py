@@ -59,6 +59,28 @@ class Lake:
         getattr(w, fmt)(out)
         return out
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        zone: str,
+        table: str,
+        partition_by: list[str],
+    ) -> str:
+        """Partition-scoped backfill: replace ONLY the partitions present
+        in ``df``, leave every other partition untouched (dynamic
+        partition overwrite). The reference rewrites the whole bronze
+        table on every ingest (bronze_ingest_streamate_mock.py:51 mode
+        'overwrite') — at 100 TB a one-day correction must rewrite one
+        day, not the table."""
+        out = self.path(zone, table)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(out)
+        )
+        return out
+
     # --- sources ----------------------------------------------------------
 
     def read(self, zone: str, table: str, fmt: str = "parquet") -> DataFrame:

@@ -248,6 +248,63 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# classifier_filter — linear quality-classifier inference
+# ---------------------------------------------------------------------------
+
+_CLS_THRESHOLD = 1500
+
+
+def q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based curation (the FastText-quality-filter pattern):
+    a linear model with integer weights over per-document features,
+    applied corpus-wide as pure JVM arithmetic — model inference as a
+    projection, no UDF, no serving infra. Features: distinct-token ratio
+    (per-mille) and capped length; integer weights keep both engines
+    bit-identical (no float dot product to drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).select(
+        "doc_id",
+        F.expr("1000L * n_uniq div n_tok").alias("distinct_milli"),
+        F.least("n_tok", F.lit(512)).cast("long").alias("len_cap"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "distinct_milli",
+            "len_cap",
+            (3 * F.col("distinct_milli") + 2 * F.col("len_cap")).alias("score"),
+        )
+        .withColumn("keep", (F.col("score") >= _CLS_THRESHOLD).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CLASSIFIER_FILTER = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         1000 * n_uniq // n_tok AS distinct_milli,
+         LEAST(n_tok, 512) AS len_cap
+  FROM feats
+)
+SELECT doc_id, distinct_milli, len_cap,
+       3 * distinct_milli + 2 * len_cap AS score,
+       CAST(3 * distinct_milli + 2 * len_cap >= {_CLS_THRESHOLD} AS BIGINT) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "seq_pack": QuerySpec(
         q_seq_pack, ORACLE_SEQ_PACK,
@@ -264,5 +321,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_refine": QuerySpec(
         q_kmeans_refine, ORACLE_KMEANS_REFINE,
         "one k-means Lloyd refinement of the IVF codebook",
+    ),
+    "classifier_filter": QuerySpec(
+        q_classifier_filter, ORACLE_CLASSIFIER_FILTER,
+        "linear quality-classifier inference as a projection",
     ),
 }

@@ -116,6 +116,7 @@ def stream_interval_join(
     within_seconds: int = 1800,
     watermark: str = "1 hour",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matches right events
     by the same key whose timestamp falls in ``[left.ts - within, left.ts]``
@@ -123,6 +124,11 @@ def stream_interval_join(
     a watermark and the join condition bounds the time range on BOTH
     sides, which is what lets Spark expire state: a buffered right row can
     be dropped once the left watermark passes ``r_ts + within``.
+
+    ``how='left_outer'`` additionally emits unmatched left rows with
+    nulls — but only once the watermark proves no future right row can
+    match, so outer results trail the watermark (exactly-once, late but
+    complete).
 
     Works identically on batch DataFrames (watermarks are skipped), so the
     batch face is directly comparable in tests. ``ts_col`` must be a
@@ -146,7 +152,7 @@ def stream_interval_join(
         & (rts <= F.col(ts_col))
         & (rts >= F.col(ts_col) - F.expr(f"INTERVAL {within_seconds} SECONDS"))
     )
-    return left.join(r, cond, "inner").drop(f"{right_prefix}{on}")
+    return left.join(r, cond, how).drop(f"{right_prefix}{on}")
 
 
 def stream_dedup(
