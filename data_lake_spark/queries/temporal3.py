@@ -12,9 +12,10 @@ aggregates once and left-joins against it.
 ``session_native`` is the built-in ``F.session_window`` — the same
 gap-merge sessionization as queries/temporal.py's lag+cumsum
 ``session_stats``, but expressed with the operator Structured Streaming
-can run stateful. Edge semantics differ by one instant: session_window
-opens a new session at gap ≥ 30 min (window overlap is strict), while
-the lag formulation does at gap > 30 min; the oracle mirrors the ≥ form.
+can run stateful. Boundary semantics verified against real collisions at
+sf0.1: an event exactly gap seconds after its predecessor MERGES (the
+[t, t+gap] envelope is closed), i.e. a new session opens only at
+gap > 30 min — identical to the lag formulation's ``>`` test.
 """
 
 from __future__ import annotations
@@ -140,7 +141,8 @@ def q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via the native ``F.session_window`` (30-minute
     gap): one groupBy on (user, session_window) — the operator Structured
     Streaming runs with managed state, here on its batch face. New
-    session at gap ≥ 30 min (see module docstring)."""
+    session only at gap > 30 min (closed envelope, see module
+    docstring)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "value",
@@ -169,7 +171,7 @@ WITH e AS (
 flagged AS (
   SELECT user_id, value, ts_s,
          CASE WHEN LAG(ts_s) OVER w IS NULL
-                OR ts_s - LAG(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+                OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
 ),
 sess AS (

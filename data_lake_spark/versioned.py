@@ -1,0 +1,100 @@
+"""Snapshot-versioned tables on plain parquet — time travel without Delta.
+
+The reference's upsert path rewrites objects in place
+(ingestStreamateModelPerformance.py:145-175), so a reader racing a writer
+sees a torn table and yesterday's state is unrecoverable. The lakehouse
+fix is snapshot isolation: every write lands in a fresh immutable
+version directory and a single pointer file flips atomically; readers
+resolve the pointer once and scan an immutable snapshot.
+
+This is the core idea of Delta/Iceberg metadata, reduced to what plain
+parquet + an atomic rename can give:
+
+    table/
+      _v=1/part-*.parquet      (immutable)
+      _v=2/part-*.parquet
+      _LATEST                  (one line: "2"; swapped via os.replace)
+
+Semantics:
+- writers never mutate a published version (crash mid-write leaves an
+  unpublished _v=N+1, invisible to readers — publish IS the commit);
+- readers pin a version at resolve time → repeatable reads across a job;
+- history is queryable (``read_version``) and diffable until ``vacuum``.
+
+At 100 TB the same layout works per-partition (version the partition
+directories you rewrote, not the table) — the pointer file is the only
+coordination point, identical to Delta's _last_checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _vdir(root: str, v: int) -> str:
+    return os.path.join(root, f"_v={v}")
+
+
+def current_version(root: str) -> int:
+    """Published version, or 0 if the table has never been committed."""
+    try:
+        with open(os.path.join(root, _POINTER)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def list_versions(root: str) -> list[int]:
+    """All version directories present (published or orphaned)."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("_v=")
+    )
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Write a new immutable snapshot and atomically publish it.
+    Returns the committed version number."""
+    v = current_version(root) + 1
+    while v in set(list_versions(root)):  # skip orphans from crashed writers
+        v += 1
+    df.write.mode("errorifexists").parquet(_vdir(root, v))
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(root, _POINTER))  # the commit point
+    return v
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Scan a pinned snapshot (default: the currently published one).
+    The returned frame stays bound to that version even if a writer
+    publishes a newer one mid-job — repeatable reads."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no published version at {root}")
+    return spark.read.parquet(_vdir(root, v))
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` published versions (plus any
+    orphans older than them). Never touches the current version. Returns
+    the versions removed."""
+    import shutil
+
+    cur = current_version(root)
+    keep = {v for v in list_versions(root) if v > cur - keep_last}
+    keep.add(cur)
+    dropped = [v for v in list_versions(root) if v not in keep]
+    for v in dropped:
+        shutil.rmtree(_vdir(root, v))
+    return dropped

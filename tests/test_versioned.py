@@ -1,0 +1,69 @@
+"""Snapshot-versioned tables (versioned.py): commit/publish atomicity,
+pinned reads, history, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.versioned import (
+    current_version,
+    list_versions,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+def _df(spark, n, tag):
+    return spark.range(n).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_write_read_roundtrip_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert current_version(root) == 0
+    v1 = write_version(_df(spark, 3, "a"), root)
+    v2 = write_version(_df(spark, 5, "a"), root)
+    assert (v1, v2) == (1, 2)
+    assert current_version(root) == 2
+    assert read_version(spark, root).count() == 5  # latest
+    assert read_version(spark, root, 1).count() == 3  # time travel
+    # diff two versions: rows added between v1 and v2
+    diff = read_version(spark, root, 2).exceptAll(read_version(spark, root, 1))
+    assert sorted(r.id for r in diff.collect()) == [3, 4]
+
+
+def test_pinned_read_survives_new_publish(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(_df(spark, 3, "a"), root)
+    pinned = read_version(spark, root)  # resolves to v1 NOW
+    write_version(_df(spark, 10, "b"), root)
+    assert pinned.count() == 3  # still the v1 snapshot
+    assert read_version(spark, root).count() == 10
+
+
+def test_crashed_writer_invisible(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(_df(spark, 3, "a"), root)
+    # simulate a crash: version dir exists but pointer never flipped
+    _df(spark, 99, "crash").write.parquet(os.path.join(root, "_v=2"))
+    assert current_version(root) == 1
+    assert read_version(spark, root).count() == 3
+    # next writer skips the orphaned directory rather than colliding
+    v = write_version(_df(spark, 4, "c"), root)
+    assert v == 3
+    assert read_version(spark, root).count() == 4
+
+
+def test_vacuum_keeps_recent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        write_version(_df(spark, i + 1, f"v{i}"), root)
+    dropped = vacuum(root, keep_last=2)
+    assert dropped == [1, 2]
+    assert list_versions(root) == [3, 4]
+    assert read_version(spark, root).count() == 4
+    assert read_version(spark, root, 3).count() == 3
