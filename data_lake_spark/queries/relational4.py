@@ -81,7 +81,38 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass generic table profile (operators/profile.py) over the
+    orders fact: per-column null counts + distinct cardinalities in a
+    single aggregation — the drift alarm the reference's crawler-only
+    catalog lacks."""
+    from data_lake_spark.operators.profile import profile
+
+    return profile(load_table(spark, sf_dir, "orders")).orderBy("col_name")
+
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+ORACLE_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _ORDER_COLS
+) + "\nORDER BY col_name"
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "profile_orders": QuerySpec(
+        q_profile_orders, ORACLE_PROFILE_ORDERS,
+        "one-pass per-column profile (nulls, distinct) of a fact table",
+    ),
     "ntile_deciles": QuerySpec(
         q_ntile_deciles, ORACLE_NTILE_DECILES,
         "NTILE(10) balance deciles per market segment",

@@ -20,7 +20,7 @@ gap > 30 min — identical to the lag formulation's ``>`` test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
@@ -188,7 +188,89 @@ ORDER BY user_id, start_s
 """
 
 
+# ---------------------------------------------------------------------------
+# top_paths — most common event sequences per session
+# ---------------------------------------------------------------------------
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: sessionize (30-min gap), take each session's first
+    5 events in time order, join them into a '>'-separated path string,
+    rank the 20 most common paths. The collect_list is ordered
+    deterministically by sorting (ts, event_id) structs — collect order
+    is partition-dependent, array_sort makes it reproducible at any
+    cluster size."""
+    from data_lake_spark.streaming.incremental import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(f"ts div {_NS}").alias("ts"),
+    )
+    sess = sessionize(ev, gap_minutes=30)
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(F.slice("evs", 1, 5), lambda x: x["event_type"]),
+            ).alias("path")
+        )
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+    )
+
+
+ORACLE_TOP_PATHS = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // {_NS} AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+                   OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+              AS session_seq
+  FROM flagged
+),
+first5 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                 ORDER BY ts_s, event_id) AS rn
+    FROM sess
+  ) WHERE rn <= 5
+),
+paths AS (
+  SELECT STRING_AGG(event_type, '>' ORDER BY ts_s, event_id) AS path
+  FROM first5 GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT) AS rk
+FROM paths GROUP BY path
+QUALIFY rk <= 20 ORDER BY rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "top_paths": QuerySpec(
+        q_top_paths, ORACLE_TOP_PATHS,
+        "top-20 session event paths (ordered first-5 sequence mining)",
+    ),
     "date_spine_fill": QuerySpec(
         q_date_spine_fill, ORACLE_DATE_SPINE_FILL,
         "dense daily series: generated date spine + zero-filled gaps",

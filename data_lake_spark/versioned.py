@@ -85,6 +85,40 @@ def read_version(
     return spark.read.parquet(_vdir(root, v))
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> int:
+    """Delta-style MERGE onto a versioned table: new version =
+    keep-latest over (current snapshot ∪ updates) by ``keys`` —
+    WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT in one window pass,
+    with time travel to every pre-merge state for free. First merge on
+    an empty table is a plain insert. Returns the committed version.
+
+    The reference's per-record upsert (ingestStreamateModelPerformance
+    .py:72-142) is this operation at batch size 1 without history."""
+    from data_lake_spark.operators.upsert import keep_latest
+
+    if current_version(root) == 0:
+        merged = updates
+    else:
+        merged = keep_latest(
+            read_version(spark, root).unionByName(updates),
+            keys=keys,
+            order_col=order_col,
+        )
+    # materialize before publishing: the plan reads the previous version
+    merged = merged.cache()
+    merged.count()
+    try:
+        return write_version(merged, root)
+    finally:
+        merged.unpersist()
+
+
 def vacuum(root: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` published versions (plus any
     orphans older than them). Never touches the current version. Returns

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from data_lake_spark.versioned import (
     current_version,
     list_versions,
+    merge_into,
     read_version,
     vacuum,
     write_version,
@@ -56,6 +57,30 @@ def test_crashed_writer_invisible(spark, tmp_path):
     v = write_version(_df(spark, 4, "c"), root)
     assert v == 3
     assert read_version(spark, root).count() == 4
+
+
+def test_merge_into_upsert_with_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, 1), (2, "2024-01-01", 20.0, 1)],
+        "id long, d string, v double, seq long",
+    )
+    day2 = spark.createDataFrame(
+        [(2, "2024-01-01", 25.0, 2), (3, "2024-01-02", 30.0, 2)],
+        "id long, d string, v double, seq long",
+    )
+    v1 = merge_into(spark, root, day1, keys=["id", "d"], order_col="seq")
+    v2 = merge_into(spark, root, day2, keys=["id", "d"], order_col="seq")
+    assert (v1, v2) == (1, 2)
+    now = {(r.id, r.d): r.v for r in read_version(spark, root).collect()}
+    assert now == {(1, "2024-01-01"): 10.0, (2, "2024-01-01"): 25.0, (3, "2024-01-02"): 30.0}
+    # pre-merge state still queryable: the audit trail MERGE destroys
+    before = {(r.id, r.d): r.v for r in read_version(spark, root, 1).collect()}
+    assert before == {(1, "2024-01-01"): 10.0, (2, "2024-01-01"): 20.0}
+    # replaying the same merge is a no-op on content (idempotent)
+    merge_into(spark, root, day2, keys=["id", "d"], order_col="seq")
+    again = {(r.id, r.d): r.v for r in read_version(spark, root).collect()}
+    assert again == now
 
 
 def test_vacuum_keeps_recent(spark, tmp_path):
