@@ -108,7 +108,95 @@ ORACLE_PROFILE_ORDERS = "\nUNION ALL\n".join(
 ) + "\nORDER BY col_name"
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL face (the
+    registered-view path Athena users migrate onto): per (priority,
+    status), per priority, and grand total — three report levels in ONE
+    shuffle instead of the reference's UNION ALL of separate queries.
+    Mixed sets are the case CUBE/ROLLUP can't express."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY priority, status
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY priority, status
+"""
+
+
+def q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue per day: a RANGE window frame over the
+    date axis (value-based, so gaps in the calendar shrink the frame —
+    unlike a ROWS frame, which would silently span missing days). Exact
+    integer micros inside the frame keep both engines bit-identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    daily = orders.groupBy("d").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1000000.0)).alias("rev_micros")
+    )
+    w = (
+        Window.orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        daily.withColumn(
+            "trailing_7d",
+            (F.sum("rev_micros").over(w).cast("double") / 1000000.0),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("report_date"),
+            (F.col("rev_micros").cast("double") / 1000000.0).alias("revenue"),
+            "trailing_7d",
+        )
+        .orderBy("report_date")
+    )
+
+
+ORACLE_TRAILING_7D = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS rev_micros
+  FROM orders GROUP BY 1
+)
+SELECT STRFTIME(d, '%Y-%m-%d') AS report_date,
+       CAST(rev_micros AS DOUBLE) / 1000000.0 AS revenue,
+       CAST(CAST(SUM(rev_micros) OVER (
+              ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS DOUBLE) / 1000000.0 AS trailing_7d
+FROM daily ORDER BY report_date
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "grouping_sets_report": QuerySpec(
+        q_grouping_sets, ORACLE_GROUPING_SETS,
+        "mixed GROUPING SETS via the SQL face, one shuffle",
+    ),
+    "trailing_7d": QuerySpec(
+        q_trailing_7d, ORACLE_TRAILING_7D,
+        "RANGE-frame 7-day trailing window over the date axis",
+    ),
     "profile_orders": QuerySpec(
         q_profile_orders, ORACLE_PROFILE_ORDERS,
         "one-pass per-column profile (nulls, distinct) of a fact table",
