@@ -39,7 +39,20 @@ def test_no_cartesian_anywhere(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["earnings_by_day", "multi_agg_attrs", "or_key_join", "top5_distribution"]
+    "name",
+    [
+        "earnings_by_day",
+        "multi_agg_attrs",
+        "or_key_join",
+        "top5_distribution",
+        # small-side joins in the extension families must broadcast too:
+        # vocabulary (tfidf), centroids (kmeans), date spine, unpivot dim
+        "tfidf_topterms",
+        "kmeans_refine",
+        "date_spine_fill",
+        "unpivot_metrics",
+        "decontam",
+    ],
 )
 def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
