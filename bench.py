@@ -66,6 +66,8 @@ HEADLINE = [
     "date_spine_fill",
     "scd2_history",
     "classifier_filter",
+    "top_paths",
+    "bigram_lm_score",
 ]
 
 

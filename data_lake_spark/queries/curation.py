@@ -318,7 +318,73 @@ GROUP BY 1, 2, 3 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram_lm_score — corpus-statistics language-model quality signal
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality scoring without a model: score each document by
+    the average corpus frequency of its bigrams — a document whose word
+    transitions are common corpus-wide reads as fluent, one full of
+    never-seen-elsewhere transitions as noise (the integer-count stand-in
+    for unigram/bigram LM perplexity filters). Two shuffles total: the
+    corpus bigram count (map-side combinable) and the bigram equi-join
+    back to documents — both on uniformly-hashed n-gram keys, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    bgs = (
+        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+        .filter(F.col("i") < F.size("toks") - 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("w"), F.lit(" "), F.expr("element_at(toks, i + 2)")
+            ).alias("bg"),
+        )
+    )
+    corpus = bgs.groupBy("bg").agg(F.count("*").alias("cf"))
+    return (
+        bgs.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cf").alias("cf_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "cf_sum",
+            F.expr("cf_sum div n_bigrams").alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LM = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+uw AS (
+  SELECT doc_id, UNNEST(w) AS word, GENERATE_SUBSCRIPTS(w, 1) AS i FROM t
+),
+bg AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS b
+  FROM uw a JOIN uw b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+corpus AS (SELECT b, COUNT(*) AS cf FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(corpus.cf) AS BIGINT) AS cf_sum,
+       CAST(SUM(corpus.cf) AS BIGINT) // COUNT(*) AS lm_score
+FROM bg JOIN corpus USING (b)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "bigram_lm_score": QuerySpec(
+        q_bigram_lm_score, ORACLE_BIGRAM_LM,
+        "corpus-bigram-frequency LM quality score per document",
+    ),
     "hash_sample": QuerySpec(
         q_hash_sample, ORACLE_HASH_SAMPLE,
         "deterministic md5-keyed Bernoulli document sample",
