@@ -71,6 +71,71 @@ def test_asof_dim_lookup(spark):
     assert got == {"2024-03-15": "A", "2024-07-01": "B"}
 
 
+def test_streaming_scd2_maintenance(spark, tmp_path):
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from data_lake_spark import versioned
+    from data_lake_spark.streaming.incremental import start_scd2_maintenance
+
+    schema = "uid long, office string, eff_date string"
+    b1 = spark.createDataFrame(
+        [(1, "A", "2024-01-01"), (2, "B", "2024-02-01")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "B", "2024-06-01"), (2, "B", "2024-03-01")], schema  # 2nd is no-op
+    )
+    src = str(tmp_path / "upd")
+    now = _time.time()
+    for i, b in enumerate([b1, b2]):
+        before = set(_glob.glob(src + "/*.parquet"))
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in set(_glob.glob(src + "/*.parquet")) - before:
+            _os.utime(f, (now - 60 + 30 * i,) * 2)
+
+    dim_root = str(tmp_path / "dim")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_scd2_maintenance(
+        stream, dim_root, key="uid", attrs=["office"], eff_col="eff_date",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {
+        (r.uid, r.office): (r.valid_from, r.valid_to, r.is_current)
+        for r in versioned.read_version(spark, dim_root).collect()
+    }
+    assert final == {
+        (1, "A"): ("2024-01-01", "2024-06-01", 0),
+        (1, "B"): ("2024-06-01", OPEN_END, 1),
+        (2, "B"): ("2024-02-01", OPEN_END, 1),
+    }
+    # time travel: version 1 is the pre-change dimension
+    v1 = {
+        (r.uid, r.office): r.is_current
+        for r in versioned.read_version(spark, dim_root, 1).collect()
+    }
+    assert v1 == {(1, "A"): 1, (2, "B"): 1}
+    # matches the batch-face fold of ALL updates at once
+    batch_face = scd2_apply(
+        b1.select("uid", "office", F.col("eff_date").alias("valid_from")).limit(0),
+        b1.unionByName(b2),
+        key="uid",
+        attrs=["office"],
+    )
+    bf = {
+        (r.uid, r.office): (r.valid_from, r.valid_to, r.is_current)
+        for r in batch_face.collect()
+    }
+    assert bf == final
+
+
 def _ts_df(spark, rows, cols):
     df = spark.createDataFrame(rows, cols)
     return df.withColumn("ts", F.timestamp_seconds(F.col("ts")))
