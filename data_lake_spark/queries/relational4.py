@@ -188,7 +188,56 @@ FROM daily ORDER BY report_date
 """
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type surface: per-order quantity arrays exercised through
+    the higher-order-function family — sort, aggregate (fold), max,
+    distinct, lambda filter, slice, transform — all JVM expressions
+    inside codegen (the reference's nested data N1/N2 stops at explode;
+    this is the rest of the array algebra a lake engine needs)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("q")).alias("qs")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n_items"),
+        F.aggregate("qs", F.lit(0).cast("long"), lambda a, x: a + x).alias("qty_sum"),
+        F.array_max("qs").alias("qty_max"),
+        F.size(F.array_distinct("qs")).cast("long").alias("n_distinct"),
+        F.size(F.filter("qs", lambda x: x % 2 == 0)).cast("long").alias("n_even"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.reverse("qs"), 1, 3), lambda x: x.cast("string")
+            ),
+        ).alias("top3"),
+    ).orderBy("l_orderkey")
+
+
+ORACLE_ARRAY_FUNCS = """
+WITH arrs AS (
+  SELECT l_orderkey,
+         LIST_SORT(LIST(CAST(l_quantity AS BIGINT))) AS qs
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey,
+       CAST(LEN(qs) AS BIGINT) AS n_items,
+       CAST(LIST_SUM(qs) AS BIGINT) AS qty_sum,
+       CAST(LIST_MAX(qs) AS BIGINT) AS qty_max,
+       CAST(LEN(LIST_DISTINCT(qs)) AS BIGINT) AS n_distinct,
+       CAST(LEN(LIST_FILTER(qs, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+       ARRAY_TO_STRING(LIST_SORT(qs, 'DESC')[1:3], ',') AS top3
+FROM arrs ORDER BY l_orderkey
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "array_funcs": QuerySpec(
+        q_array_funcs, ORACLE_ARRAY_FUNCS,
+        "higher-order array algebra per order (fold/filter/slice/transform)",
+    ),
     "grouping_sets_report": QuerySpec(
         q_grouping_sets, ORACLE_GROUPING_SETS,
         "mixed GROUPING SETS via the SQL face, one shuffle",
