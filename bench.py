@@ -68,6 +68,7 @@ HEADLINE = [
     "classifier_filter",
     "top_paths",
     "bigram_lm_score",
+    "revenue_by_region",
 ]
 
 

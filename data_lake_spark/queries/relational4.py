@@ -233,7 +233,62 @@ FROM arrs ORDER BY l_orderkey
 """
 
 
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way star join (the TPC-H Q5 shape): lineitem ⋈ orders on the
+    order key (the one genuine fact-fact join — sort-merge is correct
+    there), then customer → nation → region resolved as a broadcast dim
+    chain, 1996 orders only. One fact shuffle total; every dim hop is
+    broadcast; the date filter pushes to the orders scan. This is the
+    join-tree shape Catalyst must get right at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year(F.to_date("o_orderdate")) == 1996)
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region", "nation")
+        .agg(
+            sum_exact("rev").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ORACLE_REVENUE_BY_REGION = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       {oracle_sum_exact("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE YEAR(CAST(o.o_orderdate AS DATE)) = 1996
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "revenue_by_region": QuerySpec(
+        q_revenue_by_region, ORACLE_REVENUE_BY_REGION,
+        "TPC-H Q5-shape star join: fact-fact + broadcast dim chain",
+    ),
     "array_funcs": QuerySpec(
         q_array_funcs, ORACLE_ARRAY_FUNCS,
         "higher-order array algebra per order (fold/filter/slice/transform)",
