@@ -92,34 +92,63 @@ def lloyd_step(
     )
 
 
+def hash_seeds(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Label-free deterministic seeding: rank vectors by md5(id) and
+    take the first k as initial centroids (cell = rank). A hash order is
+    a uniform sample that is identical on any cluster size — no rand(),
+    no seed-state to ship. Returns (cell, d, c)."""
+    w = Window.orderBy("h")
+    picked = (
+        emb.select(F.col(id_col))
+        .withColumn("h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("h")
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .select(id_col, "cell")
+    )
+    return (
+        _elems(emb, id_col, vec_col)
+        .join(picked, id_col)
+        .select("cell", "d", F.col("x").alias("c"))
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Full Lloyd loop: iterate assign → recompute ``n_iter`` times from
     the per-label seeds. Returns (centroids, inertia_per_iteration);
     inertia (sum of squared distances to the assigned centroid) is
-    non-increasing — the classic convergence certificate.
+    non-increasing — the classic convergence certificate. Seeds default
+    to per-label exact means; pass ``seeds`` (e.g. :func:`hash_seeds`)
+    for label-free corpora.
 
     Each iteration localCheckpoints the k×dim centroid frame: lineage
     stays constant-size instead of growing a join+agg per round (the
     iterative-algorithm pattern Spark needs — same as connected
     components in operators/textdedup)."""
     elems = _elems(emb, id_col, vec_col)
-    seed_elems = emb.select(
-        F.col(id_col),
-        F.col(label_col),
-        F.posexplode(_to_double(vec_col)).alias("d", "x"),
-    )
-    centroids = (
-        seed_elems.groupBy(label_col, "d")
-        .agg(_exact_mean().alias("c"))
-        .select(F.col(label_col).alias("cell"), "d", "c")
-        .localCheckpoint()
-    )
+    if seeds is not None:
+        centroids = seeds.localCheckpoint()
+    else:
+        seed_elems = emb.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.posexplode(_to_double(vec_col)).alias("d", "x"),
+        )
+        centroids = (
+            seed_elems.groupBy(label_col, "d")
+            .agg(_exact_mean().alias("c"))
+            .select(F.col(label_col).alias("cell"), "d", "c")
+            .localCheckpoint()
+        )
     inertia: list[float] = []
     for _ in range(n_iter):
         assigned = assign_cells(elems, centroids, id_col)

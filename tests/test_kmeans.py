@@ -35,6 +35,39 @@ def test_lloyd_step_partitions_all_vectors(spark):
     assert dims == 64
 
 
+def test_kmeans_hash_seeded_labelfree(spark):
+    from data_lake_spark.operators.kmeans import hash_seeds
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = hash_seeds(emb, k=5)
+    assert seeds.select("cell").distinct().count() == 5
+    _, inertia = kmeans_fit(emb, n_iter=3, seeds=seeds)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+    # deterministic: same seeds on a different partitioning
+    seeds2 = hash_seeds(emb.repartition(7), k=5)
+    assert sorted(map(tuple, seeds.collect())) == sorted(map(tuple, seeds2.collect()))
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from data_lake_spark.operators.textdedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(4):  # 4 near-identical copies (one-token tail change)
+        rows.append((i, f"{base} v{i}"))
+    rows.append((10, "completely different text about spark shuffles and joins ok"))
+    rows.append((11, "another unrelated document discussing parquet footers and stats"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, stats = dedup_corpus(docs, min_jaccard=0.5)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 10, 11]  # min-id keeper per cluster + uniques
+    assert stats["n_docs"] == 6 and stats["n_removed"] == 3
+    # idempotent: deduping the deduped corpus removes nothing
+    kept2, stats2 = dedup_corpus(kept, min_jaccard=0.5)
+    assert stats2["n_removed"] == 0
+    assert sorted(r.doc_id for r in kept2.collect()) == ids
+
+
 def test_pack_sequences_contiguous(spark):
     df = spark.createDataFrame(
         [(i, "en", 700) for i in range(10)], "doc_id long, lang string, n_tokens long"
