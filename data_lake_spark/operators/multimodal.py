@@ -109,6 +109,51 @@ def frame_sample(decoded: DataFrame, every_n: int = 4) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, src_width int, src_height int, width int, height int, "
+    "resized_sha string"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize stage for image media — the third mapInPandas verb
+    (decode / feature-extract / RESIZE / frame-sample). The kernel is a
+    stub (no PIL here): the 'resized' artifact is a deterministic digest
+    of (content, target dims), so idempotence and plumbing are testable;
+    swap the body for PIL's resize where available — schema, batching,
+    and partition behavior do not change."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "call with fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(raw)
+                w0, h0, _, _ = _fake_decode(content)
+                tag = content + f"|{width}x{height}".encode()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "src_width": w0,
+                        "src_height": h0,
+                        "width": width,
+                        "height": height,
+                        "resized_sha": hashlib.sha256(tag).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests: treat document text bytes as opaque media
     content so the multimodal plumbing runs against real testdata."""

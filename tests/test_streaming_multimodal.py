@@ -104,6 +104,25 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert all(nf == 1 for k, nf in kinds.values() if k != "video")
 
 
+def test_resize_images_stub(spark, sf_dir):
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 224, 224).collect()
+    out = resize_images(media, 224, 224, fake=True)
+    rows = out.collect()
+    assert rows and all(r.width == 224 and r.height == 224 for r in rows)
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images  # only images pass through
+    # deterministic under repartitioning (digest-derived, no state)
+    again = resize_images(media.repartition(5), 224, 224, fake=True)
+    assert sorted(r.resized_sha for r in rows) == sorted(
+        r.resized_sha for r in again.collect()
+    )
+
+
 def test_frame_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(60)
     decoded = decode_media(documents_as_media(docs), fake=True)
