@@ -223,6 +223,41 @@ def start_scd2_maintenance(
     )
 
 
+def start_ivf_index_ingest(
+    emb_stream: DataFrame,
+    index_root: str,
+    centroids: DataFrame,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Live IVF index maintenance: each micro-batch of new vectors is
+    assigned to its nearest cell against BROADCAST centroids (no shuffle
+    of the batch beyond the per-vector distance aggregate) and appended
+    to a cell-partitioned parquet index. Search-side, ivf probing reads
+    only ``cell=<probed>`` partition directories — partition pruning does
+    the inverted-list lookup. The codebook stays fixed during ingest
+    (standard IVF practice); retrain offline with operators.kmeans and
+    rewrite when drift warrants."""
+    from data_lake_spark.operators.kmeans import _elems, assign_cells
+
+    cent = centroids.localCheckpoint()
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
+        out = batch_df.join(assigned.select(id_col, "cell"), id_col)
+        out.write.mode("append").partitionBy("cell").parquet(index_root)
+
+    return (
+        emb_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_minutes: int = 30,
