@@ -154,6 +154,25 @@ def resize_images(
     )
 
 
+def read_media_dir(spark, path: str, kind: str = "image") -> DataFrame:
+    """Media ingestion from a directory of raw files via Spark's native
+    ``binaryFile`` source — the real on-ramp for image/audio/video blobs
+    (reads are distributed and columnar-metadata'd: path, mtime, length,
+    content). Output conforms to MEDIA_SCHEMA; media_id is a stable hash
+    of the file path (no driver-side enumeration)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("path").alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests: treat document text bytes as opaque media
     content so the multimodal plumbing runs against real testdata."""

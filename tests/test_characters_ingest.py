@@ -55,6 +55,38 @@ def test_nested_schema_inference_and_access(spark):
     }
 
 
+def test_orc_zone_roundtrip(spark, tmp_path):
+    # second columnar format through the same zone API (fmt is generic)
+    from data_lake_spark.io import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    lake.write(df, "silver", "t_orc", fmt="orc")
+    back = lake.read("silver", "t_orc", fmt="orc")
+    assert sorted(r.v for r in back.collect()) == [i * 2 for i in range(10)]
+
+
+def test_binaryfile_media_source(spark, tmp_path):
+    from data_lake_spark.operators.multimodal import decode_media, read_media_dir
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(3)}
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+    media = read_media_dir(spark, str(d))
+    rows = media.collect()
+    assert len(rows) == 3
+    assert len({r.media_id for r in rows}) == 3  # distinct stable ids
+    by_uri = {r.meta.source_uri.rsplit("/", 1)[-1]: r for r in rows}
+    for name, blob in payloads.items():
+        assert bytes(by_uri[name].content) == blob
+        assert by_uri[name].meta.n_bytes == len(blob)
+    # flows straight into the decode stage
+    decoded = decode_media(media, fake=True)
+    assert decoded.count() == 3
+
+
 def test_episode_membership_explode(spark):
     df = read_json_payload(spark, PAYLOAD)
     # who appears in episode 2 — array explode + filter, the crawler
