@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # The driver-generated star schema (TESTDATA.md).
 TABLES = (
@@ -35,9 +37,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize(df: DataFrame, name: str) -> DataFrame:
+    """Schema-on-read conformance (the silver layer's job in the reference's
+    medallion design). The engine's contract is events.ts = long epoch
+    nanoseconds; driver testdata has shipped it both as parquet
+    TIMESTAMP(NANOS) (read as long via nanosAsLong) and as TIMESTAMP(MICROS)
+    (read as timestamp). Normalize here so every consumer sees one type.
+    Session timezone is UTC (session.py), so NTZ wall time == instant and
+    the conversion is exact integer math (micros * 1000 fits int64)."""
+    if name == "events" and isinstance(
+        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY §2.1 S3). Columnar, filter/column pushdown free."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _normalize(spark.read.parquet(table_path(sf_dir, name)), name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -46,7 +68,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = _normalize(spark.read.parquet(path), name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
