@@ -57,9 +57,34 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan (SURVEY §2.1 S3). Columnar, filter/column pushdown free."""
-    return _normalize(spark.read.parquet(table_path(sf_dir, name)), name)
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    since_ns: int | None = None,
+) -> DataFrame:
+    """Parquet scan (SURVEY §2.1 S3). Columnar, filter/column pushdown free.
+
+    ``since_ns`` is the incremental high-watermark (SURVEY §2.1 S11, Glue
+    bookmarks) for ``events``, in epoch nanoseconds. It is applied BELOW the
+    ts normalization, as a comparison between the raw column and a literal
+    cast to the column's own physical type — the form parquet pushdown
+    accepts. Filtering the normalized (derived) column instead would read
+    every row-group: `unix_micros(ts)*1000 > X` is not invertible to the
+    scanner. At 100 TB this is the difference between an incremental scan
+    and a full one.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if since_ns is not None and name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # Literal-side conversion constant-folds; column stays bare.
+            bound = F.timestamp_micros(F.lit(since_ns // 1000)).cast(dt)
+        else:
+            bound = F.lit(int(since_ns))
+        df = df.filter(F.col("ts") > bound)
+    return _normalize(df, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -73,3 +73,16 @@ def test_projection_prunes_columns(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m is not None
     assert "o_comment" not in m.group(1) and "o_clerk" not in m.group(1)
+
+
+def test_watermark_filter_pushes_to_scan(spark, sf_dir):
+    # S11 incremental scan: the high-watermark predicate must reach the
+    # parquet scanner as a raw-column comparison even though events.ts is
+    # normalized to epoch nanos above it (catalog.load_table since_ns).
+    # A filter on the derived column would read every row-group at 100 TB.
+    from data_lake_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "events", since_ns=1_600_000_000 * 10**9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThan(ts" in p for p in pushed), plan
