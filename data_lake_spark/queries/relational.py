@@ -801,7 +801,7 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates([keys])`` (reference bronze_ingest_streamate_mock.py:42-48,
     BronzeIngestUsers.py:69-77): window row_number over (key ORDER BY
     recency, unique tiebreak) — deterministic on any cluster. events.ts is
-    long nanos here (see session.py nanosAsLong) — ordering is identical."""
+    long nanos here (catalog._normalize) — ordering is identical."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()

@@ -5,8 +5,8 @@ plan runs on a stream with a watermark).
 
 Beyond the reference surface (it has no streaming operators, SURVEY §2.11);
 these are the dashboard rollups its serving layer would need at event
-granularity. ``events.ts`` is parquet TIMESTAMP(NANOS), read as long nanos
-(session.py nanosAsLong); both engines reduce it to epoch seconds with
+granularity. ``events.ts`` is conformed to long epoch nanos at load
+(catalog._normalize); both engines reduce it to epoch seconds with
 integer division — double arithmetic would lose precision above 2^53 ns.
 """
 

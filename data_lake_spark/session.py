@@ -46,8 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet pushdown knobs (defaults are on; pinned for clarity).
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
-        # timestamp type — read as long nanos (convert where needed).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some driver
+        # runs; Spark has no ns timestamp type — read those as long nanos.
+        # (TIMESTAMP(MICROS) variants read as timestamp and are conformed
+        # to long nanos in catalog._normalize.)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Larger broadcast threshold: our dims (users/customer/nation)
