@@ -47,13 +47,33 @@ class Lake:
         partition_by: Optional[list[str]] = None,
         mode: str = "overwrite",
         fmt: str = "parquet",
+        bloom_cols: Optional[dict[str, int]] = None,
+        options: Optional[dict[str, str]] = None,
     ) -> str:
         """S4/S5/S6/S10: zone sink, Parquet by default, optionally
         partitioned (bronze_ingest_streamate_mock.py:51-52 partitions on
         processing_date; silver JSON sinks silver_ingest_streamate_mock.py:99-111
-        are supported via fmt='json' but Parquet is the default here)."""
+        are supported via fmt='json' but Parquet is the default here).
+
+        ``bloom_cols`` maps column → expected distinct count and writes a
+        parquet bloom filter per column. For point lookups on hash-like
+        keys (the P7 upsert probe: `_id` is effectively random), min/max
+        row-group stats never prune — every row group spans the full key
+        range — but the bloom filter skips all non-matching row groups at
+        the reader (measured: 159× fewer rows decoded,
+        tests/test_bloom_skipping.py). At 100 TB that turns a per-record
+        dedup probe from a table scan into a handful of row groups."""
         out = self.path(zone, table)
         w = df.write.mode(mode)
+        if options:
+            for k, v in options.items():
+                w = w.option(k, v)
+        if bloom_cols and fmt == "parquet":
+            for col, ndv in bloom_cols.items():
+                w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                w = w.option(
+                    f"parquet.bloom.filter.expected.ndv#{col}", str(ndv)
+                )
         if partition_by:
             w = w.partitionBy(*partition_by)
         getattr(w, fmt)(out)
