@@ -86,3 +86,50 @@ def test_watermark_filter_pushes_to_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("GreaterThan(ts" in p for p in pushed), plan
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    # When a dim is too large to broadcast (the 100 TB case), Spark must
+    # inject a runtime bloom filter from the selective build side into the
+    # fact scan (might_contain). Locks spark.sql.optimizer.runtime.
+    # bloomFilter.enabled staying on in session.py's config surface.
+    from data_lake_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        txt = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in txt, txt
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
