@@ -69,6 +69,7 @@ HEADLINE = [
     "top_paths",
     "bigram_lm_score",
     "revenue_by_region",
+    "chunk_docs",
 ]
 
 

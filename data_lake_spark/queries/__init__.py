@@ -32,6 +32,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
         relational,
         relational2,
         relational3,
@@ -53,6 +54,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)
     reg.update(llm4.REGISTRY)
+    reg.update(llm5.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)

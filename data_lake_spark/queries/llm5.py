@@ -1,0 +1,92 @@
+"""Training-data-pipeline queries, part 5: context-window chunking.
+
+RAG ingestion and pretraining both slice documents into fixed-size token
+windows with overlap so no boundary context is lost. Done wrong this is a
+Python loop per document; done Spark-first it is a generated start-offset
+sequence exploded per document with an array ``slice`` — Generate +
+Project inside whole-stage codegen, no UDF, no shuffle until the final
+presentation sort. The chunk count per document is
+``ceil((n - overlap) / stride)``, so output grows linearly with corpus
+tokens — the map-only shape that survives 100 TB.
+
+Chunk text is compared as md5 (same bytes in both engines) to keep the
+oracle hash small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_CHUNK = 64  # tokens per window
+_OVERLAP = 16  # tokens shared with the previous window
+_STRIDE = _CHUNK - _OVERLAP
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks per document: start offsets
+    1, 1+stride, ... while start <= max(1, n - overlap); each chunk is
+    ``slice(toks, start, CHUNK)`` (clamped at the tail). Every token is
+    covered and consecutive chunks share exactly ``overlap`` tokens
+    except the (possibly shorter) last one."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.col("n") - F.lit(_OVERLAP)),
+                    F.lit(_STRIDE),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _STRIDE).cast("long").alias("chunk_id"),
+            F.slice("toks", F.col("start"), F.lit(_CHUNK)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_CHUNK_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w,
+         UNNEST(GENERATE_SERIES(1, GREATEST(1, LEN(w) - {_OVERLAP}),
+                                {_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(LEN(LIST_SLICE(w, start, start + {_CHUNK} - 1)) AS BIGINT)
+         AS n_tokens,
+       MD5(ARRAY_TO_STRING(LIST_SLICE(w, start, start + {_CHUNK} - 1), ' '))
+         AS chunk_hash
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "chunk_docs": QuerySpec(
+        q_chunk_docs, ORACLE_CHUNK_DOCS,
+        "overlapping context-window chunking (64-token windows, 16 overlap)",
+    ),
+}
