@@ -33,6 +33,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        quality_q,
         relational,
         relational2,
         relational3,
@@ -55,6 +56,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm3.REGISTRY)
     reg.update(llm4.REGISTRY)
     reg.update(llm5.REGISTRY)
+    reg.update(quality_q.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
