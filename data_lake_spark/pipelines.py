@@ -61,12 +61,34 @@ def bronze_ingest(
     return lake.read("bronze", table)
 
 
-def silver_conform(lake: Lake, users: DataFrame, table: str = "streamate") -> None:
+def silver_conform(
+    lake: Lake,
+    users: DataFrame,
+    table: str = "streamate",
+    gate: bool = True,
+) -> None:
     """§3.3: bronze feed → exploded silver tables + user-conformed
-    earnings (explode chain, not the reference's driver-side loops)."""
+    earnings (explode chain, not the reference's driver-side loops).
+
+    ``gate=True`` runs the zone-boundary quality gate (quality.py) on the
+    performer earnings before anything is written: the reference instead
+    discovers bad rows as NaN guards in the serving layer
+    (averageProfitability.py:251) — after they've shipped. One aggregate
+    pass; a failure aborts the whole silver publish atomically."""
     feed = lake.read("bronze", table)
-    lake.write(flatten_studio_earnings(feed), "silver", "studios_earnings")
     perf = flatten_performer_earnings(feed)
+    if gate:
+        from data_lake_spark.quality import enforce, in_range, not_null
+
+        enforce(
+            perf,
+            [
+                not_null("performerId"),
+                not_null("date"),
+                in_range("payableAmount", 0.0, 1e9),
+            ],
+        )
+    lake.write(flatten_studio_earnings(feed), "silver", "studios_earnings")
     lake.write(perf, "silver", "earnings_by_performer_raw")
     lake.write(
         conform_earnings_by_performer(feed, users),

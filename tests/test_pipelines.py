@@ -153,3 +153,24 @@ def test_stream_interval_join_left_outer(spark, tmp_path):
         ).collect()
     }
     assert batch == expected
+
+
+def test_silver_gate_rejects_bad_payload(spark, tmp_path):
+    import copy
+
+    import pytest
+
+    from data_lake_spark.quality import QualityGateError
+
+    bad = copy.deepcopy(FEED)
+    # negative payable amount must abort the silver publish entirely
+    bad["studios"][0]["performers"][0]["earnings"][0]["payableAmount"] = -4.0
+    users = spark.createDataFrame(
+        [("u1", "alpha@x.com")], "_id string, streamateUser string"
+    )
+    with pytest.raises(QualityGateError):
+        run_medallion(spark, str(tmp_path / "lake"), bad, users)
+    # nothing was published to silver
+    import os
+
+    assert not os.path.exists(str(tmp_path / "lake" / "silver"))
