@@ -70,6 +70,7 @@ HEADLINE = [
     "bigram_lm_score",
     "revenue_by_region",
     "chunk_docs",
+    "embedding_quantize",
 ]
 
 

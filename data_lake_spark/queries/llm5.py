@@ -84,9 +84,76 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 scalar quantization audit
+# ---------------------------------------------------------------------------
+
+_E9 = "1000000000.0"
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4×
+    storage/bandwidth compression step before an ANN index ships to a
+    cluster — audited per vector: symmetric scale (max |x|) and total
+    reconstruction error. Entirely per-row higher-order array ops
+    (transform/array_max/aggregate): a pure projection, ZERO shuffles at
+    any corpus size; the only exchange is the presentation sort.
+
+    Cross-engine determinism: all math in binary64 with the same
+    expression tree, results integer-quantized via the FLOOR(x*1e9)
+    recipe (functions/exact.py rationale) so Spark and DuckDB hash
+    identically bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn(
+            "v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        )
+        .withColumn("scale", F.expr("array_max(transform(v, x -> abs(x)))"))
+        .select(
+            "vec_id",
+            F.size("v").cast("long").alias("n_dims"),
+            F.expr(f"CAST(FLOOR(scale * {_E9}) AS BIGINT)").alias("scale_e9"),
+            F.expr(
+                "aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + "
+                "CAST(FLOOR(ABS(x - (CASE WHEN scale = 0 THEN 0.0 ELSE "
+                "FLOOR(x / scale * 127 + 0.5) * scale / 127 END)) "
+                f"* {_E9}) AS BIGINT))"
+            ).alias("err_e9"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH t AS (
+  SELECT vec_id,
+         UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         LEN(embedding) AS n_dims
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, MAX(n_dims) AS n_dims, MAX(ABS(x)) AS scale
+  FROM t GROUP BY 1
+)
+SELECT t.vec_id,
+       CAST(sc.n_dims AS BIGINT) AS n_dims,
+       CAST(FLOOR(sc.scale * {_E9}) AS BIGINT) AS scale_e9,
+       CAST(SUM(CAST(FLOOR(ABS(x - (CASE WHEN sc.scale = 0 THEN 0.0 ELSE
+              FLOOR(x / sc.scale * 127 + 0.5) * sc.scale / 127 END))
+              * {_E9}) AS BIGINT)) AS BIGINT) AS err_e9
+FROM t JOIN sc ON t.vec_id = sc.vec_id
+GROUP BY t.vec_id, sc.n_dims, sc.scale
+ORDER BY t.vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "chunk_docs": QuerySpec(
         q_chunk_docs, ORACLE_CHUNK_DOCS,
         "overlapping context-window chunking (64-token windows, 16 overlap)",
+    ),
+    "embedding_quantize": QuerySpec(
+        q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE,
+        "int8 scalar-quantization audit per embedding (zero-shuffle)",
     ),
 }
