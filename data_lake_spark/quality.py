@@ -38,6 +38,9 @@ class Check:
     name: str
     # produces the violation-count aggregate expression for this check
     agg: Callable[[], Column]
+    # row-level violation predicate, when the check is per-row (unique()
+    # is set-level and has none) — powers split_valid / stream gating
+    cond: Optional[Callable[[], Column]] = None
 
 
 @dataclass(frozen=True)
@@ -52,8 +55,12 @@ def _count_if(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
+def _row_check(name: str, violated: Callable[[], Column]) -> Check:
+    return Check(name, lambda: _count_if(violated()), violated)
+
+
 def not_null(col: str) -> Check:
-    return Check(f"not_null({col})", lambda: _count_if(F.col(col).isNull()))
+    return _row_check(f"not_null({col})", lambda: F.col(col).isNull())
 
 
 def unique(col: str) -> Check:
@@ -67,32 +74,31 @@ def unique(col: str) -> Check:
 
 def in_range(col: str, lo: float, hi: float) -> Check:
     c = F.col(col)
-    return Check(
+    return _row_check(
         f"in_range({col},{lo},{hi})",
-        lambda: _count_if(c.isNotNull() & ((c < lo) | (c > hi))),
+        lambda: c.isNotNull() & ((c < lo) | (c > hi)),
     )
 
 
 def accepted_values(col: str, values: Sequence[str]) -> Check:
     c = F.col(col)
     vals = list(values)
-    return Check(
+    return _row_check(
         f"accepted_values({col})",
-        lambda: _count_if(c.isNotNull() & ~c.isin(vals)),
+        lambda: c.isNotNull() & ~c.isin(vals),
     )
 
 
 def matches(col: str, pattern: str) -> Check:
     c = F.col(col)
-    return Check(
-        f"matches({col})",
-        lambda: _count_if(c.isNotNull() & ~c.rlike(pattern)),
+    return _row_check(
+        f"matches({col})", lambda: c.isNotNull() & ~c.rlike(pattern)
     )
 
 
 def custom(name: str, violated: Column) -> Check:
     """Escape hatch: any row-level predicate marking a VIOLATION."""
-    return Check(name, lambda: _count_if(violated))
+    return _row_check(name, lambda: violated)
 
 
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> list[CheckResult]:
@@ -151,3 +157,49 @@ def enforce(df: DataFrame, checks: Sequence[Check]) -> list[CheckResult]:
         detail = "; ".join(f"{r.name}: {r.violations} rows" for r in failed)
         raise QualityGateError(f"quality gate failed: {detail}")
     return results
+
+
+def split_valid(
+    df: DataFrame, checks: Sequence[Check]
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): rows violating ANY row-level check are routed to the
+    bad frame with a ``_violations`` column naming the failed checks.
+    Set-level checks (unique) have no row predicate and raise here.
+
+    This is the dead-letter form of the gate — the right shape for
+    streams and 100 TB batches, where one poison record must quarantine,
+    not abort the job (enforce() is the abort form for zone publishes)."""
+    row_checks = [(c.name, c.cond) for c in checks]
+    missing = [n for n, cond in row_checks if cond is None]
+    if missing:
+        raise ValueError(f"not row-level checks: {missing}")
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(cond(), F.lit(name)) for name, cond in row_checks
+            ]
+        )
+    )
+    tagged = df.withColumn("_violations", tags)
+    bad = tagged.filter(F.size("_violations") > 0)
+    good = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    return good, bad
+
+
+def gated_stream_writer(
+    checks: Sequence[Check],
+    write_good: Callable[[DataFrame, int], None],
+    write_bad: Optional[Callable[[DataFrame, int], None]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that quarantines invalid rows per micro-batch:
+    ``stream.writeStream.foreachBatch(gated_stream_writer(checks, good_fn,
+    bad_fn))``. Exactly-once discipline is the sinks' (idempotent writes
+    keyed by batch_id, as elsewhere in streaming/incremental.py)."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        good, bad = split_valid(batch, checks)
+        write_good(good, batch_id)
+        if write_bad is not None:
+            write_bad(bad, batch_id)
+
+    return _body
