@@ -86,11 +86,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then per-vector keeper = min matching lower id. Vectors absent from
     the output are cluster keepers."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        "label",
-        _to_double("embedding").alias("v"),
-    ).withColumn("nrm", norm_exact("v"))
+    # materialize the normed vectors once — both self-join sides read it
+    # (same pattern as textdedup.minhash_lsh_pairs)
+    e = (
+        emb.select(
+            "vec_id",
+            "label",
+            _to_double("embedding").alias("v"),
+        )
+        .withColumn("nrm", norm_exact("v"))
+        .localCheckpoint(eager=False)
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("v").alias("va"), F.col("nrm").alias("na"),
