@@ -74,3 +74,47 @@ def test_skew_report_on_real_fact(spark, sf_dir):
     assert len(rows) == 5
     # lineitem per-order multiplicity is bounded — near-uniform at any SF
     assert rows[0]["skew_ratio"] < 10
+
+
+# --- property-based ---------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ROW = st.tuples(
+    st.integers(-1000, 1000),
+    st.one_of(st.none(), st.text(alphabet="abc\x00", max_size=4)),
+)
+
+
+@given(rows=st.lists(_ROW, min_size=1, max_size=40), parts=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_checksum_is_multiset_invariant(spark, rows, parts):
+    import random
+
+    df = spark.createDataFrame(rows, "i long, s string")
+    shuffled = list(rows)
+    random.Random(42).shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "i long, s string").repartition(parts)
+    from data_lake_spark.functions.checksum import table_checksum
+
+    assert table_checksum(df) == table_checksum(df2)
+
+
+@given(rows=st.lists(_ROW, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_checksum_detects_single_row_removal(spark, rows):
+    from data_lake_spark.functions.checksum import table_checksum
+
+    df = spark.createDataFrame(rows, "i long, s string")
+    fewer = spark.createDataFrame(rows[1:], "i long, s string") if len(rows) > 1 else None
+    a = table_checksum(df)
+    assert a["n_rows"] == len(rows)
+    if fewer is not None:
+        assert table_checksum(fewer) != a

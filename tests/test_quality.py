@@ -154,3 +154,14 @@ def test_gated_stream_quarantines(spark, tmp_path):
     bad = spark.read.parquet(bad_dir).collect()
     assert [r.id for r in bad] == [2]
     assert list(bad[0]._violations) == ["in_range(amount,0,100)"]
+
+
+def test_split_valid_partitions_exactly(spark, sf_dir):
+    # good ∪ bad is the whole table; good re-passes the gate
+    from data_lake_spark.quality import split_valid
+
+    docs = load_table(spark, sf_dir, "documents")
+    checks = [not_null("text"), in_range("n_chars", 1, 10**7)]
+    good, bad = split_valid(docs, checks)
+    assert good.count() + bad.count() == docs.count()
+    assert all(r.passed for r in run_checks(good, checks))
