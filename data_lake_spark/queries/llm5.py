@@ -147,10 +147,55 @@ ORDER BY t.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# stratified_sample — exactly-N-per-stratum deterministic sample
+# ---------------------------------------------------------------------------
+
+_PER_STRATUM = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N docs per language for eval-set carving: rank within each
+    language by md5(doc_id) — a deterministic, content-independent order
+    that is stable under corpus growth *within the kept prefix* and
+    under any partitioning — and keep rank <= N. One shuffle on the
+    stratum key; per-stratum state is a row_number, never a sort of the
+    corpus. Rate-based sampling (hash_sample / mixture_weights) can't
+    promise exact counts; this does."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _PER_STRATUM)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+) WHERE rk <= {_PER_STRATUM}
+ORDER BY lang, rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "chunk_docs": QuerySpec(
         q_chunk_docs, ORACLE_CHUNK_DOCS,
         "overlapping context-window chunking (64-token windows, 16 overlap)",
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample, ORACLE_STRATIFIED_SAMPLE,
+        "exactly-N-per-language deterministic hash-ordered sample",
     ),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE,
