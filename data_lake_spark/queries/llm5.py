@@ -154,15 +154,9 @@ ORDER BY t.vec_id
 _PER_STRATUM = 20
 
 
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly N docs per language for eval-set carving: rank within each
-    language by md5(doc_id) — a deterministic, content-independent order
-    that is stable under corpus growth *within the kept prefix* and
-    under any partitioning — and keep rank <= N. One shuffle on the
-    stratum key; per-stratum state is a row_number, never a sort of the
-    corpus. Rate-based sampling (hash_sample / mixture_weights) can't
-    promise exact counts; this does."""
-    d = load_table(spark, sf_dir, "documents")
+def _stratified_rank(d: DataFrame) -> DataFrame:
+    """Rank within language by (md5(doc_id), doc_id) and keep the top
+    N — deterministic, content-independent, partitioning-independent."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(
@@ -174,6 +168,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly N docs per language for eval-set carving. Rate-based
+    sampling (hash_sample / mixture_weights) can't promise exact counts;
+    this does.
+
+    Scale shape: a naive per-stratum row_number funnels the WHOLE corpus
+    through as many reducers as there are languages — a single-reducer
+    choke with 5 strata at 100 TB. So phase 1 pre-filters map-only to the
+    rows whose md5-prefix fraction is within 8N/count of the stratum
+    (expected ~8N survivors each; counts come from one map-side-combinable
+    agg), and only survivors — thousands of rows, not the corpus — are
+    ranked. Because the prefix fraction is monotone in the md5 sort
+    order, survivors containing >= min(N, n) rows per stratum guarantee
+    the result is IDENTICAL to ranking everything; that invariant is
+    checked pre-flight and the corpus-wide ranking is the (practically
+    unreachable, p < 1e-40) fallback."""
+    d = load_table(spark, sf_dir, "documents")
+    hexlen = 15
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, hexlen),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        / F.lit(16**hexlen)
+    ).cast("double")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    keep = F.least(F.lit(1.0), F.lit(8.0 * _PER_STRATUM) / F.col("__n"))
+    survivors = (
+        d.withColumn("__frac", frac)
+        .join(F.broadcast(counts.withColumn("__keep", keep)), "lang")
+        .filter(F.col("__frac") <= F.col("__keep"))
+    )
+    ok = (
+        survivors.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__s"), F.first("__n").alias("__n"))
+        .filter(F.col("__s") < F.least(F.lit(_PER_STRATUM), F.col("__n")))
+        .count()
+        == 0
+    )
+    if not ok:  # pragma: no cover - p < 1e-40 with the 8x margin
+        return _stratified_rank(d)
+    return _stratified_rank(survivors.select("doc_id", "lang"))
 
 
 ORACLE_STRATIFIED_SAMPLE = f"""
