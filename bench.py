@@ -71,6 +71,8 @@ HEADLINE = [
     "revenue_by_region",
     "chunk_docs",
     "embedding_quantize",
+    "stratified_sample",
+    "quality_report",
 ]
 
 
