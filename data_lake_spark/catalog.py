@@ -45,15 +45,22 @@ def _normalize(df: DataFrame, name: str) -> DataFrame:
     (read as timestamp). Normalize here so every consumer sees one type.
     Session timezone is UTC (session.py), so NTZ wall time == instant and
     the conversion is exact integer math (micros * 1000 fits int64)."""
-    if name == "events" and isinstance(
-        df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
-    ):
-        df = df.withColumn(
-            "ts",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
-                "long"
-            ),
-        )
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.TimestampNTZType):
+            # NTZ wall-clock arithmetic — independent of the session
+            # timezone (the driver may call queries() with its own
+            # SparkSession; casting NTZ→TIMESTAMP would shift by its TZ).
+            micros = F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            df = df.withColumn("ts", (micros * F.lit(1000)).cast("long"))
+        elif isinstance(dt, T.TimestampType):
+            # instant-typed: unix_micros is TZ-independent by definition
+            df = df.withColumn(
+                "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+            )
     return df
 
 
@@ -78,9 +85,17 @@ def load_table(
     df = spark.read.parquet(table_path(sf_dir, name))
     if since_ns is not None and name == "events":
         dt = df.schema["ts"].dataType
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            # Literal-side conversion constant-folds; column stays bare.
-            bound = F.timestamp_micros(F.lit(since_ns // 1000)).cast(dt)
+        us = int(since_ns) // 1000
+        if isinstance(dt, T.TimestampNTZType):
+            # NTZ literal built by wall-clock interval arithmetic —
+            # session-TZ-independent, constant-folds, stays pushable.
+            secs = f"{us // 10**6}.{us % 10**6:06d}"
+            bound = F.expr(
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+                f" + make_dt_interval(0, 0, 0, CAST('{secs}' AS DECIMAL(20,6)))"
+            )
+        elif isinstance(dt, T.TimestampType):
+            bound = F.timestamp_micros(F.lit(us))
         else:
             bound = F.lit(int(since_ns))
         df = df.filter(F.col("ts") > bound)

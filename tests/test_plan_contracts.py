@@ -133,3 +133,30 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_events_normalization_session_tz_independent(spark, sf_dir):
+    # The driver calls queries() with its own SparkSession; events.ts
+    # normalization and the watermark literal must not shift with that
+    # session's timezone (catalog._normalize uses NTZ wall-clock
+    # arithmetic, never an NTZ->TIMESTAMP cast).
+    from data_lake_spark.catalog import load_table
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+
+    def snap():
+        ev = load_table(spark, sf_dir, "events")
+        head = sorted(r.ts for r in ev.limit(20).collect())[:3]
+        n = load_table(
+            spark, sf_dir, "events", since_ns=1_600_000_000 * 10**9
+        ).count()
+        return head, n
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = snap()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        b = snap()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert a == b
