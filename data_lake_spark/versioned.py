@@ -132,3 +132,93 @@ def vacuum(root: str, keep_last: int = 2) -> list[int]:
     for v in dropped:
         shutil.rmtree(_vdir(root, v))
     return dropped
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commits (group snapshots)
+# ---------------------------------------------------------------------------
+#
+# A silver publish writes SEVERAL tables (studios_earnings +
+# earnings_by_performer, SURVEY §3.3); per-table pointers alone let a
+# reader see table A at the new state and table B at the old one. The
+# fix is one more level of the same idea: tables stage immutable
+# version dirs as above, but readers resolve through a GROUP manifest
+# (one JSON naming every table's version), and the manifest swap is the
+# single commit point for the whole set. Group manifests are numbered
+# and kept, so time travel is cross-table consistent: snapshot 3 is the
+# exact set of versions that were published together.
+
+_SNAP_PTR = "_SNAPSHOT"
+_SNAP_DIR = "_snapshots"
+
+
+def _snap_path(root: str, sid: int) -> str:
+    return os.path.join(root, _SNAP_DIR, f"{sid}.json")
+
+
+def current_snapshot_id(root: str) -> int:
+    try:
+        with open(os.path.join(root, _SNAP_PTR)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def read_snapshot(root: str, snapshot_id: int | None = None) -> dict:
+    """The {table: version} map of a group snapshot (default current)."""
+    import json
+
+    sid = current_snapshot_id(root) if snapshot_id is None else snapshot_id
+    if sid == 0:
+        return {"id": 0, "tables": {}}
+    with open(_snap_path(root, sid)) as fh:
+        return json.load(fh)
+
+
+def commit_tables(dfs: dict[str, DataFrame], root: str) -> int:
+    """Atomically publish new versions of several tables as ONE snapshot.
+
+    Each frame lands in its table's next free immutable ``_v=`` dir
+    (crash mid-write leaves invisible orphans, exactly as
+    write_version); the numbered group manifest is then written and the
+    ``_SNAPSHOT`` pointer swapped via os.replace — before the swap,
+    readers see every table at the previous snapshot; after it, every
+    table at the new one. Tables not in ``dfs`` carry forward
+    unchanged. Returns the new snapshot id."""
+    import json
+
+    snap = read_snapshot(root)
+    tables = dict(snap["tables"])
+    for name, df in dfs.items():
+        troot = os.path.join(root, name)
+        os.makedirs(troot, exist_ok=True)
+        v = max(list_versions(troot), default=0) + 1
+        df.write.mode("errorifexists").parquet(_vdir(troot, v))
+        tables[name] = v
+    sid = snap["id"] + 1
+    os.makedirs(os.path.join(root, _SNAP_DIR), exist_ok=True)
+    manifest = {"id": sid, "tables": tables}
+    with open(_snap_path(root, sid), "w") as fh:
+        json.dump(manifest, fh)
+    tmp = os.path.join(root, _SNAP_PTR + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(sid))
+    os.replace(tmp, os.path.join(root, _SNAP_PTR))  # the commit point
+    return sid
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Scan one table at a group snapshot (default: current). All
+    read_table calls against the same snapshot id see versions that
+    were committed together — cross-table repeatable reads."""
+    snap = read_snapshot(root, snapshot_id)
+    if table not in snap["tables"]:
+        raise FileNotFoundError(
+            f"table {table!r} not in snapshot {snap['id']} at {root}"
+        )
+    return spark.read.parquet(_vdir(os.path.join(root, table), snap["tables"][table]))

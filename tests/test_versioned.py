@@ -92,3 +92,59 @@ def test_vacuum_keeps_recent(spark, tmp_path):
     assert list_versions(root) == [3, 4]
     assert read_version(spark, root).count() == 4
     assert read_version(spark, root, 3).count() == 3
+
+
+# --- multi-table atomic commits --------------------------------------------
+
+
+def test_commit_tables_atomic_pair(spark, tmp_path):
+    from data_lake_spark.versioned import (
+        commit_tables,
+        current_snapshot_id,
+        read_table,
+    )
+
+    root = str(tmp_path / "group")
+    a1 = spark.createDataFrame([(1, "x")], "id int, s string")
+    b1 = spark.createDataFrame([(1, 10.0)], "id int, v double")
+    sid1 = commit_tables({"a": a1, "b": b1}, root)
+    assert sid1 == 1
+    # second snapshot updates only table a; b carries forward
+    a2 = spark.createDataFrame([(2, "y")], "id int, s string")
+    sid2 = commit_tables({"a": a2}, root)
+    assert current_snapshot_id(root) == sid2 == 2
+    assert read_table(spark, root, "a").collect()[0].id == 2
+    assert read_table(spark, root, "b").collect()[0].v == 10.0
+    # time travel is cross-table consistent
+    assert read_table(spark, root, "a", snapshot_id=1).collect()[0].id == 1
+
+
+def test_staged_but_uncommitted_invisible(spark, tmp_path):
+    import os
+
+    from data_lake_spark.versioned import commit_tables, read_table
+
+    root = str(tmp_path / "group")
+    commit_tables(
+        {"a": spark.createDataFrame([(1,)], "id int")}, root
+    )
+    # simulate a crashed writer: orphan version dir, no manifest flip
+    orphan = os.path.join(root, "a", "_v=99")
+    spark.createDataFrame([(99,)], "id int").write.parquet(orphan)
+    assert read_table(spark, root, "a").collect()[0].id == 1
+    # and the next commit skips past the orphan without clobbering it
+    sid = commit_tables(
+        {"a": spark.createDataFrame([(2,)], "id int")}, root
+    )
+    assert read_table(spark, root, "a", snapshot_id=sid).collect()[0].id == 2
+
+
+def test_read_unknown_table_raises(spark, tmp_path):
+    import pytest
+
+    from data_lake_spark.versioned import commit_tables, read_table
+
+    root = str(tmp_path / "group")
+    commit_tables({"a": spark.createDataFrame([(1,)], "id int")}, root)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, "nope")
