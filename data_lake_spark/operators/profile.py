@@ -36,3 +36,59 @@ def profile(df: DataFrame) -> DataFrame:
         ]
     )
     return row.select(F.explode(cols).alias("m")).select("m.*")
+
+
+def drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    null_rate_tol: float = 0.02,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Diff two profiles (this run vs yesterday's stored one) into the
+    drift alarm itself: per column, the null-rate delta and the
+    distinct-cardinality ratio, each flagged against a tolerance.
+
+    The failure modes this catches are the classic silent ones: an
+    upstream starts sending nulls (null_rate jumps) or starts sending a
+    constant (n_distinct collapses). Profiles are column-count-sized, so
+    the diff is a broadcast join — the expensive part (one scan per
+    table) already happened when the profiles were built.
+
+    ``distinct_ratio_tol=0.5`` flags a column whose cardinality halved
+    relative to row-count growth."""
+    cur = current.select(
+        "col_name",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_cur"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "distinct_per_row_cur"
+        ),
+    )
+    base = baseline.select(
+        "col_name",
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_base"),
+        (F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+            "distinct_per_row_base"
+        ),
+    )
+    # full outer can't build broadcast-side; both profiles are
+    # column-count-sized, so the tiny shuffle is irrelevant
+    j = cur.join(base, "col_name", "full_outer")
+    null_delta = F.abs(
+        F.coalesce("null_rate_cur", F.lit(0.0))
+        - F.coalesce("null_rate_base", F.lit(0.0))
+    )
+    ratio = F.when(
+        F.col("distinct_per_row_base") > 0,
+        F.col("distinct_per_row_cur") / F.col("distinct_per_row_base"),
+    )
+    return j.select(
+        "col_name",
+        null_delta.alias("null_rate_delta"),
+        ratio.alias("distinct_ratio"),
+        (
+            F.col("null_rate_cur").isNull()  # column disappeared
+            | F.col("null_rate_base").isNull()  # column appeared
+            | (null_delta > null_rate_tol)
+            | (ratio < distinct_ratio_tol)
+        ).alias("drifted"),
+    ).orderBy("col_name")

@@ -165,3 +165,34 @@ def test_split_valid_partitions_exactly(spark, sf_dir):
     good, bad = split_valid(docs, checks)
     assert good.count() + bad.count() == docs.count()
     assert all(r.passed for r in run_checks(good, checks))
+
+
+def test_drift_report_flags_null_burst_and_cardinality_collapse(spark):
+    from data_lake_spark.operators.profile import drift_report, profile
+
+    base_df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(200)],
+        "id int, user string, v double",
+    )
+    # today: user collapsed to a constant, v started nulling 20%
+    cur_df = spark.createDataFrame(
+        [
+            (i, "CONST", None if i % 5 == 0 else float(i))
+            for i in range(200)
+        ],
+        "id int, user string, v double",
+    )
+    rep = {
+        r.col_name: r
+        for r in drift_report(profile(cur_df), profile(base_df)).collect()
+    }
+    assert not rep["id"].drifted
+    assert rep["user"].drifted  # distinct collapse 200 -> 1
+    assert rep["v"].drifted  # null burst 0 -> 20%
+    # column add/remove both flag
+    extra = spark.createDataFrame([(1, "a", 1.0, 9)], "id int, user string, v double, extra int")
+    rep2 = {
+        r.col_name: r
+        for r in drift_report(profile(extra), profile(base_df)).collect()
+    }
+    assert rep2["extra"].drifted
