@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Driver-style acceptance check in one command.
+
+Mirrors what the external driver does: smoke `entry(spark)`, then run
+every `queries()` entry AND its DuckDB `oracle_sql()` side-by-side at
+sf0.01, comparing row counts and order-insensitive values (columns
+sorted by name, stringified). Prints one line per query and a final
+summary; exits non-zero on any mismatch.
+
+Usage: python tools/acceptance.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as e
+    from data_lake_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("acceptance")
+
+    n_entry = len(e.entry(spark).limit(5).collect())
+    print(f"entry: {n_entry} rows {'OK' if n_entry > 0 else 'FAIL'}")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        path = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    failures: list[str] = []
+    for name in sorted(qs):
+        try:
+            a = qs[name](spark, sf).toPandas()
+            if name not in osql:
+                ok = len(a) >= 0
+                print(f"{name}: rows-only ({len(a)} rows)")
+                continue
+            b = con.execute(osql[name]).fetchdf()
+            cols = sorted(a.columns)
+            if sorted(b.columns) != cols:
+                raise AssertionError(f"columns {cols} vs {sorted(b.columns)}")
+            av = a[cols].reset_index(drop=True)
+            bv = b[cols].reset_index(drop=True)
+            ok = av.shape == bv.shape and all(
+                (av[c].astype(str).values == bv[c].astype(str).values).all()
+                for c in cols
+            )
+            print(f"{name}: {av.shape[0]} rows {'MATCH' if ok else 'MISMATCH'}")
+            if not ok:
+                failures.append(name)
+        except Exception as ex:  # noqa: BLE001 - report and continue
+            print(f"{name}: ERROR {str(ex)[:120]}")
+            failures.append(name)
+
+    print(
+        f"\n{len(qs) - len(failures)}/{len(qs)} queries pass"
+        + (f"; FAILED: {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
