@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.functions.dates import dow_presto, week_presto
 from data_lake_spark.functions.exact import micros_to_amount, sum_micros
+from data_lake_spark.operators.ranking import top_k as rk_top_k
+from data_lake_spark.operators.ranking import with_broadcast_scalar
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -444,15 +446,20 @@ def models_earning_distribution(
         )
         .withColumn("c", cents(micros_to_amount(F.col("m"))))  # ROUND(...,2) as cents
     )
+    # Top-5 membership via TakeOrderedAndProject (no single-reducer
+    # window): the aggregate is checkpointed once, the 5 survivors come
+    # back as a broadcast probe. Scales with the artist dimension.
+    ranked = ranked.localCheckpoint(eager=False)
     order = F.col("m").asc() if sort_key == "ASC" else F.col("m").desc()
-    w = Window.orderBy(order, F.col("artisticname").asc())
-    relabeled = ranked.withColumn("ranking", F.row_number().over(w)).select(
-        F.when(F.col("ranking") <= 5, F.col("artisticname"))
-        .otherwise("General")
-        .alias("artisticname"),
-        F.when(F.col("ranking") <= 5, F.col("picture")).otherwise("").alias("picture"),
-        F.when(F.col("ranking") <= 5, F.col("city")).otherwise("").alias("city"),
-        F.when(F.col("ranking") <= 5, F.col("office")).otherwise("").alias("office"),
+    top5 = rk_top_k(ranked, [order, F.col("artisticname").asc()], 5).select(
+        "artisticname", F.lit(True).alias("_top")
+    )
+    in_top = F.col("_top").isNotNull() & F.col("_top")
+    relabeled = ranked.join(F.broadcast(top5), "artisticname", "left").select(
+        F.when(in_top, F.col("artisticname")).otherwise("General").alias("artisticname"),
+        F.when(in_top, F.col("picture")).otherwise("").alias("picture"),
+        F.when(in_top, F.col("city")).otherwise("").alias("city"),
+        F.when(in_top, F.col("office")).otherwise("").alias("office"),
         "c",
     )
     regrouped = relabeled.groupBy("artisticname").agg(
@@ -461,13 +468,13 @@ def models_earning_distribution(
         F.max("office").alias("office"),
         F.sum("c").alias("c2"),
     )
-    wt = Window.partitionBy()
-    total_c = F.sum("c2").over(wt)
+    total = regrouped.agg(F.sum("c2").alias("_tot_c"))
     out_order = (
         F.col("total_earnings").asc() if sort_key == "ASC" else F.col("total_earnings").desc()
     )
     return (
-        regrouped.select(
+        with_broadcast_scalar(regrouped, total)
+        .select(
             "artisticname",
             "picture",
             "city",
@@ -475,7 +482,7 @@ def models_earning_distribution(
             (F.col("c2").cast("double") / 100).alias("total_earnings"),
             round2(
                 (F.col("c2").cast("double") / 100)
-                / (total_c.cast("double") / 100)
+                / (F.col("_tot_c").cast("double") / 100)
                 * 100
             ).alias("percentage"),
         )
@@ -516,17 +523,21 @@ def earnings_by_day_of_week(
     grouped = combined.groupBy(dow_presto("d").alias("day_number")).agg(
         sum_micros("total_earnings").alias("m"),
         F.countDistinct("d").alias("active_days"),
-    )
+    ).localCheckpoint(eager=False)
     amt = micros_to_amount(F.col("m"))
     avg_c = cents(amt / F.col("active_days"))  # ROUND(sum/days, 2) as cents
-    wt = Window.partitionBy()
-    scored = grouped.select(
+    # percentage denominator as a broadcast scalar aggregate over the
+    # checkpointed 7-row frame — no partition-less window stage
+    total = grouped.select(avg_c.alias("_avg_c")).agg(
+        F.sum("_avg_c").alias("_tot_avg_c")
+    )
+    scored = with_broadcast_scalar(grouped, total).select(
         "day_number",
         round2(amt).alias("total"),
         (avg_c.cast("double") / 100).alias("average_per_day"),
         round2(
             (avg_c.cast("double") / 100)
-            / (F.sum(avg_c).over(wt).cast("double") / 100)
+            / (F.col("_tot_avg_c").cast("double") / 100)
             * 100
         ).alias("percentage"),
     )

@@ -34,6 +34,11 @@ from data_lake_spark.functions.exact import (
     sum_exact,
     sum_micros,
 )
+from data_lake_spark.operators.ranking import (
+    global_row_number,
+    top_k,
+    with_broadcast_scalar,
+)
 from data_lake_spark.queries import QuerySpec
 
 # ---------------------------------------------------------------------------
@@ -602,10 +607,12 @@ FROM grouped ORDER BY 1
 def q_rank_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 the reference's only window fn: ROW_NUMBER() over global ORDER BY
     aggregated earnings (models_earning_distribution.py:100), plus O3
-    multi-key sort. Global single-partition window is fine because it runs
-    over the POST-aggregation dim-sized frame (one row per model), never
-    the fact table — same at 100 TB. Ranking on exact micros (long) makes
-    the order itself deterministic."""
+    multi-key sort. Ranked with the two-phase distributed ROW_NUMBER
+    (operators/ranking.py): range-repartition on the sort keys, rank
+    locally, add broadcast per-partition offsets — no single-reducer
+    window even when the artist dimension grows 100×. Ranking on exact
+    micros (long) with the artist tie-break makes the order total, so the
+    two-phase ranks are bit-identical to the global window's."""
     orders = _orders_dated(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     per_model = (
@@ -614,10 +621,13 @@ def q_rank_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_name").alias("artist"))
         .agg(sum_micros("o_totalprice").alias("s_m"))
     )
-    w = Window.orderBy(F.col("s_m").desc(), F.col("artist").asc())
+    ranked = global_row_number(
+        per_model, [F.col("s_m").desc(), F.col("artist").asc()], "ranking"
+    )
     return (
-        per_model.withColumn("ranking", F.row_number().over(w).cast("long"))
-        .select("ranking", "artist", micros_to_amount(F.col("s_m")).alias("total_earnings"))
+        ranked.select(
+            "ranking", "artist", micros_to_amount(F.col("s_m")).alias("total_earnings")
+        )
         .orderBy("ranking")
     )
 
@@ -639,7 +649,12 @@ def q_top5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 + O4: keep top-5 by rank, remap the tail to 'General', re-group
     (reference models_earning_distribution.py:117-137), with A8
     percentage-of-total on the re-grouped result. Micros stay exact through
-    BOTH aggregation levels."""
+    BOTH aggregation levels. Top-5 membership comes from a
+    TakeOrderedAndProject (operators/ranking.top_k) broadcast back against
+    the aggregate — no global window; per_model is checkpointed once so
+    the membership probe doesn't recompute the fact aggregation. The
+    percentage denominator is a broadcast scalar aggregate for the same
+    reason."""
     orders = _orders_dated(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     per_model = (
@@ -647,21 +662,24 @@ def q_top5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_name").alias("artist"))
         .agg(sum_micros("o_totalprice").alias("s_m"))
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy(F.col("s_m").desc(), F.col("artist").asc())
-    ranked = per_model.withColumn("rk", F.row_number().over(w))
-    relabeled = ranked.select(
-        F.when(F.col("rk") <= 5, F.col("artist")).otherwise("General").alias("artist"),
+    top5 = top_k(
+        per_model, [F.col("s_m").desc(), F.col("artist").asc()], 5
+    ).select("artist", F.lit(True).alias("_top"))
+    relabeled = per_model.join(F.broadcast(top5), "artist", "left").select(
+        F.when(F.col("_top"), F.col("artist")).otherwise("General").alias("artist"),
         "s_m",
     )
     regrouped = relabeled.groupBy("artist").agg(F.sum("s_m").alias("s2_m"))
-    wt = Window.partitionBy()
+    total = regrouped.agg(F.sum("s2_m").alias("_tot_m"))
     amt = micros_to_amount(F.col("s2_m"))
     return (
-        regrouped.select(
+        with_broadcast_scalar(regrouped, total)
+        .select(
             "artist",
             amt.alias("total_earnings"),
-            (amt * 100 / micros_to_amount(F.sum("s2_m").over(wt))).alias("pct_of_total"),
+            (amt * 100 / micros_to_amount(F.col("_tot_m"))).alias("pct_of_total"),
         )
         .orderBy(F.col("total_earnings").desc(), F.col("artist"))
     )

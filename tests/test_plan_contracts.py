@@ -25,9 +25,20 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 # literal-dim LEFT JOINs against one-row aggregates legitimately plan a
-# 3x1 BroadcastNestedLoopJoin; everything else must stay out of the
-# pair-space fallbacks
-_BNLJ_OK = {"api_needle", "api_avg_profitability", "api_total_profit", "api_profit_avg"}
+# 3x1 BroadcastNestedLoopJoin, and percentage-of-total queries attach a
+# one-row grand-total scalar via operators/ranking.with_broadcast_scalar
+# (also a 1-row BNLJ — the canonical scalar-subquery shape); everything
+# else must stay out of the pair-space fallbacks
+_BNLJ_OK = {
+    "api_needle",
+    "api_avg_profitability",
+    "api_total_profit",
+    "api_profit_avg",
+    # scalar grand-total broadcasts:
+    "top5_distribution",
+    "api_models_distribution",
+    "api_dow",
+}
 
 
 @pytest.mark.parametrize("name", sorted(_REG))
