@@ -23,12 +23,19 @@ from pyspark.sql import functions as F
 
 def row_hash(df: DataFrame, cols: Optional[Sequence[str]] = None):
     """64-bit content hash per row over ``cols`` (default: all, sorted by
-    name so column order differences don't change the digest)."""
+    name so column order differences don't change the digest).
+
+    Nulls are hashed as an out-of-band per-column null-indicator argument
+    (not an in-band sentinel string), so a genuine string value can never
+    collide with NULL. Values are still compared as strings, so
+    same-schema reconciliation is exact; cross-type coincidences (int 1
+    vs string '1') remain equal by design — this checksums content, not
+    schema (pair with a schema check when types matter)."""
     use = sorted(cols if cols is not None else df.columns)
-    # tag nulls distinctly from empty strings before hashing
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in use
-    ]
+    parts = []
+    for c in use:
+        parts.append(F.col(c).isNull().cast("string"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
     return F.xxhash64(*parts)
 
 

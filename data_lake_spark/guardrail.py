@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 
@@ -57,15 +58,43 @@ class ScanEstimate:
     relations: list[RelationEstimate]
 
 
+def _strip_not_spans(s: str) -> str:
+    """Remove every `NOT (...)` span (balanced parens) from a filter
+    rendering. Spark prints `col != v` as `NOT (col#n = v)`; if the inner
+    equality leaked through it would be misread as an INCLUSION filter and
+    prune the listing to exactly the excluded partition — a silent
+    under-estimate, the one failure mode this module must never have."""
+    out: list[str] = []
+    i = 0
+    while True:
+        j = s.find("NOT (", i)
+        if j < 0:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i:j])
+        depth, k = 0, j + 4  # s[j+4] == "("
+        while k < len(s):
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        i = k + 1
+
+
 def _partition_equalities(plan_text: str) -> list[tuple[str, str]]:
     """Extract `col = value` equalities from PartitionFilters lines.
 
-    Only plain equalities prune here; anything else (ranges, IN) leaves the
-    file list untouched — over-estimating, never under-estimating.
+    Only plain positive equalities prune here; anything else (ranges, IN,
+    and the equalities inside `NOT (...)` negation spans) leaves the file
+    list untouched — over-estimating, never under-estimating.
     """
     out: list[tuple[str, str]] = []
     for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_text):
-        for eq in re.finditer(r"\(?(\w+)#\d+L?\)? = ([^,)\s]+)", m.group(1)):
+        text = _strip_not_spans(m.group(1))
+        for eq in re.finditer(r"\(?(\w+)#\d+L?\)? = ([^,)\s]+)", text):
             out.append((eq.group(1), eq.group(2)))
     return out
 
@@ -141,10 +170,23 @@ def estimate_scan_bytes(df: DataFrame) -> ScanEstimate:
         loc = node.relation().location()
         files = list(loc.inputFiles())
         for col, val in prune:
-            seg = f"{col}={val}"
+            seg = f"/{col}={val}/"
             hit = [f for f in files if f"/{col}=" in f]
-            if hit:  # only prune relations actually partitioned by col
-                files = [f for f in files if f"/{seg}/" in f or f not in hit]
+            if not hit:  # only prune relations actually partitioned by col
+                continue
+            # Path segments are URL-escaped on disk (' ' → %20); compare
+            # against the unescaped path too.
+            kept = [f for f in hit if seg in f or seg in unquote(f)]
+            if not kept:
+                # The plan's literal rendering matched NO directory (value
+                # truncated at whitespace by the regex, exotic escaping, or
+                # a genuinely empty selection — indistinguishable here).
+                # Dropping every hit file would price the relation at ~0
+                # bytes: a silent under-estimate. Leave this column
+                # unpruned instead (over-estimate).
+                continue
+            kept_set = set(kept)
+            files = [f for f in files if f not in hit or f in kept_set]
         cols = list(node.requiredSchema().fieldNames())
         raw = 0
         for f in files:

@@ -22,9 +22,12 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     """Per heavy-hitter: count, share of all rows, and skew ratio vs the
     uniform share (rows / distinct keys). skew_ratio ~1 = uniform;
     >> 1 = salt this key or rely on AQE skew-join splitting."""
+    # counts feeds BOTH totals and the top-k probe; materialize it once
+    # (same pattern as textdedup/llm3) so the full-input groupBy shuffle
+    # runs a single time instead of once per consumer.
     counts = df.groupBy(F.col(key).alias("key_value")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )

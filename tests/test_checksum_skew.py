@@ -51,6 +51,14 @@ def test_checksum_null_vs_empty(spark):
     assert not tables_equal(a, b)
 
 
+def test_checksum_null_vs_sentinel_like_string(spark):
+    """NULL is hashed via an out-of-band indicator, so no string VALUE —
+    including the old in-band '\\x00null' sentinel — can collide with it."""
+    a = spark.createDataFrame([(1, None)], "i int, s string")
+    b = spark.createDataFrame([(1, "\x00null")], "i int, s string")
+    assert not tables_equal(a, b)
+
+
 def test_skew_report_uniform_and_skewed(spark):
     uniform = spark.range(0, 10_000).withColumn("k", F.col("id") % 100)
     rep = key_skew_report(uniform, "k", top_k=3).collect()

@@ -48,18 +48,19 @@ def main() -> int:
         try:
             a = qs[name](spark, sf).toPandas()
             if name not in osql:
-                ok = len(a) >= 0
                 print(f"{name}: rows-only ({len(a)} rows)")
                 continue
             b = con.execute(osql[name]).fetchdf()
             cols = sorted(a.columns)
             if sorted(b.columns) != cols:
                 raise AssertionError(f"columns {cols} vs {sorted(b.columns)}")
-            av = a[cols].reset_index(drop=True)
-            bv = b[cols].reset_index(drop=True)
+            # order-insensitive: stringify, then sort ROWS by all columns
+            # so engine ordering differences on orderBy ties don't produce
+            # false mismatches
+            av = a[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            bv = b[cols].astype(str).sort_values(cols).reset_index(drop=True)
             ok = av.shape == bv.shape and all(
-                (av[c].astype(str).values == bv[c].astype(str).values).all()
-                for c in cols
+                (av[c].values == bv[c].values).all() for c in cols
             )
             print(f"{name}: {av.shape[0]} rows {'MATCH' if ok else 'MISMATCH'}")
             if not ok:
