@@ -231,3 +231,45 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     to parquet via mergeSchema. Pay the footer fan-in only where drift is
     real; a fixed-schema read stays the default."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def mongo_connector_available(spark: SparkSession) -> bool:
+    """True when the MongoDB Spark connector jar is on the session's
+    classpath (the `mongodb` DataSource registers via Java SPI)."""
+    try:
+        jvm = spark._jvm
+        jvm.Thread.currentThread().getContextClassLoader().loadClass(
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_mongo_dim(
+    spark: SparkSession, uri: str, database: str, collection: str
+) -> DataFrame:
+    """S9 MongoDB dimension source (reference: Glue jobs pull
+    users/offices/cities/rooms collections over a NETWORK connection,
+    data-lake-stack.yml:62-148, connection 205-216).
+
+    HONESTY CONTRACT: this sandbox does not ship the MongoDB Spark
+    connector, so here this raises RuntimeError with a clear message —
+    the S9 crosswalk row is OUT OF SCOPE in-sandbox and the dimension
+    tables are modeled as parquet inputs (SURVEY §1.5). On a cluster with
+    ``org.mongodb.spark:mongo-spark-connector`` on the classpath the same
+    call becomes the real partitioned reader (connector splits on _id
+    ranges; predicates/projections push down to Mongo aggregation)."""
+    if not mongo_connector_available(spark):
+        raise RuntimeError(
+            "MongoDB Spark connector not on the classpath; S9 dims are "
+            "modeled as parquet inputs in this environment (SURVEY §1.5). "
+            "Add org.mongodb.spark:mongo-spark-connector to use this reader."
+        )
+    return (
+        spark.read.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .load()
+    )

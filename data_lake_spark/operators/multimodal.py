@@ -3,23 +3,37 @@
 Beyond the reference surface (BASELINE.json north_star): a 100 TB training
 pipeline carries media as ``binary`` columns with metadata structs, and
 runs decode / feature-extract / resize / frame-sample as Arrow-batched
-``mapInPandas`` stages. The image/audio codec libraries are NOT in this
-container, so the decode kernels are STUBS — ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake (derived from the bytes) so the Spark-side plumbing —
-schema, batch iteration, partitioning, UDF signatures — is real and
-testable end-to-end.
+``mapInPandas`` stages.
+
+Decode tiers (``decode_media``):
+
+- ``fake=True`` — deterministic digest-derived stand-in, for plumbing
+  tests and CI determinism.
+- ``fake=False`` (real): IMAGE dimensions come from PIL when importable,
+  else from a dependency-free header parser (PNG/GIF/BMP/JPEG — the
+  dimensions live in the container headers, no codec needed); the
+  feature vector is a real 16-bin byte histogram. AUDIO/VIDEO still
+  raise ``NotImplementedError`` — no ffmpeg/torchaudio in this
+  container, and pretending otherwise would be dishonest. Swapping in
+  the full codecs changes only the kernel body; schema, batching, and
+  partitioning stay identical.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec: use the real thing when present
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover - PIL absent in this container
+    _PILImage = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -59,23 +73,88 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, emb
 
 
+def image_dimensions(content: bytes) -> Optional[tuple[int, int]]:
+    """(width, height) from the container header of a PNG/GIF/BMP/JPEG
+    byte string, no codec library required — dimensions are header
+    metadata, not pixel data. Returns None for unrecognized content."""
+    if len(content) >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return int(w), int(h)
+    if len(content) >= 26 and content[:2] == b"BM":
+        w, h = struct.unpack("<ii", content[18:26])
+        return int(w), abs(int(h))  # negative height = top-down DIB
+    if len(content) >= 4 and content[:2] == b"\xff\xd8":  # JPEG: walk markers
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return None
+
+
+def _real_decode_image(content: bytes) -> tuple[int, int]:
+    """True image dimensions: PIL when importable, else the header
+    parser. Raises ValueError for bytes neither path can identify."""
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(content)) as im:
+            return int(im.width), int(im.height)
+    dims = image_dimensions(content)
+    if dims is None:
+        raise ValueError("unrecognized image content (no codec available)")
+    return dims
+
+
+def _byte_histogram(content: bytes) -> list[float]:
+    """Real (if simple) content feature: 16-bin byte-value histogram,
+    normalized — deterministic, codec-free, and actually describes the
+    bytes (unlike the digest fake)."""
+    counts = [0] * _EMB_DIM
+    for b in content:
+        counts[b >> 4] += 1
+    n = max(1, len(content))
+    return [c / n for c in counts]
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract stage over Arrow batches (mapInPandas —
     one Python worker per partition, vectorized transfer; at scale,
     repartition upstream so batches are ~workable-MB-sized, and the decode
-    cost parallelizes across executors)."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/torchaudio/ffmpeg) are not available in this "
-            "environment; call with fake=True for the deterministic stub"
-        )
+    cost parallelizes across executors).
+
+    ``fake=False`` decodes real image dimensions (PIL or the header
+    parser) and a byte-histogram feature; audio/video rows raise
+    NotImplementedError (no ffmpeg/torchaudio here). ``fake=True`` keeps
+    the deterministic digest stub for all kinds."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, kind, raw in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
                 content = bytes(raw)
-                w, h, nf, emb = _fake_decode(content)
+                if fake:
+                    w, h, nf, emb = _fake_decode(content)
+                elif kind == "image":
+                    w, h = _real_decode_image(content)
+                    nf, emb = 1, _byte_histogram(content)
+                else:
+                    raise NotImplementedError(
+                        "audio/video codecs (ffmpeg/torchaudio) are not "
+                        "available in this environment; images decode for "
+                        "real, other kinds need fake=True"
+                    )
                 rows.append(
                     {
                         "media_id": mid,
@@ -119,15 +198,17 @@ def resize_images(
     media: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
     """Resize stage for image media — the third mapInPandas verb
-    (decode / feature-extract / RESIZE / frame-sample). The kernel is a
-    stub (no PIL here): the 'resized' artifact is a deterministic digest
-    of (content, target dims), so idempotence and plumbing are testable;
-    swap the body for PIL's resize where available — schema, batching,
-    and partition behavior do not change."""
-    if not fake:
+    (decode / feature-extract / RESIZE / frame-sample). With PIL
+    importable and ``fake=False`` this truly resizes and digests the
+    resized PNG; without PIL the real path raises (a resize needs pixel
+    access, unlike dimension decoding) and ``fake=True`` substitutes a
+    deterministic digest of (content, target dims) so idempotence and
+    plumbing stay testable. Schema, batching, and partition behavior are
+    identical in every mode."""
+    if not fake and _PILImage is None:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "call with fake=True for the deterministic stub"
+            "image resize needs a codec (PIL) which is not available in "
+            "this environment; call with fake=True for the deterministic stub"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,8 +216,18 @@ def resize_images(
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(raw)
-                w0, h0, _, _ = _fake_decode(content)
-                tag = content + f"|{width}x{height}".encode()
+                if fake:
+                    w0, h0, _, _ = _fake_decode(content)
+                    tag = content + f"|{width}x{height}".encode()
+                    sha = hashlib.sha256(tag).hexdigest()
+                else:  # pragma: no cover - PIL absent in this container
+                    import io
+
+                    with _PILImage.open(io.BytesIO(content)) as im:
+                        w0, h0 = int(im.width), int(im.height)
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                    sha = hashlib.sha256(buf.getvalue()).hexdigest()
                 rows.append(
                     {
                         "media_id": mid,
@@ -144,7 +235,7 @@ def resize_images(
                         "src_height": h0,
                         "width": width,
                         "height": height,
-                        "resized_sha": hashlib.sha256(tag).hexdigest(),
+                        "resized_sha": sha,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -113,6 +113,75 @@ def upsert_performance(
     return UpsertResult(merged=merged, trace=trace, n_updated_expr=counts)
 
 
+def delta_available(spark) -> bool:
+    """True when delta-spark is importable AND the session was built with
+    the Delta SQL extension + catalog (both are required for MERGE)."""
+    try:
+        import delta  # noqa: F401
+    except Exception:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def upsert_performance_delta(
+    spark,
+    table_path: str,
+    incoming: DataFrame,
+    keys: list[str] = ("_id", "date"),
+    value_col: str = "total_earnings",
+    order_col: str = "updated_at",
+) -> DataFrame:
+    """The same MERGE semantics as :func:`upsert_performance`, executed as
+    a real Delta ``MERGE INTO`` against a Delta table at ``table_path`` —
+    the production path on clusters that ship delta-spark (the anti-join +
+    union emulation above is the plain-Parquet fallback).
+
+    Returns the decrease-audit trace DataFrame (computed with the same
+    pre-join as the emulation, BEFORE the merge mutates the table).
+    Raises RuntimeError when Delta is unavailable — callers feature-detect
+    via :func:`delta_available`; tests skip with a documented reason.
+    """
+    if not delta_available(spark):
+        raise RuntimeError(
+            "delta-spark is not available in this session; use "
+            "upsert_performance (anti-join + union emulation) instead"
+        )
+    from delta.tables import DeltaTable  # type: ignore
+
+    keys = list(keys)
+    inc = keep_latest(incoming, keys, order_col)
+    target = DeltaTable.forPath(spark, table_path)
+
+    trace = (
+        inc.alias("s")
+        .join(target.toDF().alias("t"), keys, "left")
+        .filter(
+            F.col(f"t.{value_col}").isNotNull()
+            & (
+                F.col(f"s.{value_col}").cast("double")
+                < F.col(f"t.{value_col}").cast("double")
+            )
+        )
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(f"t.{value_col}").alias(f"prev_{value_col}"),
+            F.col(f"s.{value_col}").alias(f"new_{value_col}"),
+            F.col(f"s.{order_col}").alias("processed_at"),
+        )
+        .localCheckpoint()  # materialize before MERGE mutates the target
+    )
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        target.alias("t")
+        .merge(inc.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return trace
+
+
 def high_watermark_filter(
     df: DataFrame, watermark_col: str, last_processed
 ) -> DataFrame:

@@ -156,6 +156,54 @@ def test_upsert_insert_update_trace(spark):
     assert (counts.n_incoming, counts.n_updated, counts.n_inserted) == (3, 2, 1)
 
 
+def test_upsert_delta_merge_backend(spark, tmp_path):
+    """The same upsert semantics through a real Delta MERGE INTO when
+    delta-spark is present. This sandbox ships without delta-spark, so
+    the test documents the skip rather than pretending the emulation IS
+    Delta; on a delta-enabled cluster it runs the true MERGE path."""
+    import pytest as _pytest
+
+    from data_lake_spark.operators.upsert import (
+        delta_available,
+        upsert_performance_delta,
+    )
+
+    if not delta_available(spark):
+        _pytest.skip(
+            "delta-spark unavailable in this environment; MERGE INTO path "
+            "exercised only on delta-enabled clusters "
+            "(upsert_performance is the plain-Parquet emulation)"
+        )
+    path = str(tmp_path / "delta_perf")
+    existing = read_records(
+        spark,
+        [
+            {"_id": "a", "date": "2024-01-01", "total_earnings": "100.0",
+             "online_seconds": "3600", "file": "f1", "updated_at": "2024-01-01T00:00:00"},
+        ],
+        PERF_COLS,
+    )
+    existing.write.format("delta").save(path)
+    incoming = read_records(
+        spark,
+        [
+            {"_id": "a", "date": "2024-01-01", "total_earnings": "40.0",
+             "online_seconds": "900", "file": "f1", "updated_at": "2024-01-02T00:00:00"},
+            {"_id": "c", "date": "2024-01-02", "total_earnings": "10.0",
+             "online_seconds": "60", "file": "f3", "updated_at": "2024-01-02T00:00:00"},
+        ],
+        PERF_COLS,
+    )
+    trace = upsert_performance_delta(spark, path, incoming)
+    merged = {
+        (r._id, r.date): r
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert len(merged) == 2
+    assert merged[("a", "2024-01-01")].total_earnings == "40.0"
+    assert [t._id for t in trace.collect()] == ["a"]
+
+
 def test_upsert_idempotent(spark):
     existing = read_records(
         spark,
@@ -224,3 +272,21 @@ def test_schema_evolution_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}  # old rows surface the new col as null
+
+
+def test_mongo_reader_contract(spark):
+    """S9 honesty contract: without the Mongo connector jar the reader
+    must refuse loudly (pointing at the parquet model), never pretend to
+    read; with the connector present it must return a DataFrame."""
+    from data_lake_spark.io import mongo_connector_available, read_mongo_dim
+
+    if mongo_connector_available(spark):
+        df = read_mongo_dim(
+            spark, "mongodb://localhost:27017", "db_users", "users"
+        )
+        assert df.columns is not None
+    else:
+        with pytest.raises(RuntimeError, match="parquet inputs"):
+            read_mongo_dim(
+                spark, "mongodb://localhost:27017", "db_users", "users"
+            )

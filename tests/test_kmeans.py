@@ -68,6 +68,44 @@ def test_dedup_corpus_end_to_end(spark):
     assert sorted(r.doc_id for r in kept2.collect()) == ids
 
 
+def test_hot_band_cap_bounds_candidates(spark):
+    """A boilerplate-heavy corpus (many identical docs) creates hot bands
+    whose self-join is quadratic; max_band_size must bound the candidate
+    count while leaving a normal corpus's candidates unchanged."""
+    from data_lake_spark.operators.textdedup import minhash_lsh_pairs
+
+    boiler = "this license header is identical across every single file here"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [
+        (100, "a genuinely unique document about adaptive query execution"),
+        (101, "a genuinely unique document about adaptive query planning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs).count()
+    capped = minhash_lsh_pairs(docs, max_band_size=10).count()
+    # 30 identical docs → 435 boilerplate pairs uncapped; the cap drops
+    # the hot bands, bounding candidates at ~cap²/2 per band
+    assert uncapped >= 435
+    assert capped <= 10 * 9 // 2 * 4 + 10  # b=4 bands of ≤cap docs
+    assert capped < uncapped
+
+    # normal corpus: a generous cap changes nothing
+    normal = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {tuple(r) for r in minhash_lsh_pairs(normal).collect()}
+    with_cap = {
+        tuple(r) for r in minhash_lsh_pairs(normal, max_band_size=100).collect()
+    }
+    assert plain == with_cap
+
+
 def test_pack_sequences_contiguous(spark):
     df = spark.createDataFrame(
         [(i, "en", 700) for i in range(10)], "doc_id long, lang string, n_tokens long"

@@ -89,8 +89,11 @@ def test_multimodal_decode_stub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(60)
     media = documents_as_media(docs)
     assert dict(media.dtypes)["content"] == "binary"
-    with pytest.raises(NotImplementedError):
-        decode_media(media)  # real codecs absent → explicit stub error
+    # real mode on this corpus must fail loudly at execution: the content
+    # is text bytes (not an image container), and audio/video rows have
+    # no codec here — never a silent fake
+    with pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        decode_media(media).collect()
     decoded = decode_media(media, fake=True)
     rows = decoded.collect()
     assert len(rows) == 60
@@ -102,6 +105,70 @@ def test_multimodal_decode_stub(spark, sf_dir):
     # videos have frames; images/audio exactly 1
     kinds = {r.media_id: (r.kind, r.n_frames) for r in rows}
     assert all(nf == 1 for k, nf in kinds.values() if k != "video")
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """A fully valid (zlib-compressed, CRC-correct) RGB PNG fixture."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_decode_real_images(spark):
+    """Real decode path: true container dimensions (header parser or PIL)
+    and a byte-histogram feature — on genuine image bytes."""
+    import struct as _s
+
+    png = _make_png(37, 21)
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 17, -9) + b"\x00" * 20
+    rows = [
+        (1, "image", bytearray(png), ("image/png", len(png), "mem://png")),
+        (2, "image", bytearray(gif), ("image/gif", len(gif), "mem://gif")),
+        (3, "image", bytearray(bmp), ("image/bmp", len(bmp), "mem://bmp")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,n_bytes:long,source_uri:string>",
+    )
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].width, got[1].height) == (37, 21)
+    assert (got[2].width, got[2].height) == (320, 200)
+    assert (got[3].width, got[3].height) == (17, 9)  # top-down DIB abs()
+    for r in got.values():
+        assert r.n_frames == 1
+        assert len(r.embedding) == 16
+        assert abs(sum(r.embedding) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_image_dimensions_header_parser():
+    import struct as _s
+
+    from data_lake_spark.operators.multimodal import image_dimensions
+
+    assert image_dimensions(_make_png(640, 480)) == (640, 480)
+    # minimal JPEG: SOI, SOF0 segment carrying (precision, H, W, ncomp)
+    sof0 = b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 99, 123)
+    jpeg = b"\xff\xd8" + sof0 + b"\x03" + b"\x00" * 12 + b"\xff\xd9"
+    assert image_dimensions(jpeg) == (123, 99)
+    assert image_dimensions(b"not an image at all") is None
 
 
 def test_resize_images_stub(spark, sf_dir):
