@@ -39,6 +39,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         sketches,
+        sqlcompat_q,
         temporal,
         temporal2,
         temporal3,
@@ -61,6 +62,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
     reg.update(api_queries.REGISTRY)
+    reg.update(sqlcompat_q.REGISTRY)
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW_PRIORITY:

@@ -284,14 +284,19 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same deterministic md5 u16 key as hash_sample. The rate table
     is integer arithmetic (thr = 65536·min_cnt ÷ cnt) computed from a
     dim-sized aggregate and broadcast — the corpus scan stays map-only."""
-    from pyspark.sql import Window
+    from data_lake_spark.operators.ranking import with_broadcast_scalar
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    # scalar min over the dim-sized rate table via an empty-partition
-    # window (the pct-of-total pattern) — keeps the plan cartesian-free
-    thr = counts.withColumn(
-        "mn", F.min("cnt").over(Window.partitionBy())
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # scalar min over the dim-sized rate table as a broadcast scalar
+    # aggregate — no unpartitioned window; counts is materialized once so
+    # the scalar branch doesn't re-run the corpus groupBy
+    thr = with_broadcast_scalar(
+        counts, counts.agg(F.min("cnt").alias("mn"))
     ).select("lang", "cnt", F.expr("(65536 * mn) div cnt").alias("thr"))
     return (
         docs.withColumn("u", doc_u16())

@@ -508,8 +508,11 @@ def q_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression + the Presto day_of_week parity shift (reference
     earningsByDayOfWeek.py:123-152; §2.9 off-by-one note).
 
-    Percentage-of-total is a window SUM over the exact micros group sums —
-    one extra stage over 7 rows, no crossJoin with a scalar subquery.
+    Percentage-of-total attaches the grand total as a broadcast scalar
+    aggregate (operators/ranking.with_broadcast_scalar) over the exact
+    micros group sums — no unpartitioned window anywhere in the plan;
+    grouped is checkpointed once so the scalar branch doesn't recompute
+    the fact aggregation.
     """
     orders = _orders_dated(spark, sf_dir)
     grouped = (
@@ -519,16 +522,18 @@ def q_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_micros("o_totalprice").alias("s_m"),
             F.countDistinct("o_date").alias("active_days"),
         )
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy()
+    total = grouped.agg(F.sum("s_m").alias("_tot_m"))
     amt = micros_to_amount(F.col("s_m"))
     return (
-        grouped.select(
+        with_broadcast_scalar(grouped, total)
+        .select(
             "dow_iso",
             amt.alias("total_amount"),
             "active_days",
             (amt / F.col("active_days")).alias("avg_per_active_day"),
-            (amt * 100 / micros_to_amount(F.sum("s_m").over(w))).alias("pct_of_total"),
+            (amt * 100 / micros_to_amount(F.col("_tot_m"))).alias("pct_of_total"),
         )
         .orderBy("dow_iso")
     )
