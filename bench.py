@@ -73,6 +73,10 @@ HEADLINE = [
     "embedding_quantize",
     "stratified_sample",
     "quality_report",
+    # the Athena-dialect path must cost the same as the DataFrame path:
+    # SQL-UDF shims inline into Catalyst, so this 3-table join+agg plans
+    # identically to its DataFrame twin
+    "athena_weekly",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,12 +42,34 @@ def morton_code(a: Column | str, b: Column | str, bits: int = 16) -> Column:
 
 
 def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
-    """Map an arbitrary orderable column onto [0, 2^bits) by percent-rank
-    so Morton interleaving weights both dimensions evenly regardless of
-    their native ranges. Adds ``<col>__z`` (long)."""
-    pr = F.percent_rank().over(Window.orderBy(col))
+    """Map an arbitrary orderable numeric column onto [0, 2^bits) by
+    equi-depth binning so Morton interleaving weights both dimensions
+    evenly regardless of their native ranges. Adds ``<col>__z`` (long).
+
+    Implementation is scale-safe: ``approxQuantile`` computes up to 1024
+    bin boundaries in one distributed pass (Greenwald-Khanna sketch —
+    never a global sort), the boundary array ships as a literal, and the
+    per-row bin is a counting fold over it inside codegen. A global
+    ``percent_rank`` window would funnel the whole table through one
+    reducer at write time — exactly the single-reducer pattern
+    operators/ranking.py exists to avoid. Rank resolution is capped at
+    1024 equi-depth bins (then rescaled to the ``bits`` range): file
+    skipping only needs resolution ~n_files, orders of magnitude below
+    the cap."""
+    n_bins = min(2**bits, 1024)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.stat.approxQuantile(col, probs, 0.001)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    bin_idx = F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(F.col(col).cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    scale = (2**bits) // n_bins
     return df.withColumn(
-        f"{col}__z", F.least(F.floor(pr * (2**bits)), F.lit(2**bits - 1)).cast("long")
+        f"{col}__z",
+        F.least(bin_idx * F.lit(scale), F.lit(2**bits - 1)).cast("long"),
     )
 
 

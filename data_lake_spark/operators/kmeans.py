@@ -122,6 +122,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     label_col: str = "label",
     seeds: DataFrame | None = None,
+    track_inertia: bool = True,
 ) -> tuple[DataFrame, list[float]]:
     """Full Lloyd loop: iterate assign → recompute ``n_iter`` times from
     the per-label seeds. Returns (centroids, inertia_per_iteration);
@@ -152,11 +153,16 @@ def kmeans_fit(
     inertia: list[float] = []
     for _ in range(n_iter):
         assigned = assign_cells(elems, centroids, id_col)
-        inertia.append(
-            assigned.agg(
-                (F.sum("d2").cast("double") / F.lit(PSCALE)).alias("i")
-            ).collect()[0]["i"]
-        )
+        if track_inertia:
+            # one scalar-agg job per round — the convergence certificate.
+            # Skippable (track_inertia=False) when rounds are fixed: the
+            # loop then launches exactly one job per recompute and no
+            # driver round-trips beyond the checkpoints.
+            inertia.append(
+                assigned.agg(
+                    (F.sum("d2").cast("double") / F.lit(PSCALE)).alias("i")
+                ).collect()[0]["i"]
+            )
         centroids = (
             elems.join(assigned.select(id_col, "cell"), id_col)
             .groupBy("cell", "d")

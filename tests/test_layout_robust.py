@@ -165,3 +165,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     bgot = {r.w_start: r.n for r in batch.collect()}
     assert bgot.get(first_window) == 4
+
+
+def test_rank_normalize_equidepth_no_window(spark):
+    """rank_normalize bins an arbitrary-scaled float column into
+    [0, 2^bits) equi-depth buckets with a distributed sketch + codegen
+    fold — monotone in the input, bounded, roughly uniform occupancy,
+    and (the scale property) no Window operator in the plan."""
+    from data_lake_spark.layout import rank_normalize
+
+    rows = [(i, float(i) ** 2 * 1e-3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = rank_normalize(df, "v", bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {r.id: r.v__z for r in out.collect()}
+    assert all(0 <= z < 256 for z in got.values())
+    # monotone: higher v never gets a lower bin
+    zs = [got[i] for i in range(2000)]
+    assert zs == sorted(zs)
+    # equi-depth: every quartile of ids spans a distinct bin range
+    assert zs[0] < zs[999] < zs[1999]
