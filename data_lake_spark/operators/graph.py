@@ -61,10 +61,15 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nmin") < F.col("cluster_id")).alias("__changed"),
             )
-        ).localCheckpoint()
-        n_changed = new_labels.filter(F.col("__changed")).count()
+        ).localCheckpoint(eager=False)
+        # one job per round: the convergence counter is the action that
+        # materializes the lazy checkpoint (separate eager-checkpoint +
+        # count jobs would double the per-round job count)
+        n_changed = new_labels.agg(
+            F.sum(F.col("__changed").cast("long")).alias("n")
+        ).collect()[0]["n"]
         labels = new_labels.drop("__changed")
-        if n_changed == 0:
+        if not n_changed:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "

@@ -33,6 +33,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
         quality_q,
         relational,
         relational2,
@@ -57,6 +58,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm3.REGISTRY)
     reg.update(llm4.REGISTRY)
     reg.update(llm5.REGISTRY)
+    reg.update(llm6.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)

@@ -1,0 +1,157 @@
+"""Training-data-pipeline queries, part 6: corpus-level boilerplate
+(segment) dedup and per-source document caps.
+
+Both are curation staples the earlier parts don't cover:
+
+- ``line_dedup`` — CCNet/C4-style line dedup: segments shared across
+  MANY documents (boilerplate) are removed from every document while
+  intra-document structure is preserved. The corpus here has no newline
+  structure, so "lines" are fixed 10-word windows — the operator
+  (operators/textdedup.drop_common_segments) takes any segmentation.
+- ``source_cap`` — per-domain caps: Common-Crawl-style pipelines bound
+  any single domain's contribution; the deterministic md5 rank makes the
+  kept set reproducible on any cluster size with no RNG state.
+
+Scale notes: segmentation is a map-only Generate (no shuffle until the
+frequency aggregate); the frequency table and anti-join shuffle on the
+segment key (uniform — hashed text); reassembly sorts (pos, seg) structs
+inside the aggregate, so collect order never matters. source_cap's
+window partitions by source — parallel across sources; a single
+pathological mega-source is bounded by the cap itself (row_number stops
+mattering past k, and AQE skew splitting handles the scan side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.textdedup import drop_common_segments
+from data_lake_spark.queries import QuerySpec
+
+_SEG_W = 10  # words per segment ("line")
+_CAP_K = 30  # max documents kept per source
+
+
+def _segments(docs: DataFrame) -> DataFrame:
+    """Fixed 10-word segments per document: (doc_id, pos, seg), map-only."""
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn(
+        "n_segs",
+        F.ceil(F.size("toks") / F.lit(float(_SEG_W))).cast("long"),
+    )
+    return toks.select(
+        "doc_id",
+        "n_segs",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segs") - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * _SEG_W + 1, _SEG_W), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-segment removal over the corpus: any 10-word segment
+    appearing in the corpus more than once is dropped from every
+    document (duplicate document families share all their segments, so
+    this also guts exact/near duplicates). Output keeps every document
+    (empty text when everything was boilerplate); cleaned text is
+    md5-compared to keep the oracle hash small."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = drop_common_segments(_segments(docs), max_freq=1)
+    return (
+        docs.select("doc_id")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("clean_md5"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS pos,
+         ARRAY_TO_STRING(t[(i * {_SEG_W} + 1):(i * {_SEG_W} + {_SEG_W})], ' ')
+           AS seg
+  FROM toks
+  CROSS JOIN UNNEST(range(CAST(CEIL(LEN(t) / {_SEG_W}.0) AS BIGINT))) AS u(i)
+),
+hot AS (
+  SELECT seg FROM segs GROUP BY 1 HAVING COUNT(*) > 1
+),
+kept AS (
+  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+),
+rebuilt AS (
+  SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY pos, seg) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       MD5(COALESCE(r.text, '')) AS clean_md5,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most K documents per source,
+    chosen by deterministic md5(doc_id) rank — a reproducible uniform
+    sample per domain, no RNG. The window partitions by source (parallel
+    across sources); output is the kept docs with their in-source rank
+    plus the source's total, the shape downstream mixture weighting
+    consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CAP_K)
+        .join(F.broadcast(totals), "source")
+        .select("doc_id", "source", "rk", "n_source")
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_SOURCE_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM documents
+)
+SELECT doc_id, source, rk, CAST(n_source AS BIGINT) AS n_source
+FROM ranked WHERE rk <= {_CAP_K}
+ORDER BY source, rk
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "line_dedup": QuerySpec(
+        q_line_dedup, ORACLE_LINE_DEDUP,
+        "corpus boilerplate-segment removal (C4/CCNet line dedup)",
+    ),
+    "source_cap": QuerySpec(
+        q_source_cap, ORACLE_SOURCE_CAP,
+        "per-source cap via deterministic hash rank",
+    ),
+}
