@@ -81,6 +81,13 @@ def full_registry() -> dict[str, QuerySpec]:
 # 45 queries that fell outside that window, the 2 sketches (freshly
 # oracle-ized), and 3 already-green sentinels to prove no regression — exactly
 # 50. Everything else keeps its round-1-green status via module order below.
+#
+# ROUND 3 TODO: once CORRECTNESS_r02.json exists with these 50 green, rotate:
+# replace this list with the ~51 queries that will then lack an r02 row —
+# the round-1-green relational/curation set plus the round-2 additions
+# (athena_earnings_day, athena_dow_dist, athena_weekly, athena_needle_period,
+# line_dedup, source_cap) — keeping a few r02-green sentinels. Every query
+# then has a driver-verified row in r01∪r02∪r03.
 _DRIVER_WINDOW_PRIORITY = [
     # round-1 unchecked: llm dedup/ANN family
     "simhash",
