@@ -46,11 +46,16 @@ def global_row_number(
     partitioned BY partition id ranks locally (parallel). Phase 2: the
     per-partition row counts (one long per partition) come back to the
     driver and go out as a broadcast offset table; global rank =
-    local rank + offset. The frame is materialized once
-    (localCheckpoint) so the count job doesn't recompute the lineage.
+    local rank + offset. The INPUT is materialized first:
+    ``repartitionByRange`` runs a sampling pass over its child to pick
+    range bounds, so an un-materialized input would be computed twice
+    (sample + shuffle) before the count job even runs. The ranked frame
+    is then materialized once more so the count job doesn't recompute
+    the window.
     """
     d = (
-        df.repartitionByRange(*order_by)
+        df.localCheckpoint(eager=False)
+        .repartitionByRange(*order_by)
         .withColumn(_PID, F.spark_partition_id())
         .withColumn(
             _LRN,

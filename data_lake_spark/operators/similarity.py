@@ -122,13 +122,68 @@ def srp_bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
     )
 
 
+def srp_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """The ±1 plane-weight matrix of :func:`srp_bucket_expr`, computed
+    driver-side: md5("p:d") hex-parity — byte-identical to the in-engine
+    md5 recipe, so both formulations bucket identically. The matrix is
+    data-independent (pure constants), so there is no reason to evaluate
+    P×D md5 calls per corpus ROW — precompute once, ship as ONE nested
+    array Literal."""
+    import hashlib
+
+    return [
+        [
+            1 if ord(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]) % 2 == 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bucket_expr_lit(vec_col: str, n_planes: int, dim: int) -> Column:
+    """:func:`srp_bucket_expr` with the weight matrix inlined as a single
+    nested-array Literal (requires knowing ``dim``). Identical buckets,
+    ~P×D fewer interpreted md5/substring evaluations per row — the form
+    every fixed-dim corpus should use; the dim-agnostic expression form
+    remains for schema-on-read paths where dim is unknown at plan time."""
+    w_lit = F.lit(srp_weights(n_planes, dim))
+    vec = _to_double(vec_col)
+
+    def proj(p: Column) -> Column:
+        terms = F.zip_with(
+            F.element_at(w_lit, (p + 1).cast("int")),
+            vec,
+            lambda w, x: F.floor(w * x * F.lit(PSCALE)),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                proj(p) > 0, F.pow(F.lit(2.0), p).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
+
+
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from one row (uniform-dim contract —
+    the scan is LIMIT 1, a constant-cost driver lookup)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    return int(row["d"])
+
+
 def srp_buckets(
     emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, bucket) per vector — thin DataFrame view over
-    :func:`srp_bucket_expr`; a pure map-side projection."""
+    """(id, bucket) per vector — a pure map-side projection using the
+    literal-weights bucket expression (dim probed once)."""
+    dim = _vec_dim(emb, vec_col)
     return emb.select(
-        F.col(id_col), srp_bucket_expr(vec_col, n_planes).alias("bucket")
+        F.col(id_col), srp_bucket_expr_lit(vec_col, n_planes, dim).alias("bucket")
     )
 
 
@@ -143,11 +198,12 @@ def ann_topk_bucketed(
     """LSH-bucketed ANN: exact cosine only within the query's bucket.
     Recall < 1 by design (single probe); add multi-probe or more tables
     for higher recall — the plan shape stays an equi-join. Buckets are an
-    inline projection (srp_bucket_expr), not a join."""
+    inline projection (literal-weights form), not a join."""
+    dim = _vec_dim(emb, vec_col)
     vecs = emb.select(
         F.col(id_col),
         _to_double(vec_col).alias("v"),
-        srp_bucket_expr(vec_col, n_planes).alias("bucket"),
+        srp_bucket_expr_lit(vec_col, n_planes, dim).alias("bucket"),
     )
     q = (
         vecs.filter(F.col(id_col).isin(query_ids))
@@ -306,11 +362,12 @@ def ann_topk_multiprobe(
     (n_planes+1)× more candidates but needs no extra hash tables. Still a
     pure equi-join: the query side replicates to its probe buckets; each
     candidate lives in exactly ONE bucket, so no pair is emitted twice.
-    Buckets are an inline projection (srp_bucket_expr), not a join."""
+    Buckets are an inline projection (literal-weights form), not a join."""
+    dim = _vec_dim(emb, vec_col)
     vecs = emb.select(
         F.col(id_col),
         _to_double(vec_col).alias("v"),
-        srp_bucket_expr(vec_col, n_planes).alias("bucket"),
+        srp_bucket_expr_lit(vec_col, n_planes, dim).alias("bucket"),
     ).withColumn("nrm", norm_exact("v"))
     flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
     q = (

@@ -34,3 +34,29 @@ def test_multiprobe_recall_dominates(spark, sf_dir):
     assert recall_multi >= recall_single
     # multi-probe candidates are a superset of single-probe's (flip=0 term)
     assert single <= multi or recall_multi >= recall_single
+
+
+def test_srp_literal_weights_match_expression_form(spark, sf_dir):
+    """The literal-weights bucket expression must bucket every vector
+    identically to the dim-agnostic in-engine md5 form (same hash
+    family, precomputed) — the two formulations are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.similarity import (
+        srp_bucket_expr,
+        srp_bucket_expr_lit,
+        _vec_dim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _vec_dim(emb, "embedding")
+    n_diff = (
+        emb.select(
+            srp_bucket_expr("embedding", 8).alias("a"),
+            srp_bucket_expr_lit("embedding", 8, dim).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert n_diff == 0
