@@ -145,6 +145,97 @@ ORDER BY source, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# partial_overlap — partial-copy detection from winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_MIN_SHARED = 3
+
+
+def q_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-copy pair detection: documents sharing >= 3 winnowing
+    fingerprints (k=5 tokens, window=4 — the MOSS recipe). Whole-document
+    MinHash misses a page that copies two paragraphs from another;
+    winnowing guarantees any shared run of >= k+window-1 tokens leaves at
+    least one common fingerprint, so the fingerprint equi-join surfaces
+    exactly the partial overlaps. ``containment`` = shared / smaller
+    profile — the asymmetric-copy score.
+
+    Scale shape: inverted-index self-join on the fingerprint (never
+    doc x doc); fingerprints are winnow-sparsified (~1/window of shingle
+    count), and at 100 TB the boilerplate-hot fingerprints should be
+    frequency-capped before the join exactly like LSH bands
+    (operators/textdedup.cap_hot_bands)."""
+    from data_lake_spark.operators.textdedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=5, window=4).localCheckpoint(eager=False)
+    cnt = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("_na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("_na"), F.col("_nb"))
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_PARTIAL_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, pos, MD5(sh5) AS h FROM (
+    SELECT doc_id, pos,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS sh5
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE sh5 IS NOT NULL
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM hashed
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp) AS containment
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "line_dedup": QuerySpec(
         q_line_dedup, ORACLE_LINE_DEDUP,
@@ -153,5 +244,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "source_cap": QuerySpec(
         q_source_cap, ORACLE_SOURCE_CAP,
         "per-source cap via deterministic hash rank",
+    ),
+    "partial_overlap": QuerySpec(
+        q_partial_overlap, ORACLE_PARTIAL_OVERLAP,
+        "partial-copy pairs from winnowing fingerprints",
     ),
 }
