@@ -236,6 +236,189 @@ ORDER BY 1, 2
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel — the whole pipeline as one query with retention stats
+# ---------------------------------------------------------------------------
+
+_F_NGRAM = 5
+_F_CAP = 40
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation chain as one composable query, reporting
+    the doc/token retention funnel every production pipeline publishes:
+
+    raw → quality gate (length bounds) → exact dedup (min-id keeper per
+    text hash) → boilerplate gate (≥2 non-boilerplate segments) →
+    benchmark decontamination (no shared 5-gram with the eval set, GPT-3
+    style) → per-source cap (deterministic hash rank ≤ 40).
+
+    Each stage is defined over the PREVIOUS stage's survivors (keeper
+    election, boilerplate frequency, and source ranks are all computed
+    within the surviving set — the semantics a sequential pipeline run
+    would produce). Intermediate frames are lazily checkpointed so the
+    six stage aggregates don't recompute the chain. Output: one row per
+    stage with surviving docs and whitespace tokens — integers only,
+    bit-stable everywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    d0 = docs
+    d1 = d0.filter((F.col("n_toks") >= 10) & (F.col("n_toks") <= 500))
+    # exact dedup among survivors: min-id keeper per text hash
+    wdup = Window.partitionBy(F.md5("text"))
+    d2 = (
+        d1.withColumn("_min_id", F.min("doc_id").over(wdup))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+        .localCheckpoint(eager=False)
+    )
+    # boilerplate gate among survivors: >= 2 segments that are corpus-unique
+    segs = _segments(d2)
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("seg")
+    )
+    kept_per_doc = (
+        segs.join(hot, "seg", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_kept"))
+        .filter(F.col("_n_kept") >= 2)
+        .select("doc_id")
+    )
+    d3 = d2.join(kept_per_doc, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # decontam: corpus = doc_id >= 10; benchmark 5-grams from doc_id < 10
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    grams = (
+        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+        .filter(F.col("i") <= F.size("toks") - _F_NGRAM)
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(toks, i + 1, {_F_NGRAM}))").alias("g"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    d4 = (
+        d3.filter(F.col("doc_id") >= 10)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    # per-source cap among survivors
+    wcap = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    d5 = d4.withColumn("_rk", F.row_number().over(wcap)).filter(
+        F.col("_rk") <= _F_CAP
+    )
+    funnel = (
+        stage(d0, "s0_raw")
+        .unionByName(stage(d1, "s1_quality"))
+        .unionByName(stage(d2, "s2_exact_dedup"))
+        .unionByName(stage(d3, "s3_boilerplate"))
+        .unionByName(stage(d4, "s4_decontam"))
+        .unionByName(stage(d5, "s5_source_cap"))
+    )
+    return funnel.orderBy("stage")
+
+
+ORACLE_CURATION_FUNNEL = f"""
+WITH d0 AS (
+  SELECT doc_id, source, text,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+),
+d1 AS (SELECT * FROM d0 WHERE n_toks BETWEEN 10 AND 500),
+d2 AS (
+  SELECT doc_id, source, text, n_toks FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS _min_id FROM d1
+  ) WHERE doc_id = _min_id
+),
+segs AS (
+  SELECT d.doc_id,
+         ARRAY_TO_STRING(
+           STRING_SPLIT(d.text, ' ')[(i * {_SEG_W} + 1):(i * {_SEG_W} + {_SEG_W})],
+           ' ') AS seg
+  FROM d2 d
+  CROSS JOIN UNNEST(range(CAST(CEIL(LEN(STRING_SPLIT(d.text, ' ')) / {_SEG_W}.0)
+                          AS BIGINT))) AS u(i)
+),
+hot AS (SELECT seg FROM segs GROUP BY 1 HAVING COUNT(*) > 1),
+kept AS (
+  SELECT doc_id FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+  GROUP BY 1 HAVING COUNT(*) >= 2
+),
+d3 AS (SELECT d.* FROM d2 d JOIN kept k ON d.doc_id = k.doc_id),
+t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM d0),
+pos AS (SELECT doc_id, GENERATE_SUBSCRIPTS(w, 1) AS i FROM t),
+grams AS (
+  SELECT p.doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(t.w, p.i, p.i + {_F_NGRAM - 1}), ' ') AS g
+  FROM pos p JOIN t ON p.doc_id = t.doc_id
+  WHERE p.i + {_F_NGRAM - 1} <= ARRAY_LENGTH(t.w)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id >= 10
+),
+d4 AS (
+  SELECT d.* FROM d3 d
+  WHERE d.doc_id >= 10
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+d5 AS (
+  SELECT * FROM (
+    SELECT d.*,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS _rk
+    FROM d4 d
+  ) WHERE _rk <= {_F_CAP}
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT 's0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM d0
+  UNION ALL
+  SELECT 's1_quality', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM d1
+  UNION ALL
+  SELECT 's2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM d2
+  UNION ALL
+  SELECT 's3_boilerplate', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM d3
+  UNION ALL
+  SELECT 's4_decontam', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM d4
+  UNION ALL
+  SELECT 's5_source_cap', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM d5
+) ORDER BY stage
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "line_dedup": QuerySpec(
         q_line_dedup, ORACLE_LINE_DEDUP,
@@ -248,5 +431,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "partial_overlap": QuerySpec(
         q_partial_overlap, ORACLE_PARTIAL_OVERLAP,
         "partial-copy pairs from winnowing fingerprints",
+    ),
+    "curation_funnel": QuerySpec(
+        q_curation_funnel, ORACLE_CURATION_FUNNEL,
+        "end-to-end curation chain with per-stage retention",
     ),
 }
