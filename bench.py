@@ -77,6 +77,9 @@ HEADLINE = [
     # SQL-UDF shims inline into Catalyst, so this 3-table join+agg plans
     # identically to its DataFrame twin
     "athena_weekly",
+    # the whole curation chain in one query — the composite the pipeline
+    # actually runs, so its wall time is the honest end-to-end number
+    "curation_funnel",
 ]
 
 

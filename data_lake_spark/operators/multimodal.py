@@ -117,6 +117,30 @@ def _real_decode_image(content: bytes) -> tuple[int, int]:
     return dims
 
 
+def wav_info(content: bytes) -> Optional[tuple[int, int, int]]:
+    """(sample_rate, n_channels, n_samples) from a RIFF/WAVE container,
+    no codec library required — like image dimensions, PCM audio shape
+    is header metadata. Walks the chunk list ('fmt ' for the format,
+    'data' for the payload size). Returns None for non-WAV bytes."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = data_size = None
+    i = 12
+    while i + 8 <= len(content):
+        cid = content[i : i + 4]
+        size = struct.unpack("<I", content[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(content):
+            channels = struct.unpack("<H", content[i + 10 : i + 12])[0]
+            rate = struct.unpack("<I", content[i + 12 : i + 16])[0]
+            bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate and channels and bits and data_size is not None:
+        return int(rate), int(channels), int(data_size // (channels * (bits // 8)))
+    return None
+
+
 def _byte_histogram(content: bytes) -> list[float]:
     """Real (if simple) content feature: 16-bin byte-value histogram,
     normalized — deterministic, codec-free, and actually describes the
@@ -135,9 +159,11 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     cost parallelizes across executors).
 
     ``fake=False`` decodes real image dimensions (PIL or the header
-    parser) and a byte-histogram feature; audio/video rows raise
-    NotImplementedError (no ffmpeg/torchaudio here). ``fake=True`` keeps
-    the deterministic digest stub for all kinds."""
+    parser) and, for WAV audio, real (sample_rate, channels) from the
+    RIFF header — reported as (width, height) with a byte-histogram
+    feature. Video and non-WAV audio raise NotImplementedError (no
+    ffmpeg/torchaudio here). ``fake=True`` keeps the deterministic
+    digest stub for all kinds."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -149,11 +175,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 elif kind == "image":
                     w, h = _real_decode_image(content)
                     nf, emb = 1, _byte_histogram(content)
+                elif kind == "audio" and (wav := wav_info(content)) is not None:
+                    # (width, height) carries (sample_rate, channels)
+                    w, h = wav[0], wav[1]
+                    nf, emb = 1, _byte_histogram(content)
                 else:
                     raise NotImplementedError(
                         "audio/video codecs (ffmpeg/torchaudio) are not "
-                        "available in this environment; images decode for "
-                        "real, other kinds need fake=True"
+                        "available in this environment; images and WAV "
+                        "audio decode for real, other kinds need fake=True"
                     )
                 rows.append(
                     {

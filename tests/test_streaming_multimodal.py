@@ -300,3 +300,38 @@ def test_windowed_rollup_restart_recovery(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want  # bit-identical totals: exact sums, no dup/no loss
+
+
+def _make_wav(rate: int, channels: int, n_samples: int) -> bytes:
+    import struct
+
+    bits = 16
+    data = b"\x00\x00" * n_samples * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_wav_decode(spark):
+    """Real audio metadata from the RIFF header: sample_rate/channels land
+    in (width, height) with no codec library; non-WAV audio still raises."""
+    from data_lake_spark.operators.multimodal import decode_media, wav_info
+
+    wav = _make_wav(16000, 2, 800)
+    assert wav_info(wav) == (16000, 2, 800)
+    assert wav_info(b"not a wav at all") is None
+
+    media = spark.createDataFrame(
+        [(1, "audio", wav, '{"src":"unit"}')],
+        "media_id long, kind string, content binary, meta string",
+    )
+    row = decode_media(media).first()
+    assert (row.width, row.height) == (16000, 2)
+    assert row.n_frames == 1
+    assert abs(sum(row.embedding) - 1.0) < 1e-6  # normalized (float32 storage)
