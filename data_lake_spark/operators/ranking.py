@@ -88,6 +88,23 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+def ranked_top_k(
+    df: DataFrame, order_by: Sequence[Column], k: int, out_col: str = "ranking"
+) -> DataFrame:
+    """Global top-k WITH ranks, in one pass: TakeOrderedAndProject bounds
+    the frame at k rows, then a constant-partition window ranks them.
+    The single window partition is correct BY CONSTRUCTION — its input
+    is ≤ k rows regardless of data volume (the limit, not the data,
+    bounds it) — so unlike an unpartitioned window over an unbounded
+    frame this never becomes a reducer bottleneck. Use
+    :func:`global_row_number` when ALL rows need ranks."""
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_by)
+    return (
+        top_k(df, order_by, k)
+        .withColumn(out_col, F.row_number().over(w))
+    )
+
+
 def with_broadcast_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     """Attach a one-row aggregate (e.g. a grand total) to every row —
     the percentage-of-total companion to the ranking helpers. Plans as a

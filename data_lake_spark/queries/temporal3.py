@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.functions.exact import oracle_sum_exact, sum_exact
-from data_lake_spark.operators.ranking import global_row_number, top_k
+from data_lake_spark.operators.ranking import ranked_top_k
 from data_lake_spark.queries import QuerySpec
 
 _NS = 1_000_000_000
@@ -226,11 +226,12 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
     # top-20 via TakeOrderedAndProject (per-partition heaps — the path
-    # dimension can be huge at scale), then two-phase rank over just the
-    # 20 survivors: no single-reducer window at any cardinality.
+    # dimension can be huge at scale), ranked in the same pass over the
+    # k-bounded survivors: no unbounded single-reducer window, no extra
+    # materialization jobs.
     keys = [F.col("n_sessions").desc(), F.col("path").asc()]
     return (
-        global_row_number(top_k(agg, keys, 20), keys, "rk")
+        ranked_top_k(agg, keys, 20, "rk")
         .withColumn("rk", F.col("rk").cast("long"))
         .select("path", "n_sessions", "rk")
         .orderBy("rk")
