@@ -284,19 +284,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same deterministic md5 u16 key as hash_sample. The rate table
     is integer arithmetic (thr = 65536·min_cnt ÷ cnt) computed from a
     dim-sized aggregate and broadcast — the corpus scan stays map-only."""
-    from data_lake_spark.operators.ranking import with_broadcast_scalar
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    # scalar min over the dim-sized rate table as a broadcast scalar
-    # aggregate — no unpartitioned window; counts is materialized once so
-    # the scalar branch doesn't re-run the corpus groupBy
-    thr = with_broadcast_scalar(
-        counts, counts.agg(F.min("cnt").alias("mn"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # scalar min over the rate table via a constant-partition window —
+    # the frame is bounded at the LANGUAGE count by construction, so the
+    # single partition is safe at any corpus size and the rate table
+    # stays one pass (no checkpoint, no scalar cross join)
+    thr = counts.withColumn(
+        "mn", F.min("cnt").over(Window.partitionBy(F.lit(0)))
     ).select("lang", "cnt", F.expr("(65536 * mn) div cnt").alias("thr"))
     return (
         docs.withColumn("u", doc_u16())

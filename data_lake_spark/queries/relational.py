@@ -508,11 +508,11 @@ def q_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression + the Presto day_of_week parity shift (reference
     earningsByDayOfWeek.py:123-152; §2.9 off-by-one note).
 
-    Percentage-of-total attaches the grand total as a broadcast scalar
-    aggregate (operators/ranking.with_broadcast_scalar) over the exact
-    micros group sums — no unpartitioned window anywhere in the plan;
-    grouped is checkpointed once so the scalar branch doesn't recompute
-    the fact aggregation.
+    Percentage-of-total is a constant-partition window SUM over the
+    grouped frame — the frame is bounded at 7 rows BY CONSTRUCTION
+    (grouping key = day-of-week), so the single window partition can
+    never become a reducer bottleneck at any data volume, and the whole
+    query stays one pass (no checkpoint, no scalar cross join).
     """
     orders = _orders_dated(spark, sf_dir)
     grouped = (
@@ -522,18 +522,16 @@ def q_dow_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_micros("o_totalprice").alias("s_m"),
             F.countDistinct("o_date").alias("active_days"),
         )
-        .localCheckpoint(eager=False)
     )
-    total = grouped.agg(F.sum("s_m").alias("_tot_m"))
+    w = Window.partitionBy(F.lit(0))
     amt = micros_to_amount(F.col("s_m"))
     return (
-        with_broadcast_scalar(grouped, total)
-        .select(
+        grouped.select(
             "dow_iso",
             amt.alias("total_amount"),
             "active_days",
             (amt / F.col("active_days")).alias("avg_per_active_day"),
-            (amt * 100 / micros_to_amount(F.col("_tot_m"))).alias("pct_of_total"),
+            (amt * 100 / micros_to_amount(F.sum("s_m").over(w))).alias("pct_of_total"),
         )
         .orderBy("dow_iso")
     )

@@ -38,8 +38,6 @@ _BNLJ_OK = {
     "top5_distribution",
     "api_models_distribution",
     "api_dow",
-    "dow_distribution",
-    "mixture_weights",
     # Athena-dialect pct-of-total: uncorrelated scalar subquery -> 1-row BNLJ
     "athena_dow_dist",
 }
