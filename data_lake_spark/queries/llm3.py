@@ -87,13 +87,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output are cluster keepers."""
     emb = load_table(spark, sf_dir, "embeddings")
     # materialize the normed vectors once — both self-join sides read it
-    # (same pattern as textdedup.minhash_lsh_pairs)
+    # (same pattern as textdedup.minhash_lsh_pairs). Repartition by the
+    # blocking cell FIRST: the self-join is then co-partitioned on its
+    # key, the pairwise scoring parallelizes across cells, and AQE can't
+    # funnel the (explodes-after-the-shuffle) pair space into one task
+    # just because the pre-join bytes look small.
     e = (
         emb.select(
             "vec_id",
             "label",
             _to_double("embedding").alias("v"),
         )
+        .repartition(16, "label")
         .withColumn("nrm", norm_exact("v"))
         .localCheckpoint(eager=False)
     )
