@@ -194,13 +194,17 @@ def ann_topk_bucketed(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scan_partitions: int = 16,
 ) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket.
     Recall < 1 by design (single probe); add multi-probe or more tables
     for higher recall — the plan shape stays an equi-join. Buckets are an
-    inline projection (literal-weights form), not a join."""
+    inline projection (literal-weights form), not a join. The corpus is
+    repartitioned before scoring so per-bucket cosine work spreads
+    across tasks even when the input is one small file (AQE sizes
+    stages by pre-join bytes; the scoring cost appears after)."""
     dim = _vec_dim(emb, vec_col)
-    vecs = emb.select(
+    vecs = emb.repartition(scan_partitions).select(
         F.col(id_col),
         _to_double(vec_col).alias("v"),
         srp_bucket_expr_lit(vec_col, n_planes, dim).alias("bucket"),
@@ -355,6 +359,7 @@ def ann_topk_multiprobe(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scan_partitions: int = 16,
 ) -> DataFrame:
     """Multi-probe SRP ANN: each query searches its own bucket PLUS every
     bucket at Hamming distance 1 (one sign bit flipped) — the standard
@@ -362,9 +367,11 @@ def ann_topk_multiprobe(
     (n_planes+1)× more candidates but needs no extra hash tables. Still a
     pure equi-join: the query side replicates to its probe buckets; each
     candidate lives in exactly ONE bucket, so no pair is emitted twice.
-    Buckets are an inline projection (literal-weights form), not a join."""
+    Buckets are an inline projection (literal-weights form), not a join.
+    Corpus repartitioned pre-scoring, same rationale as
+    ann_topk_bucketed."""
     dim = _vec_dim(emb, vec_col)
-    vecs = emb.select(
+    vecs = emb.repartition(scan_partitions).select(
         F.col(id_col),
         _to_double(vec_col).alias("v"),
         srp_bucket_expr_lit(vec_col, n_planes, dim).alias("bucket"),
