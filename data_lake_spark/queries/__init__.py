@@ -83,11 +83,26 @@ def full_registry() -> dict[str, QuerySpec]:
 # 50. Everything else keeps its round-1-green status via module order below.
 #
 # ROUND 3 TODO: once CORRECTNESS_r02.json exists with these 50 green, rotate:
-# replace this list with the ~51 queries that will then lack an r02 row —
-# the round-1-green relational/curation set plus the round-2 additions
-# (athena_earnings_day, athena_dow_dist, athena_weekly, athena_needle_period,
-# line_dedup, source_cap) — keeping a few r02-green sentinels. Every query
-# then has a driver-verified row in r01∪r02∪r03.
+# replace this list with the 53 queries that will then lack an r02 row
+# (the round-1-green set outside this window, plus the round-2 additions),
+# front-loading at most 50 and keeping r02-green sentinels for the rest.
+# Every query then has a driver-verified row in r01∪r02∪r03. The 53, in
+# current registry order past position 50:
+#   proj_filter_compute or_filter_dim point_lookup left_join_dim or_key_join
+#   full_outer_platforms literal_dim_report global_sum weekly_agg
+#   multi_agg_attrs avg_of_sums dow_distribution ratio_profitability
+#   rank_models top5_distribution pagination earnings_series_pivot
+#   dedup_keep_latest date_parts json_payload rollup_report running_total
+#   mom_change topk_per_group cube_report semi_join_active
+#   anti_join_inactive set_ops_halves string_funcs revenue_by_region
+#   array_funcs grouping_sets_report trailing_7d profile_orders
+#   ntile_deciles percentile_report bigram_lm_score hash_sample train_split
+#   repetition_stats decontam mixture_weights text_stats lang_id
+#   shingle_pairs line_dedup source_cap partial_overlap curation_funnel
+#   athena_earnings_day athena_dow_dist athena_weekly athena_needle_period
+# (r01-green ones among these double as proven-once sentinels; the 9 new
+# round-2 queries — line_dedup source_cap partial_overlap curation_funnel
+# athena_* — have never had a driver row and MUST be inside the window.)
 _DRIVER_WINDOW_PRIORITY = [
     # round-1 unchecked: llm dedup/ANN family
     "simhash",
