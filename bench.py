@@ -80,6 +80,9 @@ HEADLINE = [
     # the whole curation chain in one query — the composite the pipeline
     # actually runs, so its wall time is the honest end-to-end number
     "curation_funnel",
+    # two-stage ANN: PQ-ADC compressed scan + exact re-rank of the
+    # shortlist — the scan that replaces raw-vector cosine at 100 TB
+    "pq_rerank",
 ]
 
 

@@ -34,6 +34,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
         quality_q,
         relational,
         relational2,
@@ -59,6 +60,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm4.REGISTRY)
     reg.update(llm5.REGISTRY)
     reg.update(llm6.REGISTRY)
+    reg.update(llm7.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)

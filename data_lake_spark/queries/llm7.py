@@ -1,0 +1,192 @@
+"""Product-quantization queries: corpus encode + ADC top-k search
+(operators/pq.py) bound to the embeddings testdata with DuckDB oracle
+SQL. Codebook training is one deterministic k-means step (md5-parity
+seeding + exact quantized means), so codes and ADC scores are
+bit-identical between Spark and the oracle.
+
+Reference parity: no ANN in the reference; LLM-pipeline extension
+(SURVEY §8) — PQ is the compressed-scan tier next to srp/ivf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+from data_lake_spark.queries import QuerySpec
+
+_PS = "1000000000000.0"
+
+# m=4 subspaces × subdim 16 over the 64-dim vectors, k=8 codes each:
+# 4 codes/vector = 64× smaller than the raw float32 scan.
+_M, _K = 4, 8
+
+# shared oracle fragments: element rows with subspace index, md5-parity
+# seeded codes, one-step codebooks, nearest-code assignment
+_PQ_SQL = f"""
+elems AS (
+  SELECT vec_id,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d,
+         CAST((GENERATE_SUBSCRIPTS(embedding, 1) - 1) // 16 AS INT) AS s
+  FROM embeddings
+),
+seeded AS (
+  SELECT *,
+         ASCII(SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 1)) % {_K} AS code0
+  FROM elems
+),
+cb AS (
+  SELECT s, code0 AS code, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} / COUNT(x) AS c
+  FROM seeded GROUP BY 1, 2, 3
+),
+d2 AS (
+  SELECT e.vec_id, e.s, cb.code,
+         SUM(CAST(FLOOR((e.x - cb.c) * (e.x - cb.c) * {_PS}) AS BIGINT)) AS d2
+  FROM elems e JOIN cb ON e.s = cb.s AND e.d = cb.d
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, code FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) = 1
+)
+"""
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ corpus encode: every vector becomes m={_M} small codes —
+    nearest per-subspace centroid by quantized squared L2. The
+    compressed representation the ADC scan reads instead of raw
+    float32 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_M, k=_K)
+    return (
+        pq_encode(emb, cb, m=_M)
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("s"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .orderBy("vec_id", "s")
+    )
+
+
+ORACLE_PQ_ENCODE = f"""
+WITH {_PQ_SQL}
+SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code
+FROM codes ORDER BY vec_id, s
+"""
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-5: per query a m×k lookup table of subspace dot
+    products, then every candidate scores as a sum of m table lookups —
+    an equi-join of the codes table against the broadcast LUT, no
+    pairwise join of raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_adc_topk(emb, query_ids=[0, 1, 2, 3, 4], k_top=5, m=_M, k_codes=_K)
+        .select("query_id", "cand_id", "approx_dot", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+_PQ_SCORED_SQL = f"""{_PQ_SQL},
+lut AS (
+  SELECT qe.vec_id AS query_id, cb.s, cb.code,
+         SUM(CAST(FLOOR(qe.x * cb.c * {_PS}) AS BIGINT)) AS lut
+  FROM elems qe JOIN cb ON qe.s = cb.s AND qe.d = cb.d
+  WHERE qe.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT l.query_id, co.vec_id AS cand_id,
+         CAST(SUM(l.lut) AS DOUBLE) / {_PS} AS approx_dot
+  FROM codes co JOIN lut l ON co.s = l.s AND co.code = l.code
+  WHERE co.vec_id != l.query_id
+  GROUP BY 1, 2
+)"""
+
+ORACLE_PQ_SEARCH = f"""
+WITH {_PQ_SCORED_SQL}
+SELECT query_id, cand_id, approx_dot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production two-stage search: PQ-ADC scan over the
+    compressed codes prunes to a 100-candidate shortlist per query,
+    then exact cosine re-ranks only the shortlist — raw-vector math on
+    Q×100 rows instead of Q×N."""
+    from data_lake_spark.operators.pq import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_adc_rerank_topk(
+            emb, query_ids=[0, 1, 2, 3, 4], k_top=5, shortlist=100,
+            m=_M, k_codes=_K,
+        )
+        .select("query_id", "cand_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_PQ_RERANK = f"""
+WITH {_PQ_SCORED_SQL},
+short AS (
+  SELECT query_id, cand_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY approx_dot DESC, cand_id) <= 100
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(FLOOR(x * x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS}) AS nrm
+  FROM elems GROUP BY 1
+),
+pe AS (
+  SELECT sh.query_id, sh.cand_id, qe.x AS qx, ce.x AS cx
+  FROM short sh
+  JOIN elems qe ON qe.vec_id = sh.query_id
+  JOIN elems ce ON ce.vec_id = sh.cand_id AND ce.d = qe.d
+),
+dots AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(CAST(FLOOR(qx * cx * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot
+  FROM pe GROUP BY 1, 2
+),
+rr AS (
+  SELECT d.query_id, d.cand_id, d.dot / (nq.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT query_id, cand_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+FROM rr
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "pq_encode": QuerySpec(
+        q_pq_encode, ORACLE_PQ_ENCODE, "PQ corpus encode (m=4, k=8)"
+    ),
+    "pq_search": QuerySpec(
+        q_pq_search, ORACLE_PQ_SEARCH, "PQ-ADC approximate top-5 search"
+    ),
+    "pq_rerank": QuerySpec(
+        q_pq_rerank,
+        ORACLE_PQ_RERANK,
+        "PQ-ADC shortlist + exact cosine re-rank (two-stage ANN)",
+    ),
+}
