@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -252,6 +252,145 @@ def start_ivf_index_ingest(
 
     return (
         emb_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def start_lsh_dedup_ingest(
+    docs_stream: DataFrame,
+    accepted_root: str,
+    index_root: str,
+    checkpoint: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_size: Optional[int] = None,
+):
+    """Incremental corpus dedup: each micro-batch of new documents is
+    screened against the ALREADY-ACCEPTED corpus via a persisted
+    MinHash-LSH band index — no recompute over the historical corpus,
+    ever. The 100 TB ingest shape: history costs one equi-join against
+    ``index_root`` (partitioned by band_idx, so a batch's bands prune to
+    their band partitions), never a rescan of the raw text.
+
+    Per micro-batch:
+
+    1. shingle → MinHash signatures → LSH bands for the batch only;
+    2. within-batch screen: LSH candidate pairs, verified by the
+       signature-estimated Jaccard (fraction of agreeing MinHash
+       positions); a doc matching a smaller batch id is dropped
+       (deterministic greedy — a chain a~b~c may drop both b and c,
+       the standard streaming-dedup compromise vs full clustering,
+       which operators.textdedup.dedup_corpus does at rest);
+    3. history screen: batch bands equi-join the persisted index on
+       (band_idx, band_hash); candidates verified the same way against
+       the indexed signatures;
+    4. survivors append to ``accepted_root`` and their bands +
+       signatures to ``index_root`` — both written to per-batch
+       directories with overwrite, so micro-batch REPLAY after a crash
+       republishes identical files (idempotent exactly-once).
+
+    Docs shorter than ``n`` tokens produce no shingles: they pass
+    through as novel with no index entry (route them to exact-hash
+    dedup upstream if that matters). ``max_band_size`` frequency-caps
+    boilerplate bands in both screens (see textdedup.cap_hot_bands)."""
+    import os
+
+    from data_lake_spark.operators.textdedup import (
+        cap_hot_bands,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+
+    def _est_sim(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ) / F.lit(n_hashes)
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sig_cols = [f"sig{i}" for i in range(n_hashes)]
+        sigs = (
+            minhash_signatures(shingles(batch_df, n, id_col, text_col), n_hashes, id_col)
+            .select(F.col(id_col), F.array(*sig_cols).alias("sig"))
+            .localCheckpoint()
+        )
+        bands = lsh_bands(
+            sigs.select(
+                id_col, *[F.col("sig")[i].alias(f"sig{i}") for i in range(n_hashes)]
+            ),
+            rows_per_band,
+            id_col,
+        )
+        if max_band_size is not None:
+            bands = cap_hot_bands(bands, max_band_size)
+        bands = bands.join(sigs, id_col).localCheckpoint()
+
+        # within-batch: candidate via shared band, verify on signatures,
+        # drop the larger id of every verified pair
+        a, b = bands.alias("a"), bands.alias("b")
+        in_batch_dups = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .filter(_est_sim(F.col("a.sig"), F.col("b.sig")) >= threshold)
+            .select(F.col(f"b.{id_col}").alias(id_col))
+            .distinct()
+        )
+
+        # history: batch bands vs the persisted index
+        if os.path.isdir(index_root) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(index_root)
+            for f in fs
+        ):
+            # only index partitions written by EARLIER batches: replaying
+            # batch N after a crash (or a full-source replay) must screen
+            # against exactly the state the original batch N saw — its own
+            # and later batches' entries would otherwise self-match every
+            # doc. batch_id is a partition dir, so this prunes, not scans.
+            idx = (
+                spark.read.parquet(index_root)
+                .filter(F.col("batch_id") < F.lit(int(batch_id)))
+                .select("band_idx", "band_hash", F.col("sig").alias("idx_sig"))
+            )
+            hist_dups = (
+                bands.join(idx, ["band_idx", "band_hash"])
+                .filter(_est_sim(F.col("sig"), F.col("idx_sig")) >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+            dups = in_batch_dups.unionByName(hist_dups).distinct()
+        else:
+            dups = in_batch_dups
+        dups = dups.localCheckpoint()
+
+        novel = batch_df.join(dups, id_col, "left_anti")
+        novel.write.mode("overwrite").parquet(
+            f"{accepted_root}/batch_id={batch_id}"
+        )
+        novel_bands = bands.join(dups, id_col, "left_anti").select(
+            id_col, "band_idx", "band_hash", "sig"
+        )
+        novel_bands.write.mode("overwrite").partitionBy("band_idx").parquet(
+            f"{index_root}/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_dedup)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()
