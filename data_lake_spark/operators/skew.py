@@ -45,8 +45,11 @@ def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
             F.col("key_value").cast("string").alias("key_value"),
             "cnt",
             (F.col("cnt") / F.col("n_rows")).alias("row_share"),
+            # one division then one multiply (not cnt/(n_rows/n_keys)):
+            # fewer roundings, and the same IEEE result is reproducible
+            # in any engine that evaluates div-then-mul
             (
-                F.col("cnt") / (F.col("n_rows") / F.col("n_keys"))
+                F.col("cnt") / F.col("n_rows") * F.col("n_keys")
             ).alias("skew_ratio"),
         )
         .orderBy("rank")

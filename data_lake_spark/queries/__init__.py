@@ -41,6 +41,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         sketches,
+        sketches2,
         sqlcompat_q,
         temporal,
         temporal2,
@@ -54,6 +55,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(relational4.REGISTRY)
     reg.update(curation.REGISTRY)
     reg.update(sketches.REGISTRY)
+    reg.update(sketches2.REGISTRY)
     reg.update(llm.REGISTRY)
     reg.update(llm2.REGISTRY)
     reg.update(llm3.REGISTRY)

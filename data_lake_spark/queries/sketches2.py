@@ -1,0 +1,152 @@
+"""Second sketch family: frequent-items coverage, mergeable theta
+distinct sketches, and the key-skew pre-flight report.
+
+Same driver contract as queries/sketches.py: sketch internals are
+engine-specific, so each query returns exact, oracle-recomputable
+columns plus a ``within_tolerance`` boolean reduced in-engine; the
+DuckDB oracle asserts the exact columns and expects the boolean true.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.queries import QuerySpec
+from data_lake_spark.queries.temporal import _events_secs
+
+# freqItems support threshold: the algorithm (Karp/Shenker/Papadimitriou
+# one-pass majority generalization) guarantees a SUPERSET of the items
+# with frequency > support — the checkable contract below.
+_FI_SUPPORT = 0.05
+
+# theta sketch default lgK=12 → relative standard error ≈ 1/sqrt(2^12)
+# ≈ 1.6%; 3σ hard bound.
+_THETA_BOUND = 3 * 0.016
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event types via the one-pass distributed frequent-items
+    sketch beside exact counts. The sketch's guarantee — every key with
+    row share > support IS in the returned set (false positives allowed,
+    false negatives impossible) — is reduced to a per-key boolean. At
+    100 TB the sketch is fixed-size per partition and merges in one
+    combine; the exact counts here are the dim-sized verification side."""
+    e = _events_secs(spark, sf_dir)
+    freq = e.stat.freqItems(["event_type"], support=_FI_SUPPORT)
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(freq))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cnt") / F.col("n_rows")).alias("share"),
+            (
+                (F.col("cnt") / F.col("n_rows") <= F.lit(_FI_SUPPORT))
+                | F.array_contains(
+                    F.col("event_type_freqItems"), F.col("event_type")
+                )
+            ).alias("within_tolerance"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n_rows FROM counts)
+SELECT event_type, cnt,
+       cnt / CAST(n_rows AS DOUBLE) AS share,
+       TRUE AS within_tolerance
+FROM counts CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+def q_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count: one theta sketch of user_id PER event
+    type, then a sketch-union across types estimates total distinct
+    users WITHOUT re-touching the raw rows — the property that lets
+    100 TB dashboards union per-partition/per-day sketches instead of
+    re-shuffling ids. Exact twin computed beside it; 3σ bound."""
+    e = _events_secs(spark, sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id").cast("string")).alias("sk")
+    )
+    merged = per_type.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    rel_err = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users").cast("double")
+    ) / F.col("exact_users").cast("double")
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "n_types",
+            "exact_users",
+            (rel_err <= F.lit(_THETA_BOUND)).alias("within_tolerance"),
+        )
+    )
+
+
+ORACLE_THETA_DISTINCT = """
+SELECT COUNT(DISTINCT event_type) AS n_types,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tolerance
+FROM events
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew diagnosis (operators/skew.py) as a driver
+    query: top-10 heaviest join keys with row share and skew ratio vs
+    the uniform share — the number that says whether a join on this key
+    needs salting or AQE skew splitting before it runs at 100 TB."""
+    from data_lake_spark.operators.skew import key_skew_report
+
+    e = _events_secs(spark, sf_dir)
+    return key_skew_report(e, "user_id", top_k=10).orderBy("rank")
+
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id AS key_raw, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts
+)
+-- ties break on the key's ORIGINAL (numeric) type, as the Spark
+-- operator orders before its final cast-to-string
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key_raw) AS INT) AS rank,
+       CAST(key_raw AS VARCHAR) AS key_value, cnt,
+       cnt / CAST(n_rows AS DOUBLE) AS row_share,
+       cnt / CAST(n_rows AS DOUBLE) * n_keys AS skew_ratio
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, key_raw
+LIMIT 10
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters, ORACLE_HEAVY_HITTERS,
+        "one-pass frequent-items sketch: superset guarantee checked "
+        "per key beside exact counts",
+    ),
+    "theta_distinct": QuerySpec(
+        q_theta_distinct, ORACLE_THETA_DISTINCT,
+        "per-group theta sketches union-merged to a total distinct "
+        "estimate beside the exact count",
+    ),
+    "skew_report": QuerySpec(
+        q_skew_report, ORACLE_SKEW_REPORT,
+        "top-10 join-key heavy hitters with share and skew ratio",
+    ),
+}
