@@ -129,6 +129,96 @@ def pq_encode(
     )
 
 
+def pq_codebook_lit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, list, int]:
+    """Collect the (dim-sized: m×k×dim values) codebook to the driver
+    for inlining as a Literal — the same move as srp_weights: model
+    state that small has no business being a join side. Returns
+    (values, present_codes, subdim) where values[s][c] is the subdim
+    centroid slice (zeros when the seed assignment left (s, c) empty)
+    and present_codes[s] lists the non-empty codes ascending."""
+    dim = _vec_dim(emb, vec_col)
+    subdim = dim // m
+    rows = pq_codebooks(emb, m, k, id_col, vec_col).collect()
+    values = [[[0.0] * subdim for _ in range(k)] for _ in range(m)]
+    present: list[set] = [set() for _ in range(m)]
+    for r in rows:
+        values[r["s"]][r["code"]][r["d"] % subdim] = r["c"]
+        present[r["s"]].add(r["code"])
+    return values, [sorted(p) for p in present], subdim
+
+
+def pq_encode_expr(
+    vec_col: str, values: list, present: list, subdim: int
+) -> Column:
+    """Map-only PQ encode: codes for one vector as an array<int> Column,
+    computed entirely with higher-order array functions against the
+    inlined codebook Literal — ZERO shuffle, one row per vector, where
+    the groupBy formulation shuffles N×dim element rows twice. Identical
+    arithmetic (per-dim floor-quantized squared distance, exact long
+    sum, ties to the smallest code), so codes are bit-identical to
+    :func:`pq_encode`."""
+    vec = _to_double(vec_col)
+    m = len(values)
+    cb_lit = F.lit(values)  # array<array<array<double>>> [s][c][d]
+    sentinel = (1 << 62) - 1
+
+    def best_code(s: int) -> Column:
+        sub = F.slice(vec, s * subdim + 1, subdim)
+        # fold over present codes ascending; strict < keeps the smallest
+        # code on ties — same order as pq_encode's min-of-struct
+        acc0 = F.struct(
+            F.lit(sentinel).cast("long").alias("d2"),
+            F.lit(-1).alias("code"),
+        )
+        return F.aggregate(
+            F.array(*[F.lit(c) for c in present[s]]),
+            acc0,
+            lambda acc, c: F.when(
+                # d2 recomputed per candidate code via element_at on the
+                # literal — codegen, no data movement
+                _d2_of(sub, cb_lit, s, c) < acc["d2"],
+                F.struct(
+                    _d2_of(sub, cb_lit, s, c).alias("d2"), c.alias("code")
+                ),
+            ).otherwise(acc),
+        )["code"]
+
+    def _d2_of(sub: Column, cb: Column, s: int, c: Column) -> Column:
+        cent = F.element_at(F.element_at(cb, s + 1), (c + 1).cast("int"))
+        terms = F.zip_with(
+            sub, cent, lambda x, cv: F.floor((x - cv) * (x - cv) * F.lit(PSCALE))
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    return F.array(*[best_code(s) for s in range(m)])
+
+
+def pq_encode_map_only(
+    emb: DataFrame,
+    values: list,
+    present: list,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, code) rows via the map-only encode expression: a
+    posexplode of the m-entry code array — still zero shuffle.
+    Bit-identical to :func:`pq_encode` (parity test in
+    tests/test_pq.py)."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(pq_encode_expr(vec_col, values, present, subdim)).alias(
+            "s", "code"
+        ),
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -141,31 +231,45 @@ def pq_adc_topk(
     """PQ-ADC linear scan: approximate dot(query, candidate) as the sum
     of m LUT lookups; top-``k_top`` per query by approx score.
 
-    Plan shape: codebooks materialize once (localCheckpoint) and feed
-    both the corpus encode and the per-query LUT; the scan itself is
+    Plan shape: the codebook (m×k×dim values — model state, not data)
+    trains in one elems aggregation, collects to the driver, and inlines
+    as a Literal; corpus encode and the per-query LUT are then MAP-ONLY
+    higher-order-function expressions (zero shuffle — the groupBy
+    formulation re-shuffled N×dim element rows). The scan itself is
     codes ⋈ broadcast(LUT) on (s, code) + a hash aggregate on
     (query_id, cand_id) — the raw embedding column is read once to
     encode and never joined pairwise. approx_dot is deterministic
-    (quantized means + quantized LUT terms, exact integer sums)."""
-    cb = pq_codebooks(emb, m, k_codes, id_col, vec_col).localCheckpoint(
-        eager=False
-    )
-    codes = pq_encode(emb, cb, m, id_col, vec_col).select(
-        F.col(id_col).alias("cand_id"), "s", "code"
-    )
-    q_elems = pq_elems(emb, m, id_col, vec_col).filter(
-        F.col(id_col).isin(query_ids)
+    (quantized means + quantized LUT terms, exact integer sums), and
+    bit-identical to the pure-DataFrame formulation (parity test)."""
+    values, present, subdim = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
+    codes = pq_encode_map_only(
+        emb, values, present, subdim, id_col, vec_col
+    ).select(F.col(id_col).alias("cand_id"), "s", "code")
+
+    def lut_term(s: int, c: int) -> Column:
+        sub = F.slice(_to_double(vec_col), s * subdim + 1, subdim)
+        terms = F.zip_with(
+            sub,
+            F.lit(values[s][c]),
+            lambda x, cv: F.floor(x * cv * F.lit(PSCALE)),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                F.lit(c).cast("int").alias("code"),
+                lut_term(s, c).alias("lut"),
+            )
+            for s in range(len(values))
+            for c in present[s]
+        ]
     )
     lut = (
-        q_elems.join(F.broadcast(cb), ["s", "d"])
-        .select(
-            F.col(id_col).alias("query_id"),
-            "s",
-            "code",
-            F.floor(F.col("x") * F.col("c") * F.lit(PSCALE)).alias("t"),
-        )
-        .groupBy("query_id", "s", "code")
-        .agg(F.sum("t").alias("lut"))
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.explode(entries).alias("e"))
+        .select("query_id", "e.s", "e.code", "e.lut")
     )
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])

@@ -40,6 +40,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         relational4,
+        relational5,
         sketches,
         sketches2,
         sqlcompat_q,
@@ -53,6 +54,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(relational2.REGISTRY)
     reg.update(relational3.REGISTRY)
     reg.update(relational4.REGISTRY)
+    reg.update(relational5.REGISTRY)
     reg.update(curation.REGISTRY)
     reg.update(sketches.REGISTRY)
     reg.update(sketches2.REGISTRY)
@@ -107,6 +109,10 @@ def full_registry() -> dict[str, QuerySpec]:
 # (r01-green ones among these double as proven-once sentinels; the 9 new
 # round-2 queries — line_dedup source_cap partial_overlap curation_funnel
 # athena_* — have never had a driver row and MUST be inside the window.)
+# Late round-2 additions with no driver row yet (include in the r03
+# window too): pq_encode pq_search pq_rerank heavy_hitters theta_distinct
+# skew_report salted_join_agg — that makes 60 candidates for 50 slots;
+# drop enough r01-green sentinels (they are proven once already) to fit.
 _DRIVER_WINDOW_PRIORITY = [
     # round-1 unchecked: llm dedup/ANN family
     "simhash",

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
-from data_lake_spark.operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+from data_lake_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebook_lit,
+    pq_encode_map_only,
+)
 from data_lake_spark.queries import QuerySpec
 
 _PS = "1000000000000.0"
@@ -62,9 +66,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed representation the ADC scan reads instead of raw
     float32 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebooks(emb, m=_M, k=_K)
+    values, present, subdim = pq_codebook_lit(emb, m=_M, k=_K)
     return (
-        pq_encode(emb, cb, m=_M)
+        pq_encode_map_only(emb, values, present, subdim)
         .select(
             "vec_id",
             F.col("s").cast("long").alias("s"),

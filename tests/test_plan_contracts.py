@@ -40,6 +40,11 @@ _BNLJ_OK = {
     "api_dow",
     # Athena-dialect pct-of-total: uncorrelated scalar subquery -> 1-row BNLJ
     "athena_dow_dist",
+    # sketch-vs-exact comparisons attach 1-row broadcast frames (the
+    # frequent-items set / grand totals / the exact-distinct scalar)
+    "heavy_hitters",
+    "theta_distinct",
+    "skew_report",
 }
 
 

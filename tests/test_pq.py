@@ -38,6 +38,29 @@ def test_codebook_is_dim_sized(spark, sf_dir):
     assert [r["count"] for r in per_group.collect()] == [dim // _M]
 
 
+def test_map_only_encode_matches_groupby_encode(spark, sf_dir):
+    """The literal-codebook higher-order-function encode (zero shuffle)
+    must produce bit-identical codes to the groupBy/join formulation —
+    same floor-quantized distances, same tie-breaks."""
+    from data_lake_spark.operators.pq import (
+        pq_codebook_lit,
+        pq_encode_map_only,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_M, k=_K)
+    a = {
+        (r.vec_id, r.s, r.code)
+        for r in pq_encode(emb, cb, m=_M).collect()
+    }
+    values, present, subdim = pq_codebook_lit(emb, m=_M, k=_K)
+    b = {
+        (r.vec_id, r.s, r.code)
+        for r in pq_encode_map_only(emb, values, present, subdim).collect()
+    }
+    assert a == b
+
+
 def test_adc_deterministic_across_partitionings(spark, sf_dir):
     """Quantized sums are exact and associative: scores must be
     bit-identical at 1 partition and 32."""
