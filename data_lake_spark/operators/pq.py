@@ -163,40 +163,51 @@ def pq_encode_expr(
     arithmetic (per-dim floor-quantized squared distance, exact long
     sum, ties to the smallest code), so codes are bit-identical to
     :func:`pq_encode`."""
+    return _encode_col(vec_col, F.lit(values), len(values), present, subdim)
+
+
+def _d2_of(sub: Column, cb: Column, s: int, c: Column) -> Column:
+    cent = F.element_at(F.element_at(cb, s + 1), (c + 1).cast("int"))
+    terms = F.zip_with(
+        sub, cent, lambda x, cv: F.floor((x - cv) * (x - cv) * F.lit(PSCALE))
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def _encode_col(
+    vec_col: str, cb: Column, m: int, present: list, subdim: int
+) -> Column:
+    """Codes array for one vector against a codebook Column (a Literal
+    or a broadcast one-row attribute — same arithmetic either way)."""
     vec = _to_double(vec_col)
-    m = len(values)
-    cb_lit = F.lit(values)  # array<array<array<double>>> [s][c][d]
-    sentinel = (1 << 62) - 1
 
     def best_code(s: int) -> Column:
         sub = F.slice(vec, s * subdim + 1, subdim)
-        # fold over present codes ascending; strict < keeps the smallest
-        # code on ties — same order as pq_encode's min-of-struct
-        acc0 = F.struct(
-            F.lit(sentinel).cast("long").alias("d2"),
-            F.lit(-1).alias("code"),
-        )
-        return F.aggregate(
+        # array_min over (d2, code) structs: lexicographic struct order
+        # gives argmin-with-smallest-code-on-ties — the same tie-break as
+        # pq_encode's min-of-struct — and evaluates each candidate
+        # distance exactly once
+        pairs = F.transform(
             F.array(*[F.lit(c) for c in present[s]]),
-            acc0,
-            lambda acc, c: F.when(
-                # d2 recomputed per candidate code via element_at on the
-                # literal — codegen, no data movement
-                _d2_of(sub, cb_lit, s, c) < acc["d2"],
-                F.struct(
-                    _d2_of(sub, cb_lit, s, c).alias("d2"), c.alias("code")
-                ),
-            ).otherwise(acc),
-        )["code"]
-
-    def _d2_of(sub: Column, cb: Column, s: int, c: Column) -> Column:
-        cent = F.element_at(F.element_at(cb, s + 1), (c + 1).cast("int"))
-        terms = F.zip_with(
-            sub, cent, lambda x, cv: F.floor((x - cv) * (x - cv) * F.lit(PSCALE))
+            lambda c: F.struct(
+                _d2_of(sub, cb, s, c).alias("d2"),
+                c.cast("int").alias("code"),
+            ),
         )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+        return F.array_min(pairs)["code"]
 
     return F.array(*[best_code(s) for s in range(m)])
+
+
+def _codebook_df(spark, values: list) -> DataFrame:
+    """The collected codebook as a ONE-ROW broadcastable frame. Joining
+    it (broadcast) and referencing the single array attribute keeps the
+    per-query expression tree small — measurably less Catalyst/codegen
+    time per run than re-inlining thousands of literal nodes, with
+    identical results."""
+    return spark.createDataFrame(
+        [(values,)], "cb array<array<array<double>>>"
+    )
 
 
 def pq_encode_map_only(
@@ -207,15 +218,19 @@ def pq_encode_map_only(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, s, code) rows via the map-only encode expression: a
-    posexplode of the m-entry code array — still zero shuffle.
-    Bit-identical to :func:`pq_encode` (parity test in
-    tests/test_pq.py)."""
-    return emb.select(
-        F.col(id_col),
-        F.posexplode(pq_encode_expr(vec_col, values, present, subdim)).alias(
-            "s", "code"
-        ),
+    """(id, s, code) rows via the map-only encode expression against the
+    broadcast one-row codebook: a posexplode of the m-entry code array —
+    no shuffle of the corpus. Bit-identical to :func:`pq_encode`
+    (parity test in tests/test_pq.py)."""
+    cbdf = _codebook_df(emb.sparkSession, values)
+    return (
+        emb.crossJoin(F.broadcast(cbdf))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                _encode_col(vec_col, F.col("cb"), len(values), present, subdim)
+            ).alias("s", "code"),
+        )
     )
 
 
@@ -227,9 +242,13 @@ def pq_adc_topk(
     k_codes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: tuple | None = None,
 ) -> DataFrame:
     """PQ-ADC linear scan: approximate dot(query, candidate) as the sum
-    of m LUT lookups; top-``k_top`` per query by approx score.
+    of m LUT lookups; top-``k_top`` per query by approx score. Pass a
+    precomputed ``codebook`` (from :func:`pq_codebook_lit`) to skip
+    retraining — the production pattern, where the codebook is a stored
+    artifact reused across queries.
 
     Plan shape: the codebook (m×k×dim values — model state, not data)
     trains in one elems aggregation, collects to the driver, and inlines
@@ -241,34 +260,61 @@ def pq_adc_topk(
     encode and never joined pairwise. approx_dot is deterministic
     (quantized means + quantized LUT terms, exact integer sums), and
     bit-identical to the pure-DataFrame formulation (parity test)."""
-    values, present, subdim = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
-    codes = pq_encode_map_only(
-        emb, values, present, subdim, id_col, vec_col
-    ).select(F.col(id_col).alias("cand_id"), "s", "code")
-
-    def lut_term(s: int, c: int) -> Column:
-        sub = F.slice(_to_double(vec_col), s * subdim + 1, subdim)
-        terms = F.zip_with(
-            sub,
-            F.lit(values[s][c]),
-            lambda x, cv: F.floor(x * cv * F.lit(PSCALE)),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
-
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("s"),
-                F.lit(c).cast("int").alias("code"),
-                lut_term(s, c).alias("lut"),
-            )
-            for s in range(len(values))
-            for c in present[s]
-        ]
+    if codebook is None:
+        codebook = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
+    values, present, subdim = codebook
+    # materialize the (id, s, code) table once: the ADC join then plans
+    # against a small materialized input instead of re-optimizing the
+    # encode expression inside the larger query
+    codes = (
+        pq_encode_map_only(emb, values, present, subdim, id_col, vec_col)
+        .select(F.col(id_col).alias("cand_id"), "s", "code")
+        .localCheckpoint(eager=False)
     )
+    cbdf = _codebook_df(emb.sparkSession, values)
+
+    def lut_entries(cb: Column) -> Column:
+        vec = _to_double(vec_col)
+        per_s = []
+        for s in range(len(values)):
+            sub = F.slice(vec, s * subdim + 1, subdim)
+
+            def mk(s: int, sub: Column):
+                def lam(c: Column) -> Column:
+                    cent = F.element_at(
+                        F.element_at(cb, s + 1), (c + 1).cast("int")
+                    )
+                    t = F.aggregate(
+                        F.zip_with(
+                            sub,
+                            cent,
+                            lambda x, cv: F.floor(x * cv * F.lit(PSCALE)),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, t: acc + t,
+                    )
+                    return F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        c.cast("int").alias("code"),
+                        t.alias("lut"),
+                    )
+
+                return lam
+
+            per_s.append(
+                F.transform(
+                    F.array(*[F.lit(c) for c in present[s]]), mk(s, sub)
+                )
+            )
+        return F.flatten(F.array(*per_s))
+
     lut = (
         emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.explode(entries).alias("e"))
+        .crossJoin(F.broadcast(cbdf))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(lut_entries(F.col("cb"))).alias("e"),
+        )
         .select("query_id", "e.s", "e.code", "e.lut")
     )
     scored = (
@@ -294,6 +340,7 @@ def pq_adc_rerank_topk(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: tuple | None = None,
 ) -> DataFrame:
     """The production two-stage shape: PQ-ADC scan prunes the corpus to
     a per-query ``shortlist``, then exact cosine re-ranks ONLY the
@@ -307,7 +354,7 @@ def pq_adc_rerank_topk(
 
     short = pq_adc_topk(
         emb, query_ids, k_top=shortlist, m=m, k_codes=k_codes, id_col=id_col,
-        vec_col=vec_col,
+        vec_col=vec_col, codebook=codebook,
     ).select("query_id", "cand_id")
     vecs = emb.select(
         F.col(id_col), _to_double(vec_col).alias("v")

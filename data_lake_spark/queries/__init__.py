@@ -28,6 +28,7 @@ def full_registry() -> dict[str, QuerySpec]:
     from data_lake_spark.queries import (
         api_queries,
         curation,
+        curation2,
         llm,
         llm2,
         llm3,
@@ -47,6 +48,7 @@ def full_registry() -> dict[str, QuerySpec]:
         temporal,
         temporal2,
         temporal3,
+        temporal4,
     )
 
     reg: dict[str, QuerySpec] = {}
@@ -56,6 +58,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(relational4.REGISTRY)
     reg.update(relational5.REGISTRY)
     reg.update(curation.REGISTRY)
+    reg.update(curation2.REGISTRY)
     reg.update(sketches.REGISTRY)
     reg.update(sketches2.REGISTRY)
     reg.update(llm.REGISTRY)
@@ -69,6 +72,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
+    reg.update(temporal4.REGISTRY)
     reg.update(api_queries.REGISTRY)
     reg.update(sqlcompat_q.REGISTRY)
 
@@ -111,7 +115,8 @@ def full_registry() -> dict[str, QuerySpec]:
 # athena_* — have never had a driver row and MUST be inside the window.)
 # Late round-2 additions with no driver row yet (include in the r03
 # window too): pq_encode pq_search pq_rerank heavy_hitters theta_distinct
-# skew_report salted_join_agg — that makes 60 candidates for 50 slots;
+# skew_report salted_join_agg weighted_sample gap_fill_interp — 62
+# candidates for 50 slots;
 # drop enough r01-green sentinels (they are proven once already) to fit.
 _DRIVER_WINDOW_PRIORITY = [
     # round-1 unchecked: llm dedup/ANN family

@@ -206,34 +206,20 @@ ORDER BY 1, 2
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprint (16-bit variant): per token, md5 hex
-    chars 1..16 each vote ±1 on one bit (odd char code → +1); bit set if
-    the vote sum is positive; fingerprint = Σ bit_b·2^b. Near-dup docs
-    differ in few bits. explode→groupBy(doc, bit) is map-side combinable —
-    the shuffle carries ≤ 16 rows per doc."""
+    """SimHash document fingerprint (16-bit variant): per DISTINCT token,
+    md5 hex chars 1..16 each vote ±1 on one bit (odd char code → +1);
+    bit set if the vote sum is positive; fingerprint = Σ bit_b·2^b.
+    Near-dup docs differ in few bits. Computed MAP-ONLY via the
+    higher-order-function expression (operators/textdedup.simhash16_expr)
+    — one row per doc, zero shuffle; the exact integer vote folds make
+    it bit-identical to the explode→groupBy formulation the oracle
+    mirrors."""
+    from data_lake_spark.operators.textdedup import simhash16_expr
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    bits = toks.select(
-        "doc_id",
-        F.posexplode(F.split(F.substring("h", 1, 16), "(?!^)")).alias("bit", "c"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.ascii("c") % 2 == 1, 1).otherwise(-1).alias("vote"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-                .otherwise(0)
-            ).alias("simhash16")
-        )
-        .orderBy("doc_id")
-    )
+    return docs.select(
+        "doc_id", simhash16_expr("text").alias("simhash16")
+    ).orderBy("doc_id")
 
 
 ORACLE_SIMHASH = """

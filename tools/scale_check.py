@@ -100,6 +100,20 @@ def _scale_corpus(spark, src: str, dst: str, k: int) -> None:
         vout = vout.unionByName(p)
     vout.write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
 
+    # dim/static tables pass through unchanged (they're the broadcast
+    # side — K× them and the join stops being dim-vs-fact)
+    import glob
+
+    for p in glob.glob(os.path.join(src, "*.parquet")):
+        name = os.path.basename(p)
+        if name in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+            continue
+        target = os.path.join(dst, name)
+        if os.path.isdir(p):
+            shutil.copytree(p, target)
+        else:
+            shutil.copy(p, target)
+
 
 def _time(fn, spark, sf_dir) -> float:
     fn(spark, sf_dir).collect()  # warm
