@@ -45,6 +45,11 @@ _BNLJ_OK = {
     "heavy_hitters",
     "theta_distinct",
     "skew_report",
+    # the PQ codebook rides along as a broadcast ONE-ROW frame (model
+    # state as an attribute, not thousands of literal nodes)
+    "pq_encode",
+    "pq_search",
+    "pq_rerank",
 }
 
 
