@@ -234,43 +234,36 @@ def pq_encode_map_only(
     )
 
 
-def pq_adc_topk(
+def _codes_frame(
     emb: DataFrame,
-    query_ids: list[int],
-    k_top: int = 5,
-    m: int = 4,
-    k_codes: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    codebook: tuple | None = None,
+    values: list,
+    present: list,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """PQ-ADC linear scan: approximate dot(query, candidate) as the sum
-    of m LUT lookups; top-``k_top`` per query by approx score. Pass a
-    precomputed ``codebook`` (from :func:`pq_codebook_lit`) to skip
-    retraining — the production pattern, where the codebook is a stored
-    artifact reused across queries.
-
-    Plan shape: the codebook (m×k×dim values — model state, not data)
-    trains in one elems aggregation, collects to the driver, and inlines
-    as a Literal; corpus encode and the per-query LUT are then MAP-ONLY
-    higher-order-function expressions (zero shuffle — the groupBy
-    formulation re-shuffled N×dim element rows). The scan itself is
-    codes ⋈ broadcast(LUT) on (s, code) + a hash aggregate on
-    (query_id, cand_id) — the raw embedding column is read once to
-    encode and never joined pairwise. approx_dot is deterministic
-    (quantized means + quantized LUT terms, exact integer sums), and
-    bit-identical to the pure-DataFrame formulation (parity test)."""
-    if codebook is None:
-        codebook = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
-    values, present, subdim = codebook
-    # materialize the (id, s, code) table once: the ADC join then plans
-    # against a small materialized input instead of re-optimizing the
-    # encode expression inside the larger query
-    codes = (
+    """(cand_id, s, code), materialized once: the ADC join then plans
+    against a small materialized input instead of re-optimizing the
+    encode expression inside the larger query."""
+    return (
         pq_encode_map_only(emb, values, present, subdim, id_col, vec_col)
         .select(F.col(id_col).alias("cand_id"), "s", "code")
         .localCheckpoint(eager=False)
     )
+
+
+def _lut_frame(
+    emb: DataFrame,
+    query_ids: list[int],
+    values: list,
+    present: list,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, s, code, lut): each query's m×k ADC lookup table as
+    rows — built by per-subspace transforms against the broadcast
+    codebook column (small expression tree, zero shuffle)."""
     cbdf = _codebook_df(emb.sparkSession, values)
 
     def lut_entries(cb: Column) -> Column:
@@ -308,7 +301,7 @@ def pq_adc_topk(
             )
         return F.flatten(F.array(*per_s))
 
-    lut = (
+    return (
         emb.filter(F.col(id_col).isin(query_ids))
         .crossJoin(F.broadcast(cbdf))
         .select(
@@ -317,11 +310,100 @@ def pq_adc_topk(
         )
         .select("query_id", "e.s", "e.code", "e.lut")
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_top: int = 5,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: tuple | None = None,
+) -> DataFrame:
+    """PQ-ADC linear scan: approximate dot(query, candidate) as the sum
+    of m LUT lookups; top-``k_top`` per query by approx score. Pass a
+    precomputed ``codebook`` (from :func:`pq_codebook_lit`) to skip
+    retraining — the production pattern, where the codebook is a stored
+    artifact reused across queries.
+
+    Plan shape: the codebook (m×k×dim values — model state, not data)
+    trains in one elems aggregation, collects to the driver, and inlines
+    as a Literal; corpus encode and the per-query LUT are then MAP-ONLY
+    higher-order-function expressions (zero shuffle — the groupBy
+    formulation re-shuffled N×dim element rows). The scan itself is
+    codes ⋈ broadcast(LUT) on (s, code) + a hash aggregate on
+    (query_id, cand_id) — the raw embedding column is read once to
+    encode and never joined pairwise. approx_dot is deterministic
+    (quantized means + quantized LUT terms, exact integer sums), and
+    bit-identical to the pure-DataFrame formulation (parity test)."""
+    if codebook is None:
+        codebook = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
+    values, present, subdim = codebook
+    codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
+    lut = _lut_frame(emb, query_ids, values, present, subdim, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .groupBy("query_id", "cand_id")
         .agg((F.sum("lut").cast("double") / F.lit(PSCALE)).alias("approx_dot"))
         .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("cand_id")
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k_top)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_top: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    codebook: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production composition of both ANN tiers: probe the
+    ``n_probe`` cells nearest each query (partition pruning at 100 TB:
+    the codes table lives cell-partitioned, a query touches
+    n_probe/N_cells of it), then score ONLY those cells' members with
+    the compressed PQ-ADC lookup-table sum. Neither raw-vector pairwise
+    math nor a full code scan: candidate selection is an equi-join on
+    the cell, scoring an equi-join on (query_id, s, code) against the
+    broadcast LUT. Deterministic end to end (quantized centroid/LUT
+    arithmetic), mirrored in the DuckDB oracle (queries/llm7.py)."""
+    from data_lake_spark.operators.similarity import probed_cells
+
+    if codebook is None:
+        codebook = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
+    values, present, subdim = codebook
+    # candidate selection BEFORE scoring: only probed cells' members
+    # enter the ADC join — with codes cell-partitioned at scale this is
+    # partition pruning, here it's a broadcast join on the cell
+    cands = (
+        F.broadcast(
+            probed_cells(emb, query_ids, n_probe, id_col, vec_col, label_col)
+        )
+        .join(
+            emb.select(F.col(id_col).alias("cand_id"), F.col(label_col)),
+            F.col(label_col) == F.col("cell"),
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+    )
+    codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
+    lut = _lut_frame(emb, query_ids, values, present, subdim, id_col, vec_col)
+    scored = (
+        cands.join(codes, "cand_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg((F.sum("lut").cast("double") / F.lit(PSCALE)).alias("approx_dot"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dot").desc(), F.col("cand_id")

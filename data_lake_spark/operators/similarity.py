@@ -284,21 +284,18 @@ def ivf_assign(
     )
 
 
-def ivf_search(
+def probed_cells(
     emb: DataFrame,
     query_ids: list[int],
-    k: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """IVF probe search: rank cells by query→centroid distance, search
-    ONLY the ``n_probe`` nearest cells' inverted lists, exact cosine
-    within them. The 100 TB shape: the corpus is partitioned by cell, a
-    query touches n_probe/N_cells of it, and every step is an equi-join
-    or map-side-combinable aggregate. Recall < 1 by design; raise n_probe
-    to trade cost for recall."""
+    """(query_id, cell): the ``n_probe`` cells nearest each query by
+    quantized squared L2 to the per-label exact-mean centroids — the
+    probe-selection stage shared by ivf_search (exact scoring inside
+    cells) and ivf_pq_topk (compressed ADC scoring inside cells)."""
     elems = emb.select(
         F.col(id_col),
         F.col(label_col),
@@ -325,9 +322,27 @@ def ivf_search(
         )
     )
     w_cell = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probed = qdist.withColumn("cr", F.row_number().over(w_cell)).filter(
+    return qdist.withColumn("cr", F.row_number().over(w_cell)).filter(
         F.col("cr") <= n_probe
     ).select("query_id", "cell")
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF probe search: rank cells by query→centroid distance, search
+    ONLY the ``n_probe`` nearest cells' inverted lists, exact cosine
+    within them. The 100 TB shape: the corpus is partitioned by cell, a
+    query touches n_probe/N_cells of it, and every step is an equi-join
+    or map-side-combinable aggregate. Recall < 1 by design; raise n_probe
+    to trade cost for recall."""
+    probed = probed_cells(emb, query_ids, n_probe, id_col, vec_col, label_col)
 
     vecs = emb.select(
         F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")

@@ -45,7 +45,7 @@ def _codebook(spark: SparkSession, sf_dir: str, m: int, k: int):
 # seeded codes, one-step codebooks, nearest-code assignment
 _PQ_SQL = f"""
 elems AS (
-  SELECT vec_id,
+  SELECT vec_id, label,
          CAST(UNNEST(embedding) AS DOUBLE) AS x,
          GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d,
          CAST((GENERATE_SUBSCRIPTS(embedding, 1) - 1) // 16 AS INT) AS s
@@ -198,6 +198,72 @@ ORDER BY query_id, rk
 """
 
 
+def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: both ANN tiers composed — probe the 2 nearest cells per
+    query, then PQ-ADC score only those cells' members. Candidate
+    selection is a broadcast cell join (partition pruning when codes are
+    cell-partitioned at scale); scoring never touches raw vectors."""
+    from data_lake_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_pq_topk(
+            emb, query_ids=[0, 1, 2, 3, 4], k_top=5, n_probe=2,
+            m=_M, k_codes=_K, codebook=_codebook(spark, sf_dir, _M, _K),
+        )
+        .select("query_id", "cand_id", "approx_dot", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+ORACLE_IVF_PQ = f"""
+WITH {_PQ_SQL},
+cent AS (
+  SELECT label AS cell, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} / COUNT(x) AS c
+  FROM elems GROUP BY 1, 2
+),
+qdist AS (
+  SELECT e.vec_id AS query_id, ct.cell,
+         SUM(CAST(FLOOR((e.x - ct.c) * (e.x - ct.c) * {_PS}) AS BIGINT)) AS cd2
+  FROM elems e JOIN cent ct ON e.d = ct.d
+  WHERE e.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT query_id, cell FROM qdist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2 ASC, cell ASC) <= 2
+),
+cands AS (
+  SELECT p.query_id, v.vec_id AS cand_id
+  FROM probed p
+  JOIN (SELECT DISTINCT vec_id, label FROM embeddings) v ON v.label = p.cell
+  WHERE v.vec_id != p.query_id
+),
+lut AS (
+  SELECT qe.vec_id AS query_id, cb.s, cb.code,
+         SUM(CAST(FLOOR(qe.x * cb.c * {_PS}) AS BIGINT)) AS lut
+  FROM elems qe JOIN cb ON qe.s = cb.s AND qe.d = cb.d
+  WHERE qe.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT ca.query_id, ca.cand_id,
+         CAST(SUM(l.lut) AS DOUBLE) / {_PS} AS approx_dot
+  FROM cands ca
+  JOIN codes co ON co.vec_id = ca.cand_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.s = co.s AND l.code = co.code
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, approx_dot,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "pq_encode": QuerySpec(
         q_pq_encode, ORACLE_PQ_ENCODE, "PQ corpus encode (m=4, k=8)"
@@ -209,5 +275,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_pq_rerank,
         ORACLE_PQ_RERANK,
         "PQ-ADC shortlist + exact cosine re-rank (two-stage ANN)",
+    ),
+    "ivf_pq": QuerySpec(
+        q_ivf_pq,
+        ORACLE_IVF_PQ,
+        "IVF cell probing composed with PQ-ADC scoring (production ANN)",
     ),
 }

@@ -50,6 +50,7 @@ _BNLJ_OK = {
     "pq_encode",
     "pq_search",
     "pq_rerank",
+    "ivf_pq",
 }
 
 
