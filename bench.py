@@ -83,6 +83,8 @@ HEADLINE = [
     # two-stage ANN: PQ-ADC compressed scan + exact re-rank of the
     # shortlist — the scan that replaces raw-vector cosine at 100 TB
     "pq_rerank",
+    # both ANN tiers composed: cell probing + compressed ADC scoring
+    "ivf_pq",
     # skew tooling: the salted join (result-equivalent to the plain
     # join) and the pre-flight heavy-key report it's sized from
     "salted_join_agg",

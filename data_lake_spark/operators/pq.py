@@ -210,6 +210,28 @@ def _codebook_df(spark, values: list) -> DataFrame:
     )
 
 
+def pq_codes_array(
+    emb: DataFrame,
+    values: list,
+    present: list,
+    subdim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the packed per-vector code word — the
+    form an index stores (m small ints instead of dim floats). Same
+    map-only encode, no explode at all."""
+    cbdf = _codebook_df(emb.sparkSession, values)
+    return (
+        emb.crossJoin(F.broadcast(cbdf))
+        .select(
+            F.col(id_col),
+            _encode_col(vec_col, F.col("cb"), len(values), present, subdim)
+            .alias("codes"),
+        )
+    )
+
+
 def pq_encode_map_only(
     emb: DataFrame,
     values: list,

@@ -258,6 +258,51 @@ def start_ivf_index_ingest(
     )
 
 
+def start_ivfpq_index_ingest(
+    emb_stream: DataFrame,
+    index_root: str,
+    centroids: DataFrame,
+    codebook: tuple,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Live IVF-PQ index maintenance: each micro-batch of new vectors is
+    (a) assigned to its nearest IVF cell against broadcast centroids and
+    (b) PQ-encoded against the FIXED codebook via the map-only encode
+    expression — then appended to a cell-partitioned codes index. The
+    search side (operators/pq.ivf_pq_topk's scoring join) reads only
+    ``cell=<probed>`` partition directories and only the m-byte codes,
+    never the raw vectors. Both models stay fixed during ingest
+    (standard practice); retrain offline and rewrite on drift.
+
+    ``codebook`` is the (values, present, subdim) triple from
+    operators/pq.pq_codebook_lit — a stored artifact, exactly what a
+    production system would version alongside the index."""
+    from data_lake_spark.operators.kmeans import _elems, assign_cells
+    from data_lake_spark.operators.pq import pq_codes_array
+
+    cent = centroids.localCheckpoint()
+    values, present, subdim = codebook
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
+        codes = pq_codes_array(
+            batch_df, values, present, subdim, id_col, vec_col
+        )
+        out = codes.join(assigned.select(id_col, "cell"), id_col)
+        out.write.mode("append").partitionBy("cell").parquet(index_root)
+
+    return (
+        emb_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def start_lsh_dedup_ingest(
     docs_stream: DataFrame,
     accepted_root: str,

@@ -1,0 +1,78 @@
+"""Streaming IVF-PQ index maintenance: micro-batches of vectors land in
+a cell-partitioned CODES index (m small ints per vector, no raw
+vectors); codes match the batch-face encode and probe reads prune to
+cell directories."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.kmeans import _elems, assign_cells, hash_seeds
+from data_lake_spark.operators.pq import pq_codebook_lit, pq_codes_array
+from data_lake_spark.streaming.incremental import start_ivfpq_index_ingest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_streaming_ivfpq_index(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    centroids = hash_seeds(emb, k=4)
+    codebook = pq_codebook_lit(emb, m=4, k=8)
+
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        before = set(glob.glob(src + "/*.parquet"))
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(src + "/*.parquet")) - before:
+            os.utime(f, (now - 60 + 30 * i,) * 2)
+
+    idx_root = str(tmp_path / "index")
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_ivfpq_index_ingest(
+        stream, idx_root, centroids, codebook,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    index = spark.read.parquet(idx_root)
+    assert index.count() == emb.count()  # every vector indexed once
+    # the index stores CODES, not vectors
+    assert set(index.columns) == {"vec_id", "codes", "cell"}
+
+    # codes match the batch-face encode against the same codebook
+    values, present, subdim = codebook
+    batch_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_codes_array(emb, values, present, subdim).collect()
+    }
+    got = {r.vec_id: list(r.codes) for r in index.collect()}
+    assert got == batch_codes
+
+    # cell assignments match the batch face too
+    batch_cells = {
+        r.vec_id: r.cell
+        for r in assign_cells(
+            _elems(emb, "vec_id", "embedding"), centroids, "vec_id"
+        ).collect()
+    }
+    assert {r.vec_id: r.cell for r in index.collect()} == batch_cells
+
+    # probe-side pruning: a one-cell read touches only that partition
+    probed = spark.read.parquet(idx_root).filter(F.col("cell") == 0)
+    files = [
+        r[0] for r in probed.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("cell=0" in f for f in files)
