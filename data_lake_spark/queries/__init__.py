@@ -115,8 +115,8 @@ def full_registry() -> dict[str, QuerySpec]:
 # athena_* — have never had a driver row and MUST be inside the window.)
 # Late round-2 additions with no driver row yet (include in the r03
 # window too): pq_encode pq_search pq_rerank heavy_hitters theta_distinct
-# skew_report salted_join_agg weighted_sample gap_fill_interp ivf_pq —
-# 63 candidates for 50 slots;
+# skew_report salted_join_agg weighted_sample gap_fill_interp ivf_pq
+# kll_quantile — 64 candidates for 50 slots;
 # drop enough r01-green sentinels (they are proven once already) to fit.
 _DRIVER_WINDOW_PRIORITY = [
     # round-1 unchecked: llm dedup/ANN family

@@ -103,6 +103,72 @@ FROM events
 """
 
 
+# KLL (k=200 default) normalized rank error ≈ 1.65%; check each sketch
+# quantile against the exact percentiles at q ± 0.03 — same rank-bound
+# contract as queries/sketches.q_quantile_sketch.
+_KLL_RANK_EPS = 0.03
+
+
+def q_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles: one KLL sketch of value PER event type,
+    folded into a single global sketch with the binary merge — global
+    p50/p90/p99 WITHOUT re-touching any raw row. The same
+    partial-then-merge shape per-day/per-partition sketches use on a
+    100 TB latency dashboard. Exact twin beside it; rank-bound check."""
+    e = _events_secs(spark, sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    qs = [0.5, 0.9, 0.99]
+    lo = [max(0.0, q - _KLL_RANK_EPS) for q in qs]
+    hi = [min(1.0, q + _KLL_RANK_EPS) for q in qs]
+    merged = per_type.agg(
+        F.collect_list("sk").alias("sks"),
+        F.count(F.lit(1)).alias("n_types"),
+    ).select(
+        "n_types",
+        F.kll_sketch_get_quantile_double(
+            F.aggregate(
+                F.slice(F.col("sks"), 2, 1_000_000),
+                F.element_at(F.col("sks"), 1),
+                lambda acc, s: F.kll_sketch_merge_double(acc, s),
+            ),
+            F.lit(qs),
+        ).alias("approx_q"),
+    )
+    exact = e.agg(
+        F.percentile("value", F.lit(qs)).alias("exact_q"),
+        F.percentile("value", F.lit(lo)).alias("lo_q"),
+        F.percentile("value", F.lit(hi)).alias("hi_q"),
+    )
+    eps = F.lit(1e-9)
+    within = (
+        (F.col("approx_q")[0] >= F.col("lo_q")[0] - eps)
+        & (F.col("approx_q")[0] <= F.col("hi_q")[0] + eps)
+        & (F.col("approx_q")[1] >= F.col("lo_q")[1] - eps)
+        & (F.col("approx_q")[1] <= F.col("hi_q")[1] + eps)
+        & (F.col("approx_q")[2] >= F.col("lo_q")[2] - eps)
+        & (F.col("approx_q")[2] <= F.col("hi_q")[2] + eps)
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_types",
+        F.col("exact_q")[0].alias("p50_exact"),
+        F.col("exact_q")[1].alias("p90_exact"),
+        F.col("exact_q")[2].alias("p99_exact"),
+        within.alias("within_tolerance"),
+    )
+
+
+ORACLE_KLL_QUANTILE = """
+SELECT COUNT(DISTINCT event_type) AS n_types,
+       QUANTILE_CONT(value, 0.5) AS p50_exact,
+       QUANTILE_CONT(value, 0.9) AS p90_exact,
+       QUANTILE_CONT(value, 0.99) AS p99_exact,
+       TRUE AS within_tolerance
+FROM events
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pre-flight skew diagnosis (operators/skew.py) as a driver
     query: top-10 heaviest join keys with row share and skew ratio vs
@@ -148,5 +214,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "skew_report": QuerySpec(
         q_skew_report, ORACLE_SKEW_REPORT,
         "top-10 join-key heavy hitters with share and skew ratio",
+    ),
+    "kll_quantile": QuerySpec(
+        q_kll_quantile, ORACLE_KLL_QUANTILE,
+        "per-group KLL sketches merged to global quantiles beside the "
+        "exact percentiles (rank-bound check)",
     ),
 }

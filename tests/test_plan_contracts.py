@@ -45,6 +45,7 @@ _BNLJ_OK = {
     "heavy_hitters",
     "theta_distinct",
     "skew_report",
+    "kll_quantile",
     # the PQ codebook rides along as a broadcast ONE-ROW frame (model
     # state as an attribute, not thousands of literal nodes)
     "pq_encode",
