@@ -87,91 +87,73 @@ def full_registry() -> dict[str, QuerySpec]:
 
 
 # The driver oracle-checks the first 50 registry entries per round. Round 1
-# checked the first 50 in module order (all green); this list front-loads the
-# 45 queries that fell outside that window, the 2 sketches (freshly
-# oracle-ized), and 3 already-green sentinels to prove no regression — exactly
-# 50. Everything else keeps its round-1-green status via module order below.
+# checked the first 50 in module order; round 2 front-loaded the 45 previously
+# unchecked queries + 2 freshly-oracle-ized sketches + 3 sentinels — all 50
+# green. Round 3 (this list) front-loads the 19 queries that have NEVER had a
+# driver row (late round-2 additions: pq family, sketches2, llm6 dedup suite,
+# athena dialect, gap-fill, sampling, skew), then re-checks 28 of the 45
+# r01-green-only queries as regression canaries, plus 3 r02-green sentinels —
+# exactly 50. After r03, r01∪r02∪r03 covers all 114 registry queries with at
+# least one green driver row each.
 #
-# ROUND 3 TODO: once CORRECTNESS_r02.json exists with these 50 green, rotate:
-# replace this list with the 53 queries that will then lack an r02 row
-# (the round-1-green set outside this window, plus the round-2 additions),
-# front-loading at most 50 and keeping r02-green sentinels for the rest.
-# Every query then has a driver-verified row in r01∪r02∪r03. The 53, in
-# current registry order past position 50:
-#   proj_filter_compute or_filter_dim point_lookup left_join_dim or_key_join
-#   full_outer_platforms literal_dim_report global_sum weekly_agg
-#   multi_agg_attrs avg_of_sums dow_distribution ratio_profitability
-#   rank_models top5_distribution pagination earnings_series_pivot
-#   dedup_keep_latest date_parts json_payload rollup_report running_total
-#   mom_change topk_per_group cube_report semi_join_active
-#   anti_join_inactive set_ops_halves string_funcs revenue_by_region
-#   array_funcs grouping_sets_report trailing_7d profile_orders
-#   ntile_deciles percentile_report bigram_lm_score hash_sample train_split
-#   repetition_stats decontam mixture_weights text_stats lang_id
-#   shingle_pairs line_dedup source_cap partial_overlap curation_funnel
-#   athena_earnings_day athena_dow_dist athena_weekly athena_needle_period
-# (r01-green ones among these double as proven-once sentinels; the 9 new
-# round-2 queries — line_dedup source_cap partial_overlap curation_funnel
-# athena_* — have never had a driver row and MUST be inside the window.)
-# Late round-2 additions with no driver row yet (include in the r03
-# window too): pq_encode pq_search pq_rerank heavy_hitters theta_distinct
-# skew_report salted_join_agg weighted_sample gap_fill_interp ivf_pq
-# kll_quantile — 64 candidates for 50 slots;
-# drop enough r01-green sentinels (they are proven once already) to fit.
+# ROUND 4 TODO: everything is then driver-proven at least once; rotate the
+# window onto (a) any query added in round 3+, (b) the 17 r01-only queries not
+# re-checked here (proj_filter_compute or_filter_dim point_lookup global_sum
+# date_parts json_payload string_funcs array_funcs set_ops_halves cube_report
+# semi_join_active anti_join_inactive running_total hash_sample train_split
+# mom_change lang_id), and (c) the r02-only block, oldest verdict first.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-1 unchecked: llm dedup/ANN family
-    "simhash",
-    "cosine_topk",
-    "minhash_lsh",
-    "winnow_fingerprint",
-    "ann_lsh",
-    "ivf_assign",
-    "ivf_search",
-    "dedup_clusters",
-    "ann_multiprobe",
-    "bpe_tokens",
-    "embedding_neardup",
-    "multimodal_decode",
-    "frame_sample",
-    "length_band_join",
-    "quality_quantile_filter",
-    "vocab_stats",
-    "seq_pack",
-    "pii_redact",
-    "tfidf_topterms",
-    "kmeans_refine",
-    "classifier_filter",
-    "chunk_docs",
-    "stratified_sample",
-    "embedding_quantize",
-    "quality_report",
-    # round-1 unchecked: temporal family
-    "session_stats",
-    "windowed_rollup",
-    "asof_join",
-    "sliding_rollup",
-    "funnel",
-    "cohort_retention",
-    "json_props",
-    "scd2_history",
-    "top_paths",
-    "date_spine_fill",
-    "unpivot_metrics",
-    "session_native",
-    # round-1 unchecked: the 8 serving endpoints
-    "api_earnings",
-    "api_needle",
-    "api_avg_profitability",
-    "api_total_profit",
-    "api_profit_avg",
-    "api_models_distribution",
-    "api_dow",
-    "api_detailed_ranking",
-    # sketches — no driver verdict in round 1 (err:"no_oracle"), now oracle-ized
-    "approx_distinct",
-    "quantile_sketch",
-    # already-green sentinels (regression canaries)
+    # never driver-checked (19) — MUST be in this window
+    "pq_encode",
+    "pq_search",
+    "pq_rerank",
+    "ivf_pq",
+    "heavy_hitters",
+    "theta_distinct",
+    "kll_quantile",
+    "skew_report",
+    "salted_join_agg",
+    "weighted_sample",
+    "gap_fill_interp",
+    "line_dedup",
+    "source_cap",
+    "partial_overlap",
+    "curation_funnel",
+    "athena_earnings_day",
+    "athena_dow_dist",
+    "athena_weekly",
+    "athena_needle_period",
+    # r01-green regression canaries (28 of 45; the rest keep their r01 row)
+    "left_join_dim",
+    "or_key_join",
+    "full_outer_platforms",
+    "literal_dim_report",
+    "weekly_agg",
+    "multi_agg_attrs",
+    "avg_of_sums",
+    "dow_distribution",
+    "ratio_profitability",
+    "rank_models",
+    "top5_distribution",
+    "pagination",
+    "earnings_series_pivot",
+    "dedup_keep_latest",
+    "rollup_report",
+    "topk_per_group",
+    "revenue_by_region",
+    "grouping_sets_report",
+    "trailing_7d",
+    "profile_orders",
+    "ntile_deciles",
+    "percentile_report",
+    "bigram_lm_score",
+    "repetition_stats",
+    "decontam",
+    "mixture_weights",
+    "text_stats",
+    "shingle_pairs",
+    # r02-green sentinels (regression canaries)
     "earnings_by_day",
-    "nested_flatten",
-    "exact_dedup",
+    "minhash_lsh",
+    "api_models_distribution",
 ]
