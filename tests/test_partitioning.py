@@ -24,6 +24,22 @@ def _executed_plan(df) -> str:
     )
 
 
+def _drop_managed_table(spark, name: str) -> None:
+    """DROP TABLE plus removal of any orphaned warehouse directory.
+
+    An interrupted run can leave the managed-table *location*
+    (spark-warehouse/<name>) on disk with no catalog entry; the next
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS. Cleaning both
+    makes the test rerun-safe after a mid-run kill.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 def test_bucketed_join_no_shuffle(spark):
     left = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
@@ -33,6 +49,8 @@ def test_bucketed_join_no_shuffle(spark):
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _drop_managed_table(spark, "b_left")
+    _drop_managed_table(spark, "b_right")
     try:
         write_bucketed(left, "b_left", ["k"], n_buckets=8, sort_cols=["k"])
         write_bucketed(right, "b_right", ["k"], n_buckets=8, sort_cols=["k"])
@@ -43,8 +61,8 @@ def test_bucketed_join_no_shuffle(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS b_left")
-        spark.sql("DROP TABLE IF EXISTS b_right")
+        _drop_managed_table(spark, "b_left")
+        _drop_managed_table(spark, "b_right")
 
 
 def test_unbucketed_join_does_shuffle(spark):
