@@ -238,7 +238,14 @@ def start_ivf_index_ingest(
     only ``cell=<probed>`` partition directories — partition pruning does
     the inverted-list lookup. The codebook stays fixed during ingest
     (standard IVF practice); retrain offline with operators.kmeans and
-    rewrite when drift warrants."""
+    rewrite when drift warrants.
+
+    Each batch lands in its own ``batch_id=<n>`` directory with
+    overwrite (never a root-level append): a crash-replayed micro-batch
+    republishes identical files instead of appending duplicate rows —
+    the same idempotent exactly-once pattern as start_lsh_dedup_ingest.
+    Readers see ``batch_id`` as an extra partition column; cell pruning
+    is unaffected (cell dirs nest inside each batch dir)."""
     from data_lake_spark.operators.kmeans import _elems, assign_cells
 
     cent = centroids.localCheckpoint()
@@ -248,7 +255,9 @@ def start_ivf_index_ingest(
             return
         assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
         out = batch_df.join(assigned.select(id_col, "cell"), id_col)
-        out.write.mode("append").partitionBy("cell").parquet(index_root)
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{index_root}/batch_id={int(batch_id)}"
+        )
 
     return (
         emb_stream.writeStream.foreachBatch(_ingest)
@@ -278,7 +287,16 @@ def start_ivfpq_index_ingest(
 
     ``codebook`` is the (values, present, subdim) triple from
     operators/pq.pq_codebook_lit — a stored artifact, exactly what a
-    production system would version alongside the index."""
+    production system would version alongside the index.
+
+    Each batch lands in its own ``batch_id=<n>`` directory with
+    overwrite (never a root-level append): a crash-replayed micro-batch
+    (files written, checkpoint offset not committed) republishes
+    identical files instead of appending duplicate (vec_id, codes, cell)
+    rows that would double-count approx_dot in any ADC scoring join —
+    the same idempotency pattern as start_lsh_dedup_ingest. Readers see
+    ``batch_id`` as an extra partition column; cell pruning is
+    unaffected."""
     from data_lake_spark.operators.kmeans import _elems, assign_cells
     from data_lake_spark.operators.pq import pq_codes_array
 
@@ -293,7 +311,9 @@ def start_ivfpq_index_ingest(
             batch_df, values, present, subdim, id_col, vec_col
         )
         out = codes.join(assigned.select(id_col, "cell"), id_col)
-        out.write.mode("append").partitionBy("cell").parquet(index_root)
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{index_root}/batch_id={int(batch_id)}"
+        )
 
     return (
         emb_stream.writeStream.foreachBatch(_ingest)
@@ -344,7 +364,7 @@ def start_lsh_dedup_ingest(
     through as novel with no index entry (route them to exact-hash
     dedup upstream if that matters). ``max_band_size`` frequency-caps
     boilerplate bands in both screens (see textdedup.cap_hot_bands)."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from data_lake_spark.operators.textdedup import (
         cap_hot_bands,
@@ -396,19 +416,23 @@ def start_lsh_dedup_ingest(
             .distinct()
         )
 
-        # history: batch bands vs the persisted index
-        if os.path.isdir(index_root) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_root)
-            for f in fs
-        ):
+        # history: batch bands vs the persisted index. Existence is
+        # probed via the Spark reader (AnalysisException on a missing or
+        # empty root), not driver-local os.path — index_root may be on
+        # any Hadoop-visible filesystem (HDFS/S3), where a local check
+        # would be silently False and skip the screen entirely.
+        try:
+            idx_all = spark.read.parquet(index_root)
+        except AnalysisException:
+            idx_all = None
+        if idx_all is not None:
             # only index partitions written by EARLIER batches: replaying
             # batch N after a crash (or a full-source replay) must screen
             # against exactly the state the original batch N saw — its own
             # and later batches' entries would otherwise self-match every
             # doc. batch_id is a partition dir, so this prunes, not scans.
             idx = (
-                spark.read.parquet(index_root)
+                idx_all
                 .filter(F.col("batch_id") < F.lit(int(batch_id)))
                 .select("band_idx", "band_hash", F.col("sig").alias("idx_sig"))
             )

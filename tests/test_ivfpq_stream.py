@@ -49,8 +49,8 @@ def test_streaming_ivfpq_index(spark, tmp_path):
 
     index = spark.read.parquet(idx_root)
     assert index.count() == emb.count()  # every vector indexed once
-    # the index stores CODES, not vectors
-    assert set(index.columns) == {"vec_id", "codes", "cell"}
+    # the index stores CODES, not vectors (batch_id = per-batch overwrite dir)
+    assert set(index.columns) == {"vec_id", "codes", "cell", "batch_id"}
 
     # codes match the batch-face encode against the same codebook
     values, present, subdim = codebook
@@ -76,3 +76,23 @@ def test_streaming_ivfpq_index(spark, tmp_path):
         r[0] for r in probed.select(F.input_file_name()).distinct().collect()
     ]
     assert files and all("cell=0" in f for f in files)
+
+    # crash-replay idempotency: reprocessing the same source from a fresh
+    # checkpoint (same deterministic file->batch mapping) overwrites the
+    # same batch_id dirs — the index must NOT grow duplicate code rows
+    q2 = start_ivfpq_index_ingest(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx_root,
+        centroids,
+        codebook,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replayed = spark.read.parquet(idx_root)
+    assert replayed.count() == emb.count()
+    assert {r.vec_id: list(r.codes) for r in replayed.collect()} == batch_codes
