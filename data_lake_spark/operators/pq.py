@@ -37,25 +37,22 @@ from pyspark.sql import functions as F
 from data_lake_spark.operators.similarity import PSCALE, _to_double, _vec_dim
 
 
+_HEX = "0123456789abcdef"
+
+
 def _seed_code(id_col: Column, s_col: Column, k: int) -> Column:
-    """Deterministic initial code: md5-hex-parity of "id:s" mod k — the
-    fixed engine-independent hash family used across the repo (biased
-    for k not a power of 16, but seeding only needs spread, not
-    uniformity)."""
-    return (
-        F.ascii(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        id_col.cast("string"), F.lit(":"), s_col.cast("string")
-                    )
-                ),
-                1,
-                1,
-            )
-        )
-        % k
+    """Deterministic initial code: first two md5 hex digits of "id:s"
+    decoded to an int in [0, 256) (digit lookup — portable, both engines
+    lowercase their md5 hex), mod k. Exactly uniform for any k dividing
+    256; the earlier single-char ASCII form could only reach ~10 of 16
+    codes at k=16 (ascii('0'..'9','a'..'f') % 16 collides 'a'-'f' onto
+    1-6), silently shrinking the effective codebook."""
+    h = F.md5(
+        F.concat(id_col.cast("string"), F.lit(":"), s_col.cast("string"))
     )
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return ((d1 * 16 + d2) % k).cast("int")
 
 
 def pq_elems(

@@ -53,7 +53,8 @@ elems AS (
 ),
 seeded AS (
   SELECT *,
-         ASCII(SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 1)) % {_K} AS code0
+         ((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 16
+          + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1) % {_K} AS code0
   FROM elems
 ),
 cb AS (
