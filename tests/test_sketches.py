@@ -78,3 +78,39 @@ def test_quantile_sketch_rank_accuracy(spark, sf_dir):
             # any rank the element occupies may satisfy the quantile
             best = min(abs(rk / n - q) for rk in (lo, hi - 1))
             assert best <= 0.02 + 2.0 / n, (r.event_type, q, a, best)
+
+
+def test_kll_merge_thousand_groups_rank_bound(spark):
+    """The per-group-then-fold KLL shape at ~10^3 groups (the comment-
+    level cardinality bound in kll_merged_quantiles, exercised): with
+    k=800 sketches, every fold — across partitionings AND repeated runs
+    (Spark's KLL compaction is internally randomized, so bit-identity
+    is not achievable; the sort only pins the fold ORDER) — must stay
+    well inside the ±3% rank bound the query promises."""
+    import bisect
+
+    from data_lake_spark.queries.sketches2 import kll_merged_quantiles
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 1000).cast("string").alias("g"),
+        (F.col("id") * 37 % 9973).cast("double").alias("value"),
+    )
+    qs = [0.5, 0.9, 0.99]
+    per_group = (
+        df.groupBy("g")
+        .agg(F.kll_sketch_agg_double("value", 800).alias("sk"))
+        .localCheckpoint()
+    )
+    vals = sorted(v.value for v in df.select("value").collect())
+    n = len(vals)
+    for nparts in (4, 32, 32):  # repeat one partitioning: rerun stability
+        r = kll_merged_quantiles(
+            per_group.repartition(nparts), "g", qs
+        ).collect()[0]
+        assert r.n_groups == 1000
+        for a, q in zip(r.approx_q, qs):
+            lo = bisect.bisect_left(vals, a)
+            hi = bisect.bisect_right(vals, a)
+            assert lo < hi, (a, "merged quantile not an input element")
+            best = min(abs(rk / n - q) for rk in (lo, hi - 1))
+            assert best <= 0.03, (nparts, q, a, best)
