@@ -387,6 +387,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     codebook: tuple | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production composition of both ANN tiers: probe the
     ``n_probe`` cells nearest each query (partition pruning at 100 TB:
@@ -396,7 +397,13 @@ def ivf_pq_topk(
     math nor a full code scan: candidate selection is an equi-join on
     the cell, scoring an equi-join on (query_id, s, code) against the
     broadcast LUT. Deterministic end to end (quantized centroid/LUT
-    arithmetic), mirrored in the DuckDB oracle (queries/llm7.py)."""
+    arithmetic), mirrored in the DuckDB oracle (queries/llm7.py).
+
+    Serving calls should pass BOTH stored artifacts — ``codebook``
+    (pq_codebook_lit triple) and ``centroids`` (a persisted
+    similarity.ivf_centroids frame) — so neither model retrains
+    in-query; without them each trains from the corpus (the
+    self-contained oracle form)."""
     from data_lake_spark.operators.similarity import probed_cells
 
     if codebook is None:
@@ -407,7 +414,9 @@ def ivf_pq_topk(
     # partition pruning, here it's a broadcast join on the cell
     cands = (
         F.broadcast(
-            probed_cells(emb, query_ids, n_probe, id_col, vec_col, label_col)
+            probed_cells(
+                emb, query_ids, n_probe, id_col, vec_col, label_col, centroids
+            )
         )
         .join(
             emb.select(F.col(id_col).alias("cand_id"), F.col(label_col)),

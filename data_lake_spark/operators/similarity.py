@@ -284,6 +284,36 @@ def ivf_assign(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(cell, d, c): per-label exact-mean centroids — THE stored IVF
+    artifact. Train once (this aggregation is the only full-corpus
+    pass), persist (parquet / versioned.write_version), and hand the
+    read-back frame to probed_cells / ivf_search / ivf_pq_topk so
+    serving queries are pure probes that never rescan the corpus —
+    the same fixed-model contract as streaming start_ivf_index_ingest.
+    Cell-count × dim rows: always broadcastable."""
+    elems = emb.select(
+        F.col(label_col),
+        F.posexplode(_to_double(vec_col)).alias("d", "x"),
+    )
+    return (
+        elems.groupBy(label_col, "d")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * F.lit(PSCALE))).cast("double")
+                / F.lit(PSCALE)
+                / F.count("x")
+            ).alias("c")
+        )
+        .select(F.col(label_col).alias("cell"), "d", "c")
+    )
+
+
 def probed_cells(
     emb: DataFrame,
     query_ids: list[int],
@@ -291,26 +321,25 @@ def probed_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, cell): the ``n_probe`` cells nearest each query by
-    quantized squared L2 to the per-label exact-mean centroids — the
+    quantized squared L2 to the exact-mean centroids — the
     probe-selection stage shared by ivf_search (exact scoring inside
-    cells) and ivf_pq_topk (compressed ADC scoring inside cells)."""
-    elems = emb.select(
-        F.col(id_col),
-        F.col(label_col),
-        F.posexplode(_to_double(vec_col)).alias("d", "x"),
-    )
-    centroids = elems.groupBy(label_col, "d").agg(
-        (
-            F.sum(F.floor(F.col("x") * F.lit(PSCALE))).cast("double")
-            / F.lit(PSCALE)
-            / F.count("x")
-        ).alias("c")
-    ).select(F.col(label_col).alias("cell"), "d", "c")
+    cells) and ivf_pq_topk (compressed ADC scoring inside cells).
 
-    q_elems = elems.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), "d", "x"
+    Pass ``centroids`` (a persisted :func:`ivf_centroids` artifact,
+    (cell, d, c)) to make this a pure probe: only the query vectors are
+    read from the corpus (an id-pushdown scan), O(probe) not O(corpus)
+    per call. Without it, centroids retrain in-query from the full
+    corpus — the self-contained form the oracle queries use."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, id_col, vec_col, label_col)
+
+    q_elems = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.posexplode(_to_double(vec_col)).alias("d", "x"))
+        .select(F.col(id_col).alias("query_id"), "d", "x")
     )
     qdist = (
         q_elems.join(centroids, "d")
@@ -335,14 +364,19 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe search: rank cells by query→centroid distance, search
     ONLY the ``n_probe`` nearest cells' inverted lists, exact cosine
     within them. The 100 TB shape: the corpus is partitioned by cell, a
     query touches n_probe/N_cells of it, and every step is an equi-join
     or map-side-combinable aggregate. Recall < 1 by design; raise n_probe
-    to trade cost for recall."""
-    probed = probed_cells(emb, query_ids, n_probe, id_col, vec_col, label_col)
+    to trade cost for recall. Pass a persisted :func:`ivf_centroids`
+    artifact as ``centroids`` so serving calls skip in-query retraining
+    (probe selection then reads only the query vectors)."""
+    probed = probed_cells(
+        emb, query_ids, n_probe, id_col, vec_col, label_col, centroids
+    )
 
     vecs = emb.select(
         F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")

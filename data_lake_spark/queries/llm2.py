@@ -288,6 +288,50 @@ ORDER BY query_id, rk
 """
 
 
+# per-(sf_dir) persisted centroid artifact: trained once, written to a
+# process-lifetime parquet location, READ BACK for every serving call —
+# the stored-model pattern (testdata under a path is immutable, exactly
+# like a versioned production artifact)
+_CENTROID_CACHE: dict = {}
+
+
+def stored_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _CENTROID_CACHE:
+        from data_lake_spark.operators.similarity import ivf_centroids
+
+        path = tempfile.mkdtemp(prefix="ivf_centroids_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_centroids(emb).write.mode("overwrite").parquet(path)
+        _CENTROID_CACHE[sf_dir] = path
+    return spark.read.parquet(_CENTROID_CACHE[sf_dir])
+
+
+def q_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search against a PERSISTED centroid artifact
+    (similarity.ivf_centroids → parquet → read back): the serving form —
+    probe selection reads the tiny centroid table plus an id-pushdown
+    scan of the query vectors, never a full-corpus training aggregation
+    (plan census in tests/test_plan_contracts.py). Results identical to
+    ivf_search (exact-mean doubles round-trip parquet bit-exactly), so
+    it shares its oracle."""
+    from data_lake_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = stored_centroids(spark, sf_dir)
+    out = ivf_search(
+        emb, query_ids=[0, 1, 2, 3, 4], k=5, n_probe=2, centroids=cent
+    )
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.col("cell").cast("long").alias("cell"),
+        "cosine",
+        "rk",
+    ).orderBy("query_id", "rk")
+
+
 def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SRP ANN (operators/similarity.py ann_topk_multiprobe):
     probes the query's bucket plus all 4 Hamming-distance-1 buckets —
@@ -418,6 +462,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(q_ann_lsh, ORACLE_ANN_LSH, "SRP-bucketed ANN top-k"),
     "ivf_assign": QuerySpec(q_ivf_assign, ORACLE_IVF, "IVF nearest-centroid assignment"),
     "ivf_search": QuerySpec(q_ivf_search, ORACLE_IVF_SEARCH, "IVF probe search (2 nearest cells)"),
+    "ivf_stored": QuerySpec(
+        q_ivf_stored, ORACLE_IVF_SEARCH,
+        "IVF probe search against a persisted centroid artifact "
+        "(pure probe — no in-query retraining)",
+    ),
     "dedup_clusters": QuerySpec(
         q_dedup_clusters, ORACLE_DEDUP_CLUSTERS,
         "connected-components dedup clustering over MinHash edges",

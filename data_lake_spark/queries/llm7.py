@@ -203,14 +203,19 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: both ANN tiers composed — probe the 2 nearest cells per
     query, then PQ-ADC score only those cells' members. Candidate
     selection is a broadcast cell join (partition pruning when codes are
-    cell-partitioned at scale); scoring never touches raw vectors."""
+    cell-partitioned at scale); scoring never touches raw vectors. Both
+    models arrive as stored artifacts (cached codebook + persisted
+    centroid parquet) — the serving shape; the oracle retrains its own
+    from the same data, bit-identically."""
     from data_lake_spark.operators.pq import ivf_pq_topk
+    from data_lake_spark.queries.llm2 import stored_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         ivf_pq_topk(
             emb, query_ids=[0, 1, 2, 3, 4], k_top=5, n_probe=2,
             m=_M, k_codes=_K, codebook=_codebook(spark, sf_dir, _M, _K),
+            centroids=stored_centroids(spark, sf_dir),
         )
         .select("query_id", "cand_id", "approx_dot", "rk")
         .orderBy("query_id", "rk")

@@ -160,6 +160,28 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
         )
 
 
+def test_ivf_stored_artifact_is_pure_probe(spark, sf_dir):
+    # The serving IVF query consumes a PERSISTED centroid artifact: its
+    # plan must read the artifact parquet and must NOT contain the
+    # full-corpus training stage (a posexplode of every embedding row
+    # feeding the centroid aggregation). The self-training twin is the
+    # yardstick: same query, centroids retrained in-query.
+    stored = _plan(spark, sf_dir, "ivf_stored")
+    self_training = _plan(spark, sf_dir, "ivf_search")
+    # artifact parquet is scanned ...
+    assert "ivf_centroids_" in stored
+    # ... instead of re-exploding the corpus: the only Generate left is
+    # the id-filtered query-vector explode, whose predicate reaches the
+    # parquet scan
+    def n_explodes(plan: str) -> int:
+        return len(re.findall(r"\(\d+\) Generate", plan))
+
+    assert n_explodes(stored) < n_explodes(self_training)
+    assert n_explodes(stored) == 1, stored
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", stored)
+    assert any("In(vec_id" in p for p in pushed), stored
+
+
 def test_events_normalization_session_tz_independent(spark, sf_dir):
     # The driver calls queries() with its own SparkSession; events.ts
     # normalization and the watermark literal must not shift with that
