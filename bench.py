@@ -89,6 +89,10 @@ HEADLINE = [
     # join) and the pre-flight heavy-key report it's sized from
     "salted_join_agg",
     "skew_report",
+    # the serving-shape IVF probe against a persisted centroid artifact
+    # (no in-query retraining) — compare against ivf_search to see what
+    # the stored model buys
+    "ivf_stored",
 ]
 
 
@@ -125,21 +129,29 @@ def main() -> None:
     # first mapInPandas query isn't billed 32 interpreter startups
     tiny.mapInPandas(lambda it: it, schema="id long, k long").count()
 
-    # three passes per query: pass 1 warms codegen/cache (unmeasured),
-    # then report the best of two measured passes — the VM's burst noise
-    # at this scale dwarfs engine work, and min-of-2 recovers the
-    # steady-state number
+    # four passes per query: pass 1 warms codegen/cache (unmeasured),
+    # then THREE measured passes — the VM's burst noise at this scale
+    # (±20% observed round to round) dwarfs engine work, so report the
+    # min as the steady-state number and publish the per-query spread
+    # (max-min of the measured passes) so a regression can be told from
+    # noise without rerunning.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = reg[name].fn
         n = len(fn(spark, sf_dir).collect())
-        best = float("inf")
-        for _ in range(2):
+        passes = []
+        for _ in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+            passes.append(time.perf_counter() - t0)
+        times[name] = round(min(passes), 3)
+        spreads[name] = round(max(passes) - min(passes), 3)
+        print(
+            f"# {name}: {times[name]:.3f}s ±{spreads[name]:.3f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -153,6 +165,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
+                "repeats": repeats,
                 "sf": sf_val,
             }
         )

@@ -170,7 +170,11 @@ def test_upsert_delta_merge_backend(spark, tmp_path):
 
     if not delta_available(spark):
         _pytest.skip(
-            "delta-spark unavailable in this environment; MERGE INTO path "
+            "delta-spark unavailable in this environment (verified: no "
+            "'delta' module on the Python path, no delta-* jar in the "
+            "pyspark jars dir, and the sandbox has no package network "
+            "access to fetch io.delta:delta-spark matching pyspark "
+            f"{__import__('pyspark').__version__}); MERGE INTO path "
             "exercised only on delta-enabled clusters "
             "(upsert_performance is the plain-Parquet emulation)"
         )
