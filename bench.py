@@ -93,6 +93,10 @@ HEADLINE = [
     # (no in-query retraining) — compare against ivf_search to see what
     # the stored model buys
     "ivf_stored",
+    # IVF-PQ served entirely from stored artifacts (cell-partitioned
+    # codes index + centroids + codebook) — compare against ivf_pq to
+    # see what the full artifact stack buys
+    "ivf_pq_stored",
 ]
 
 

@@ -271,6 +271,19 @@ def _codes_frame(
     )
 
 
+def codes_elems(codes_arr: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(cand_id, s, code) scoring rows from a STORED (id, codes
+    array<int>) index — the :func:`pq_codes_array` /
+    streaming start_ivfpq_index_ingest at-rest format. A map-only
+    m-entry posexplode of the compressed codes; pass the result as
+    ``codes`` to pq_adc_topk / ivf_pq_topk so serving calls read the
+    m-byte index instead of re-encoding the corpus from raw vectors."""
+    return codes_arr.select(
+        F.col(id_col).alias("cand_id"),
+        F.posexplode("codes").alias("s", "code"),
+    )
+
+
 def _lut_frame(
     emb: DataFrame,
     query_ids: list[int],
@@ -340,12 +353,15 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: tuple | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC linear scan: approximate dot(query, candidate) as the sum
     of m LUT lookups; top-``k_top`` per query by approx score. Pass a
     precomputed ``codebook`` (from :func:`pq_codebook_lit`) to skip
     retraining — the production pattern, where the codebook is a stored
-    artifact reused across queries.
+    artifact reused across queries — and ``codes`` (a persisted index in
+    :func:`codes_elems` (cand_id, s, code) form) so the scan reads the
+    compressed index, never the raw corpus.
 
     Plan shape: the codebook (m×k×dim values — model state, not data)
     trains in one elems aggregation, collects to the driver, and inlines
@@ -360,7 +376,8 @@ def pq_adc_topk(
     if codebook is None:
         codebook = pq_codebook_lit(emb, m, k_codes, id_col, vec_col)
     values, present, subdim = codebook
-    codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
+    if codes is None:
+        codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
     lut = _lut_frame(emb, query_ids, values, present, subdim, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
@@ -388,6 +405,7 @@ def ivf_pq_topk(
     label_col: str = "label",
     codebook: tuple | None = None,
     centroids: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the production composition of both ANN tiers: probe the
     ``n_probe`` cells nearest each query (partition pruning at 100 TB:
@@ -399,11 +417,14 @@ def ivf_pq_topk(
     broadcast LUT. Deterministic end to end (quantized centroid/LUT
     arithmetic), mirrored in the DuckDB oracle (queries/llm7.py).
 
-    Serving calls should pass BOTH stored artifacts — ``codebook``
-    (pq_codebook_lit triple) and ``centroids`` (a persisted
-    similarity.ivf_centroids frame) — so neither model retrains
-    in-query; without them each trains from the corpus (the
-    self-contained oracle form)."""
+    Serving calls should pass ALL stored artifacts — ``codebook``
+    (pq_codebook_lit triple), ``centroids`` (a persisted
+    similarity.ivf_centroids frame), and ``codes`` (a persisted index
+    in :func:`codes_elems` form) — then the query reads ONLY artifact
+    tables plus its own query vectors (an id-pushdown scan): no model
+    retrains, no corpus re-encode, no raw-vector scan at all. Without
+    them each piece derives from the corpus (the self-contained oracle
+    form)."""
     from data_lake_spark.operators.similarity import probed_cells
 
     if codebook is None:
@@ -425,11 +446,66 @@ def ivf_pq_topk(
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id")
     )
-    codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
+    if codes is None:
+        codes = _codes_frame(emb, values, present, subdim, id_col, vec_col)
     lut = _lut_frame(emb, query_ids, values, present, subdim, id_col, vec_col)
     scored = (
         cands.join(codes, "cand_id")
         .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg((F.sum("lut").cast("double") / F.lit(PSCALE)).alias("approx_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("cand_id")
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k_top)
+
+
+def ivf_pq_topk_indexed(
+    emb: DataFrame,
+    query_ids: list[int],
+    index: DataFrame,
+    codebook: tuple,
+    centroids: DataFrame,
+    k_top: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ served ENTIRELY from stored artifacts: ``index`` is the
+    at-rest (vec_id, codes array<int>, cell) frame that
+    streaming.start_ivfpq_index_ingest maintains (or a batch
+    pq_codes_array ⋈ cell assignment), ``codebook`` the pq_codebook_lit
+    triple, ``centroids`` a persisted similarity.ivf_centroids frame.
+
+    The query then touches: the tiny centroid table (probe selection),
+    the index rows of the probed cells (with the index cell-partitioned
+    this is partition pruning — n_probe/N_cells of the m-byte codes),
+    and its OWN query vectors (id-pushdown scan for the LUT). No
+    full-corpus scan of any kind — not raw vectors, not even a
+    (vec_id, label) membership projection: membership lives in the
+    index, exactly as at 100 TB. Scores are bit-identical to
+    ivf_pq_topk (same quantized LUT arithmetic, same candidates)."""
+    from data_lake_spark.operators.similarity import probed_cells
+
+    probed = probed_cells(
+        emb, query_ids, n_probe, id_col, vec_col, centroids=centroids
+    )
+    values, present, subdim = codebook
+    cand_codes = (
+        index.join(F.broadcast(probed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.posexplode("codes").alias("s", "code"),
+        )
+    )
+    lut = _lut_frame(emb, query_ids, values, present, subdim, id_col, vec_col)
+    scored = (
+        cand_codes.join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "cand_id")
         .agg((F.sum("lut").cast("double") / F.lit(PSCALE)).alias("approx_dot"))
     )

@@ -270,6 +270,57 @@ ORDER BY query_id, rk
 """
 
 
+# persisted (vec_id, codes, cell) index per (sf_dir, m, k): the at-rest
+# format streaming.start_ivfpq_index_ingest maintains, built once here
+# from the batch face and written cell-partitioned like the live index
+_INDEX_CACHE: dict = {}
+
+
+def _stored_index(spark: SparkSession, sf_dir: str, m: int, k: int) -> DataFrame:
+    import tempfile
+
+    key = (sf_dir, m, k)
+    if key not in _INDEX_CACHE:
+        from data_lake_spark.operators.pq import pq_codes_array
+
+        values, present, subdim = _codebook(spark, sf_dir, m, k)
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = pq_codes_array(emb, values, present, subdim).join(
+            emb.select("vec_id", F.col("label").cast("int").alias("cell")),
+            "vec_id",
+        )
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _INDEX_CACHE[key] = path
+    return spark.read.parquet(_INDEX_CACHE[key])
+
+
+def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served entirely from stored artifacts — cell-partitioned
+    codes index (the streaming ingest's at-rest format), persisted
+    centroids, cached codebook. The query touches the artifact tables
+    plus an id-pushdown scan of its own query vectors; NO full-corpus
+    scan of any kind (plan census in tests/test_plan_contracts.py).
+    Bit-identical to ivf_pq, so it shares its oracle."""
+    from data_lake_spark.operators.pq import ivf_pq_topk_indexed
+    from data_lake_spark.queries.llm2 import stored_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk_indexed(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        index=_stored_index(spark, sf_dir, _M, _K),
+        codebook=_codebook(spark, sf_dir, _M, _K),
+        centroids=stored_centroids(spark, sf_dir),
+        k_top=5,
+        n_probe=2,
+    )
+    return (
+        out.select("query_id", "cand_id", "approx_dot", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "pq_encode": QuerySpec(
         q_pq_encode, ORACLE_PQ_ENCODE, "PQ corpus encode (m=4, k=8)"
@@ -286,5 +337,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ivf_pq,
         ORACLE_IVF_PQ,
         "IVF cell probing composed with PQ-ADC scoring (production ANN)",
+    ),
+    "ivf_pq_stored": QuerySpec(
+        q_ivf_pq_stored,
+        ORACLE_IVF_PQ,
+        "IVF-PQ served from stored artifacts only (cell-partitioned "
+        "codes index + centroids + codebook — zero corpus scan)",
     ),
 }

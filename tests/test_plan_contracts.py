@@ -52,6 +52,7 @@ _BNLJ_OK = {
     "pq_search",
     "pq_rerank",
     "ivf_pq",
+    "ivf_pq_stored",
 }
 
 
@@ -180,6 +181,24 @@ def test_ivf_stored_artifact_is_pure_probe(spark, sf_dir):
     assert n_explodes(stored) == 1, stored
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", stored)
     assert any("In(vec_id" in p for p in pushed), stored
+
+
+def test_ivf_pq_stored_zero_corpus_scan(spark, sf_dir):
+    # The fully-artifact-served IVF-PQ: every scan of the embeddings
+    # table must carry the query-id In-filter (the LUT + probe sides);
+    # candidate membership and codes come from the persisted
+    # cell-partitioned index, so NO unfiltered corpus scan of any kind
+    # may appear in the plan.
+    plan = _plan(spark, sf_dir, "ivf_pq_stored")
+    assert "ivfpq_index_" in plan and "ivf_centroids_" in plan
+    # formatted mode: each scan node's detail block starts at
+    # "(n) Scan parquet" and contains Location + PushedFilters lines
+    blocks = re.split(r"\(\d+\) Scan parquet", plan)[1:]
+    emb_blocks = [b for b in blocks if "embeddings.parquet" in b.split("\n\n")[0]]
+    assert emb_blocks, plan  # the query vectors ARE read...
+    for b in emb_blocks:
+        head = b.split("\n\n")[0]
+        assert "In(vec_id" in head, head  # ...but only by id pushdown
 
 
 def test_events_normalization_session_tz_independent(spark, sf_dir):
