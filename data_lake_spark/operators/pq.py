@@ -527,6 +527,7 @@ def pq_adc_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: tuple | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The production two-stage shape: PQ-ADC scan prunes the corpus to
     a per-query ``shortlist``, then exact cosine re-ranks ONLY the
@@ -540,7 +541,7 @@ def pq_adc_rerank_topk(
 
     short = pq_adc_topk(
         emb, query_ids, k_top=shortlist, m=m, k_codes=k_codes, id_col=id_col,
-        vec_col=vec_col, codebook=codebook,
+        vec_col=vec_col, codebook=codebook, codes=codes,
     ).select("query_id", "cand_id")
     vecs = emb.select(
         F.col(id_col), _to_double(vec_col).alias("v")

@@ -103,13 +103,19 @@ FROM codes ORDER BY vec_id, s
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-5: per query a m×k lookup table of subspace dot
     products, then every candidate scores as a sum of m table lookups —
-    an equi-join of the codes table against the broadcast LUT, no
-    pairwise join of raw vectors."""
+    an equi-join of the CODES index against the broadcast LUT, no
+    pairwise join of raw vectors. Serving shape: codes come from the
+    persisted index (codes_elems over _stored_index), not a per-call
+    corpus re-encode; the oracle recomputes everything from scratch,
+    bit-identically."""
+    from data_lake_spark.operators.pq import codes_elems
+
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         pq_adc_topk(
             emb, query_ids=[0, 1, 2, 3, 4], k_top=5, m=_M, k_codes=_K,
             codebook=_codebook(spark, sf_dir, _M, _K),
+            codes=codes_elems(_stored_index(spark, sf_dir, _M, _K)),
         )
         .select("query_id", "cand_id", "approx_dot", "rk")
         .orderBy("query_id", "rk")
@@ -148,13 +154,14 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed codes prunes to a 100-candidate shortlist per query,
     then exact cosine re-ranks only the shortlist — raw-vector math on
     Q×100 rows instead of Q×N."""
-    from data_lake_spark.operators.pq import pq_adc_rerank_topk
+    from data_lake_spark.operators.pq import codes_elems, pq_adc_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         pq_adc_rerank_topk(
             emb, query_ids=[0, 1, 2, 3, 4], k_top=5, shortlist=100,
             m=_M, k_codes=_K, codebook=_codebook(spark, sf_dir, _M, _K),
+            codes=codes_elems(_stored_index(spark, sf_dir, _M, _K)),
         )
         .select("query_id", "cand_id", "cosine", "rk")
         .orderBy("query_id", "rk")

@@ -41,6 +41,8 @@ QUERIES = [
     "kmeans_refine",  # explode + groupBy + broadcast assign
     "pq_rerank",  # literal-codebook encode + ADC scan + shortlist rerank
     "salted_join_agg",  # 8-way salted skew join + exact-sum agg
+    "ivf_stored",  # pure probe vs persisted centroid artifact
+    "ivf_pq_stored",  # full artifact stack: probe + pruned ADC index read
 ]
 
 
