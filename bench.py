@@ -97,6 +97,8 @@ HEADLINE = [
     # codes index + centroids + codebook) — compare against ivf_pq to
     # see what the full artifact stack buys
     "ivf_pq_stored",
+    # SemDeDup: cell-blocked cosine dup groups, centroid-farthest keeper
+    "semantic_dedup",
 ]
 
 

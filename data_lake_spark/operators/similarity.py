@@ -401,6 +401,121 @@ def ivf_search(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): within each cluster/cell, vectors whose pairwise cosine
+    exceeds ``tau`` are duplicate groups; KEEP the member farthest from
+    the cell centroid (lowest centroid cosine — the paper's rule: the
+    least-prototypical example carries the most marginal information)
+    and drop the rest. Tie on centroid cosine → smaller id wins.
+
+    Output: one row per vector — (id, cell, cos_cent, dropped). The kept
+    corpus is ``dropped = false``.
+
+    Plan shape: pairwise work is BLOCKED by the cell (equi-join on the
+    cluster id — O(Σ cell²), never O(N²)); centroid cosines are one
+    equi-join of exploded elements against the broadcast-scale
+    ``centroids`` artifact ((cell, d, c) — similarity.ivf_centroids,
+    persisted in production). The drop rule is a pairwise-orientation
+    filter + distinct, all equi-joins. Quantized-floor dot products
+    keep every cosine bit-identical across partitionings and engines."""
+    e = (
+        emb.select(
+            F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")
+        )
+        .repartition(16, label_col)
+        .withColumn("nrm", norm_exact("v"))
+        .localCheckpoint(eager=False)
+    )
+
+    # cosine(vector, own-cell centroid) with the exact quantized recipe
+    elems = e.select(
+        F.col(id_col), F.col(label_col), F.posexplode("v").alias("d", "x")
+    )
+    cnorm = centroids.groupBy("cell").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("c") * F.col("c") * F.lit(PSCALE))).cast(
+                "double"
+            )
+            / F.lit(PSCALE)
+        ).alias("cn")
+    )
+    cdot = (
+        elems.join(
+            F.broadcast(centroids),
+            (F.col(label_col) == F.col("cell")) & (elems["d"] == centroids["d"]),
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.floor(F.col("x") * F.col("c") * F.lit(PSCALE))).alias("dq"))
+    )
+    cc = (
+        e.select(F.col(id_col), F.col(label_col).alias("cell"), "nrm")
+        .join(cdot, id_col)
+        .join(F.broadcast(cnorm), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            (
+                (F.col("dq").cast("double") / F.lit(PSCALE))
+                / (F.col("nrm") * F.col("cn"))
+            ).alias("cos_cent"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # blocked pairwise cosine, kept as a<b then viewed in both orientations
+    a = e.select(
+        F.col(id_col).alias("ia"), F.col(label_col),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("ib"), F.col(label_col),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.join(b, label_col)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (dot_exact("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(tau))
+    )
+    both = scored.select(
+        F.col("ib").alias("x"), F.col("ia").alias("y")
+    ).unionByName(scored.select(F.col("ia").alias("x"), F.col("ib").alias("y")))
+    ccx = cc.select(F.col(id_col).alias("x"), F.col("cos_cent").alias("ccx"))
+    ccy = cc.select(F.col(id_col).alias("y"), F.col("cos_cent").alias("ccy"))
+    dropped = (
+        both.join(ccx, "x")
+        .join(ccy, "y")
+        .filter(
+            (F.col("ccy") < F.col("ccx"))
+            | ((F.col("ccy") == F.col("ccx")) & (F.col("y") < F.col("x")))
+        )
+        .select(F.col("x").alias(id_col))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        cc.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            "cos_cent",
+            F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
+        )
+    )
+
+
 def ann_topk_multiprobe(
     emb: DataFrame,
     query_ids: list[int],

@@ -364,7 +364,116 @@ LIMIT 200
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (cell-blocked, centroid-farthest keeper)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.30
+_PS12 = "1000000000000.0"
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): within each
+    cell, pairwise-cosine duplicate groups above τ keep only the member
+    FARTHEST from the cell centroid (lowest centroid cosine — the
+    least-prototypical example; min-id tiebreak). One row per vector
+    with its centroid cosine and drop verdict; centroids come from the
+    persisted artifact (stored_centroids), so the prototypicality pass
+    is an equi-join against a stored model, not a retrain."""
+    from data_lake_spark.operators.similarity import semantic_dedup
+    from data_lake_spark.queries.llm2 import stored_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, stored_centroids(spark, sf_dir), tau=_SEMDEDUP_TAU
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH elems AS (
+  SELECT vec_id, label,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS12}) AS BIGINT)) AS DOUBLE) / {_PS12} / COUNT(x) AS c
+  FROM elems GROUP BY 1, 2
+),
+vnorm AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(FLOOR(x * x * {_PS12}) AS BIGINT)) AS DOUBLE) / {_PS12}) AS nrm
+  FROM elems GROUP BY 1
+),
+cnorm AS (
+  SELECT cell,
+         SQRT(CAST(SUM(CAST(FLOOR(c * c * {_PS12}) AS BIGINT)) AS DOUBLE) / {_PS12}) AS cn
+  FROM cent GROUP BY 1
+),
+cdot AS (
+  SELECT e.vec_id,
+         SUM(CAST(FLOOR(e.x * c.c * {_PS12}) AS BIGINT)) AS dq
+  FROM elems e JOIN cent c ON e.label = c.cell AND e.d = c.d
+  GROUP BY 1
+),
+cc AS (
+  SELECT v.vec_id, v.label AS cell,
+         (CAST(dq AS DOUBLE) / {_PS12}) / (nrm * cn) AS cos_cent
+  FROM (SELECT DISTINCT vec_id, label FROM embeddings) v
+  JOIN cdot USING (vec_id)
+  JOIN vnorm USING (vec_id)
+  JOIN cnorm ON cnorm.cell = v.label
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pelems AS (
+  SELECT ia, ib,
+         CAST(UNNEST(va) AS DOUBLE) AS xa,
+         CAST(UNNEST(vb) AS DOUBLE) AS xb
+  FROM pairs
+),
+psums AS (
+  SELECT ia, ib,
+         CAST(SUM(CAST(FLOOR(xa * xb * {_PS12}) AS BIGINT)) AS DOUBLE) / {_PS12} AS dot
+  FROM pelems GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.ia, p.ib
+  FROM psums p
+  JOIN vnorm n1 ON n1.vec_id = p.ia
+  JOIN vnorm n2 ON n2.vec_id = p.ib
+  WHERE p.dot / (n1.nrm * n2.nrm) >= {_SEMDEDUP_TAU}
+),
+orient AS (
+  SELECT ib AS x, ia AS y FROM scored
+  UNION ALL
+  SELECT ia AS x, ib AS y FROM scored
+),
+dropped AS (
+  SELECT DISTINCT b.x AS vec_id
+  FROM orient b
+  JOIN cc cx ON cx.vec_id = b.x
+  JOIN cc cy ON cy.vec_id = b.y
+  WHERE cy.cos_cent < cx.cos_cent
+     OR (cy.cos_cent = cx.cos_cent AND b.y < b.x)
+)
+SELECT cc.vec_id, CAST(cc.cell AS BIGINT) AS cell, cc.cos_cent,
+       (d.vec_id IS NOT NULL) AS dropped
+FROM cc LEFT JOIN dropped d ON d.vec_id = cc.vec_id
+ORDER BY cc.vec_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup, ORACLE_SEMANTIC_DEDUP,
+        "SemDeDup: cell-blocked cosine dup groups keep the "
+        "centroid-farthest member (stored-centroid prototypicality)",
+    ),
     "bpe_tokens": QuerySpec(
         q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"
     ),
