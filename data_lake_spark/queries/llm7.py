@@ -328,6 +328,141 @@ def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the artifact-served IVF-PQ against the exact cosine
+    baseline, measured IN-ENGINE — the "measure, don't guess" contract
+    as a first-class query: per query id, how many of the true top-5
+    neighbors the compressed probe recovered. Both sides run their
+    production plans (broadcast query set vs streamed corpus for the
+    exact baseline; stored index + centroids + codebook for IVF-PQ);
+    the intersection is one equi-join on (query_id, cand_id).
+
+    On this synthetic corpus the reported recall is LOW (~0-0.2):
+    uniform random vectors are the known worst case for coarse PQ
+    (m=4, k=8, n_probe=2) — every pairwise cosine crowds the same
+    narrow band, so compressed scores can't separate true neighbors.
+    That is the measurement working as intended: raise n_probe /
+    m / k_codes (or use pq_rerank's exact re-rank stage) and THIS
+    query shows what the knob bought; clustered real embeddings
+    recall far higher at identical settings (tests/test_ann_recall.py
+    exercises that regime)."""
+    from data_lake_spark.operators.pq import ivf_pq_topk_indexed
+    from data_lake_spark.operators.similarity import _to_double, cosine_topk
+    from data_lake_spark.queries.llm2 import stored_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _to_double("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), _to_double("embedding").alias("cv")
+    )
+    exact = cosine_topk(q, c, k=5).select("query_id", "cand_id")
+    approx = ivf_pq_topk_indexed(
+        emb,
+        query_ids=qids,
+        index=_stored_index(spark, sf_dir, _M, _K),
+        codebook=_codebook(spark, sf_dir, _M, _K),
+        centroids=stored_centroids(spark, sf_dir),
+        k_top=5,
+        n_probe=2,
+    ).select("query_id", F.col("cand_id").alias("a_cand"))
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["cand_id"] == approx["a_cand"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count("a_cand").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / F.lit(5.0)).alias("recall"),
+    ).orderBy("query_id")
+
+
+ORACLE_ANN_RECALL = f"""
+WITH {_PQ_SQL},
+cent AS (
+  SELECT label AS cell, d,
+         CAST(SUM(CAST(FLOOR(x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} / COUNT(x) AS c
+  FROM elems GROUP BY 1, 2
+),
+qdist AS (
+  SELECT e.vec_id AS query_id, ct.cell,
+         SUM(CAST(FLOOR((e.x - ct.c) * (e.x - ct.c) * {_PS}) AS BIGINT)) AS cd2
+  FROM elems e JOIN cent ct ON e.d = ct.d
+  WHERE e.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT query_id, cell FROM qdist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd2 ASC, cell ASC) <= 2
+),
+cands AS (
+  SELECT p.query_id, v.vec_id AS cand_id
+  FROM probed p
+  JOIN (SELECT DISTINCT vec_id, label FROM embeddings) v ON v.label = p.cell
+  WHERE v.vec_id != p.query_id
+),
+lut AS (
+  SELECT qe.vec_id AS query_id, cb.s, cb.code,
+         SUM(CAST(FLOOR(qe.x * cb.c * {_PS}) AS BIGINT)) AS lut
+  FROM elems qe JOIN cb ON qe.s = cb.s AND qe.d = cb.d
+  WHERE qe.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT ca.query_id, ca.cand_id,
+         CAST(SUM(l.lut) AS DOUBLE) / {_PS} AS approx_dot
+  FROM cands ca
+  JOIN codes co ON co.vec_id = ca.cand_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.s = co.s AND l.code = co.code
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, cand_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY approx_dot DESC, cand_id) <= 5
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(FLOOR(x * x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS}) AS nrm
+  FROM elems GROUP BY 1
+),
+pe AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS cand_id,
+         SUM(CAST(FLOOR(qe.x * ce.x * {_PS}) AS BIGINT)) AS dq
+  FROM elems qe
+  JOIN elems ce ON ce.d = qe.d AND ce.vec_id != qe.vec_id
+  WHERE qe.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, cand_id
+  FROM (
+    SELECT p.query_id, p.cand_id,
+           (CAST(p.dq AS DOUBLE) / {_PS}) / (nq.nrm * nc.nrm) AS cosine
+    FROM pe p
+    JOIN norms nq ON nq.vec_id = p.query_id
+    JOIN norms nc ON nc.vec_id = p.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, cand_id) <= 5
+)
+SELECT e.query_id, COUNT(a.cand_id) AS n_hits,
+       COUNT(a.cand_id) / 5.0 AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "pq_encode": QuerySpec(
         q_pq_encode, ORACLE_PQ_ENCODE, "PQ corpus encode (m=4, k=8)"
@@ -350,5 +485,11 @@ REGISTRY: dict[str, QuerySpec] = {
         ORACLE_IVF_PQ,
         "IVF-PQ served from stored artifacts only (cell-partitioned "
         "codes index + centroids + codebook — zero corpus scan)",
+    ),
+    "ann_recall": QuerySpec(
+        q_ann_recall,
+        ORACLE_ANN_RECALL,
+        "recall@5 of artifact-served IVF-PQ vs the exact cosine "
+        "baseline, measured in-engine",
     ),
 }

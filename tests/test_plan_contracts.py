@@ -53,6 +53,9 @@ _BNLJ_OK = {
     "pq_rerank",
     "ivf_pq",
     "ivf_pq_stored",
+    # recall report runs the exact baseline (labeled broadcast crossJoin,
+    # same as cosine_topk) next to the compressed probe
+    "ann_recall",
 }
 
 
@@ -84,6 +87,43 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+# Shuffle budgets for flagship plans: the hashEx counts PLANS.md records,
+# pinned as upper bounds. A future edit that adds an Exchange to one of
+# these (a lost broadcast, an un-pushed aggregate, a stray repartition)
+# fails here instead of silently shipping a slower plan.
+_SHUFFLE_BUDGET = {
+    "earnings_by_day": 1,
+    "text_stats": 0,
+    "simhash": 0,
+    "bpe_tokens": 0,
+    "exact_dedup": 1,
+    "minhash_lsh": 1,
+    "embedding_neardup": 1,
+    "multimodal_decode": 0,
+    "chunk_docs": 0,
+    "classifier_filter": 0,
+    "embedding_quantize": 0,
+    "ivf_stored": 3,
+    "curation_funnel": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    # simple mode prints the partitioning inline ("Exchange
+    # hashpartitioning(...)"), matching tools/plan_report.py's counting;
+    # the final orderBy's rangepartitioning exchange is not counted —
+    # it exists only for driver-comparable output ordering
+    df = _REG[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= _SHUFFLE_BUDGET[name], (name, n, plan)
 
 
 def test_filters_reach_parquet_scan(spark, sf_dir):
