@@ -73,6 +73,120 @@ def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
     )
 
 
+def _list_parquet_files(spark, root: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every parquet data file under ``root``, via the
+    Hadoop FileSystem API — works on any scheme (file/HDFS/S3), never
+    driver-local os.walk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(conf)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, int(st.getLen())))
+    return out
+
+
+def compaction_report(
+    spark, root: str, target_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Per-partition-directory small-file diagnosis: (partition, n_files,
+    total_bytes, avg_bytes, n_target) where n_target = ceil(bytes /
+    target). The pre-flight read before :func:`compact_partitions` — at
+    100 TB the metadata listing is the only cost; nothing reads data.
+    A healthy table has n_files ≈ n_target; n_files ≫ n_target is the
+    small-file problem (per-file open/seek overhead, starved scan
+    parallelism granularity, NameNode/S3-listing pressure)."""
+    import os as _os
+
+    by_dir: dict[str, list[int]] = {}
+    for path, size in _list_parquet_files(spark, root):
+        # partition identity = the k1=v1/k2=v2 suffix between the table
+        # root and the file ("" for an unpartitioned table)
+        rel = _os.path.dirname(path).split(root.rstrip("/"), 1)[-1].strip("/")
+        by_dir.setdefault(rel, []).append(size)
+    rows = []
+    for d in sorted(by_dir):
+        sizes = by_dir[d]
+        total = sum(sizes)
+        rows.append(
+            (
+                d,
+                len(sizes),
+                total,
+                total // len(sizes),
+                max(1, -(-total // target_bytes)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files long, total_bytes long, "
+        "avg_bytes long, n_target long",
+    )
+
+
+def compact_partitions(
+    df: DataFrame,
+    dst: str,
+    partition_cols: list[str],
+    src_root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a partitioned dataset with ≈``target_bytes`` files: each
+    partition's rows land in ``ceil(partition_bytes / target)`` output
+    files. The compaction job every lakehouse runs nightly (Delta
+    OPTIMIZE / Iceberg rewrite_data_files), expressed as one Spark job:
+
+    - per-partition target file counts come from the METADATA listing
+      (``src_root``) — no data read to plan;
+    - a salt column ``pmod(hash(*all columns), n_target)`` splits each
+      partition's rows across its target files; the single shuffle is a
+      repartition on (partition, salt), so every task holds whole
+      output files and writes each exactly once;
+    - rows are bit-identical to the input (pure rewrite), only the file
+      layout changes.
+
+    Returns {partition_value: n_target}. Write is overwrite-to-``dst``
+    (publish-then-swap — the safe pattern; compact-in-place belongs to
+    table formats with atomic commit)."""
+    spark = df.sparkSession
+    rep = compaction_report(spark, src_root, target_bytes).collect()
+    targets = {r.partition: int(r.n_target) for r in rep}
+    mapping = spark.createDataFrame(
+        [(k, v) for k, v in targets.items()],
+        "__pval string, __n_target long",
+    )
+    pcol = F.concat_ws(
+        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_cols]
+    )
+    salted = (
+        df.join(
+            F.broadcast(mapping), pcol == F.col("__pval"), "left"
+        )
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]),
+                F.coalesce(F.col("__n_target"), F.lit(1)),
+            ),
+        )
+        .drop("__pval", "__n_target")
+    )
+    n_tasks = max(sum(targets.values()), 1)
+    (
+        salted.repartition(n_tasks, *partition_cols, F.col("__salt"))
+        .drop("__salt")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(dst)
+    )
+    return targets
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

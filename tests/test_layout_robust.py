@@ -186,3 +186,75 @@ def test_rank_normalize_equidepth_no_window(spark):
     assert zs == sorted(zs)
     # equi-depth: every quartile of ids spans a distinct bin range
     assert zs[0] < zs[999] < zs[1999]
+
+
+def test_compaction_report_and_rewrite(spark, tmp_path):
+    """Small-file compaction: a fragmented partitioned table (20 files
+    per partition) is diagnosed by compaction_report and rewritten to
+    the per-partition target file count with bit-identical rows."""
+    from data_lake_spark.layout import compact_partitions, compaction_report
+
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("day"),
+        (F.col("id") * 3).alias("v"),
+    )
+    # fragment: 20 shuffle partitions × 4 day dirs -> ~20 files per dir
+    df.repartition(20).write.partitionBy("day").parquet(src)
+
+    rep = {r.partition: r for r in compaction_report(spark, src, 10**9).collect()}
+    assert len(rep) == 4
+    for part, r in rep.items():
+        assert part.startswith("day=")
+        assert r.n_files >= 10  # genuinely fragmented
+        assert r.n_target == 1  # tiny data, huge target -> one file each
+
+    dst = str(tmp_path / "compact")
+    back_in = spark.read.parquet(src)
+    targets = compact_partitions(
+        back_in, dst, ["day"], src_root=src, target_bytes=10**9
+    )
+    assert set(targets) == set(rep) and all(v == 1 for v in targets.values())
+
+    # one data file per partition dir now
+    for d in range(4):
+        files = glob.glob(f"{dst}/day={d}/*.parquet")
+        assert len(files) == 1, files
+    # rows bit-identical (layout-only rewrite)
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compaction_splits_oversized_partition(spark, tmp_path):
+    """A partition larger than target_bytes must split across
+    ceil(bytes/target) files, not collapse to one."""
+    from data_lake_spark.layout import compact_partitions, compaction_report
+
+    src = str(tmp_path / "big")
+    df = spark.range(0, 50_000).select(
+        "id", F.lit("x").alias("part"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    df.repartition(16).write.partitionBy("part").parquet(src)
+    total = sum(
+        s for _, s in __import__(
+            "data_lake_spark.layout", fromlist=["_list_parquet_files"]
+        )._list_parquet_files(spark, src)
+    )
+    target = total // 3  # force n_target >= 3 (header overhead inflates a bit)
+    rep = compaction_report(spark, src, target).collect()
+    (row,) = rep
+    assert row.n_target >= 3
+
+    dst = str(tmp_path / "big_out")
+    compact_partitions(
+        spark.read.parquet(src), dst, ["part"], src_root=src, target_bytes=target
+    )
+    files = glob.glob(f"{dst}/part=x/*.parquet")
+    # salt groups can hash-collide into one task (version-dependent), so
+    # the hard floor is "genuinely split", the ceiling the planned count
+    assert 2 <= len(files) <= row.n_target, files
+    assert (
+        spark.read.parquet(dst).count() == 50_000
+    )
