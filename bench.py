@@ -99,6 +99,8 @@ HEADLINE = [
     "ivf_pq_stored",
     # SemDeDup: cell-blocked cosine dup groups, centroid-farthest keeper
     "semantic_dedup",
+    # in-engine model training: 3 GD passes, one aggregation each
+    "classifier_train",
 ]
 
 

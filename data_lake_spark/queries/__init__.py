@@ -49,6 +49,7 @@ def full_registry() -> dict[str, QuerySpec]:
         temporal2,
         temporal3,
         temporal4,
+        train_q,
     )
 
     reg: dict[str, QuerySpec] = {}
@@ -73,6 +74,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
     reg.update(temporal4.REGISTRY)
+    reg.update(train_q.REGISTRY)
     reg.update(api_queries.REGISTRY)
     reg.update(sqlcompat_q.REGISTRY)
 

@@ -1,0 +1,155 @@
+"""In-engine model training: a linear-probe quality classifier fitted
+by deterministic batch gradient descent — the training side of
+queries/curation.classifier_filter's fixed-weight inference.
+
+The 100 TB shape: each GD iteration is ONE map-side-combinable
+aggregation over the corpus (per-feature gradient sums as exact
+quantized-floor integer folds); only the d+1 weight scalars travel to
+the driver between iterations (model state, not data). K iterations =
+K linear passes — no per-row Python, no shuffle beyond the aggregate.
+
+Determinism contract: squared loss keeps every per-row term pure
+arithmetic (no exp/log whose last-ulp may differ across engines); the
+per-row residual uses the weights as double literals and left-
+associated products/sums in the SAME textual order as the DuckDB
+oracle, and gradient sums quantize with floor at 1e-12 before the
+exact integer fold — weights match the oracle bit-for-bit after every
+iteration.
+
+Beyond the reference surface (SURVEY §8 training-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_PS = "1000000000000.0"
+_PSF = 1_000_000_000_000.0
+_LR = 0.5
+_ITERS = 3
+_STOP = ("the", "and", "of", "to", "a", "in", "is", "it")
+_FEATURES = ("bias", "len_norm", "stop_ratio", "word_len")
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    """(y, x0..x3): label = doc is English; features = capped token
+    count, stopword ratio, mean word length — all pure projections."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_STOP)))
+    return docs.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.least(n_tok, F.lit(200)) / F.lit(200.0)).alias("x1"),
+        (stop_cnt * F.lit(1.0) / n_tok).alias("x2"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", ""))
+            * F.lit(1.0)
+            / n_tok
+            / F.lit(10.0)
+        ).alias("x3"),
+    )
+
+
+def fit_linear_probe(
+    feats: DataFrame, lr: float = _LR, iters: int = _ITERS
+) -> list[float]:
+    """Batch GD on squared loss: w ← w − lr·(Σ floor((w·x − y)·x_j·PS))
+    / PS / n per feature. One aggregation job per iteration; the weight
+    vector (d+1 doubles) is the only driver round-trip."""
+    feats = feats.localCheckpoint(eager=False)
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        r: Column = (
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            - F.col("y")
+        )
+        grads = feats.agg(
+            *[
+                F.sum(F.floor(r * F.col(f"x{j}") * F.lit(_PSF))).alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        w = [w[j] - lr * (grads[f"g{j}"] / _PSF) / n for j in range(4)]
+    return w
+
+
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the linear quality probe in-engine (3 GD iterations over
+    the documents corpus) and return the learned weights — one row per
+    feature. The oracle replays the identical iterations as chained SQL
+    CTEs; weights match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = fit_linear_probe(_features(docs))
+    return spark.createDataFrame(
+        list(zip(_FEATURES, w)), "feature string, weight double"
+    ).orderBy("feature")
+
+
+def _sql_feats() -> str:
+    stop = ", ".join(f"'{s}'" for s in _STOP)
+    return f"""
+f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         LEAST(LEN(STRING_SPLIT(text, ' ')), 200) / 200.0 AS x1,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({stop}))) * 1.0
+           / LEN(STRING_SPLIT(text, ' ')) AS x2,
+         LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) * 1.0
+           / LEN(STRING_SPLIT(text, ' ')) / 10.0 AS x3
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM f)"""
+
+
+def _sql_iter(i: int) -> str:
+    """Gradient CTE g{i} against weights w{i}, then weights w{i+1}."""
+    w = f"w{i}"
+    dot = f"({w}.w0 * x0 + {w}.w1 * x1 + {w}.w2 * x2 + {w}.w3 * x3 - y)"
+    sums = ",\n         ".join(
+        f"SUM(CAST(FLOOR({dot} * x{j} * {_PS}) AS BIGINT)) AS g{j}"
+        for j in range(4)
+    )
+    upd = ", ".join(
+        f"{w}.w{j} - {_LR} * (CAST(g{j} AS DOUBLE) / {_PS}) / n AS w{j}"
+        for j in range(4)
+    )
+    return (
+        f"g{i} AS (\n  SELECT {sums}\n  FROM f CROSS JOIN w{i}\n),\n"
+        f"w{i + 1} AS (SELECT {upd} FROM g{i} CROSS JOIN nn CROSS JOIN w{i})"
+    )
+
+
+ORACLE_CLASSIFIER_TRAIN = (
+    "WITH "
+    + _sql_feats()
+    + ",\nw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),\n"
+    + ",\n".join(_sql_iter(i) for i in range(_ITERS))
+    + f"""
+SELECT feature, weight FROM (
+  SELECT 'bias' AS feature, w0 AS weight FROM w{_ITERS}
+  UNION ALL SELECT 'len_norm', w1 FROM w{_ITERS}
+  UNION ALL SELECT 'stop_ratio', w2 FROM w{_ITERS}
+  UNION ALL SELECT 'word_len', w3 FROM w{_ITERS}
+)
+ORDER BY feature
+"""
+)
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "classifier_train": QuerySpec(
+        q_classifier_train,
+        ORACLE_CLASSIFIER_TRAIN,
+        "linear quality probe trained in-engine: 3 deterministic GD "
+        "iterations, one aggregation pass each, bit-exact vs the oracle",
+    ),
+}
