@@ -96,3 +96,53 @@ def test_streaming_ivfpq_index(spark, tmp_path):
     replayed = spark.read.parquet(idx_root)
     assert replayed.count() == emb.count()
     assert {r.vec_id: list(r.codes) for r in replayed.collect()} == batch_codes
+
+
+def test_query_served_from_streamed_index(spark, tmp_path):
+    """The full loop: micro-batched ingest maintains the cell-partitioned
+    codes index; ivf_pq_topk_indexed then serves top-k from THAT index
+    (plus the same fixed centroids/codebook artifacts) and must return
+    exactly what it returns on a batch-built index of the same corpus."""
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.operators.pq import ivf_pq_topk_indexed
+    from data_lake_spark.streaming.incremental import start_ivfpq_index_ingest
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = hash_seeds(emb, k=4)
+    codebook = pq_codebook_lit(emb, m=4, k=8)
+
+    src = str(tmp_path / "src")
+    emb.coalesce(2).write.parquet(src)
+    idx_root = str(tmp_path / "index")
+    q = start_ivfpq_index_ingest(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx_root,
+        centroids,
+        codebook,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def topk(index):
+        return sorted(
+            (r.query_id, r.rk, r.cand_id, r.approx_dot)
+            for r in ivf_pq_topk_indexed(
+                emb, [0, 1, 2], index, codebook, centroids, k_top=3, n_probe=2
+            ).collect()
+        )
+
+    streamed = topk(spark.read.parquet(idx_root))
+    values, present, subdim = codebook
+    batch_index = pq_codes_array(emb, values, present, subdim).join(
+        assign_cells(_elems(emb, "vec_id", "embedding"), centroids, "vec_id")
+        .select("vec_id", "cell"),
+        "vec_id",
+    )
+    assert streamed == topk(batch_index)
+    assert len(streamed) == 9  # 3 queries x top-3
