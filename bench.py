@@ -98,7 +98,9 @@ HEADLINE = [
     # see what the full artifact stack buys
     "ivf_pq_stored",
     # SemDeDup: cell-blocked cosine dup groups, centroid-farthest keeper
+    # (capped = the corpus-scale form: sub-split cells, flat pair cost)
     "semantic_dedup",
+    "semantic_dedup_capped",
     # in-engine model training: 3 GD passes, one aggregation each
     "classifier_train",
 ]

@@ -401,6 +401,44 @@ def ivf_search(
     )
 
 
+def subsplit_cells(
+    e: DataFrame,
+    max_cell: int,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Replace ``label_col`` with a deterministic sub-cell id so no cell
+    exceeds ≈``max_cell`` members: cell → "cell#(u16(id) mod n_sub)"
+    with n_sub = ceil(members / max_cell), u16 = first 4 md5 hex digits
+    of the id (the repo's engine-portable hash family).
+
+    THE SemDeDup scale knob: the paper scales cluster count with corpus
+    size precisely because within-cluster pairwise work is quadratic —
+    sub-splitting bounds it at O(N · max_cell) total, trading recall
+    (cross-sub-cell pairs are never compared) for a flat cost curve.
+    Deterministic, so results are stable under any partitioning."""
+    sizes = e.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    h = F.md5(F.col(id_col).cast("string"))
+    u16 = F.lit(0)
+    for i in range(1, 5):
+        u16 = u16 * 16 + (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        )
+    n_sub = F.ceil(F.col("__n") / F.lit(max_cell)).cast("long")
+    return (
+        e.join(F.broadcast(sizes), label_col)
+        .withColumn(
+            label_col,
+            F.concat_ws(
+                "#",
+                F.col(label_col).cast("string"),
+                F.pmod(u16.cast("long"), n_sub).cast("string"),
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -408,6 +446,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): within each cluster/cell, vectors whose pairwise cosine
@@ -425,7 +464,16 @@ def semantic_dedup(
     ``centroids`` artifact ((cell, d, c) — similarity.ivf_centroids,
     persisted in production). The drop rule is a pairwise-orientation
     filter + distinct, all equi-joins. Quantized-floor dot products
-    keep every cosine bit-identical across partitionings and engines."""
+    keep every cosine bit-identical across partitionings and engines.
+
+    ``max_cell`` bounds the per-cell pair space via
+    :func:`subsplit_cells` (pair BLOCKING only — centroid cosines keep
+    the true cell). REQUIRED when cell population grows with the
+    corpus: with a fixed cluster count, K× data is K²× pairwise work
+    (measured: 8× data → ~21× wall in SCALING.md's uncapped row);
+    capped, the cost curve is flat. None = exact all-pairs-within-cell
+    (the oracle form). Capped drops are a SUBSET of exact drops (fewer
+    pairs compared, same per-pair rule)."""
     e = (
         emb.select(
             F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")
@@ -433,6 +481,9 @@ def semantic_dedup(
         .repartition(16, label_col)
         .withColumn("nrm", norm_exact("v"))
         .localCheckpoint(eager=False)
+    )
+    pair_e = (
+        subsplit_cells(e, max_cell, id_col, label_col) if max_cell else e
     )
 
     # cosine(vector, own-cell centroid) with the exact quantized recipe
@@ -471,11 +522,11 @@ def semantic_dedup(
     )
 
     # blocked pairwise cosine, kept as a<b then viewed in both orientations
-    a = e.select(
+    a = pair_e.select(
         F.col(id_col).alias("ia"), F.col(label_col),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    b = e.select(
+    b = pair_e.select(
         F.col(id_col).alias("ib"), F.col(label_col),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )

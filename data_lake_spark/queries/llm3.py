@@ -468,11 +468,67 @@ ORDER BY cc.vec_id
 """
 
 
+_SEMDEDUP_MAX_CELL = 64
+
+
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the SemDeDup scale knob engaged: pair
+    blocking on deterministic sub-cells of ≤~64 members
+    (operators/similarity.subsplit_cells), so pairwise cost is
+    O(N·max_cell) — flat at any corpus size — instead of quadratic in
+    the cell population. Centroid cosines keep the true cell; capped
+    drops are a subset of the exact query's drops."""
+    from data_lake_spark.operators.similarity import semantic_dedup
+    from data_lake_spark.queries.llm2 import stored_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        stored_centroids(spark, sf_dir),
+        tau=_SEMDEDUP_TAU,
+        max_cell=_SEMDEDUP_MAX_CELL,
+    ).orderBy("vec_id")
+
+
+def _oracle_semantic_capped() -> str:
+    from data_lake_spark.queries.curation import _oracle_u16
+
+    u16a = _oracle_u16("a.vec_id")
+    u16b = _oracle_u16("b.vec_id")
+    nsub = (
+        f"CAST(CEIL(CAST(s.n AS DOUBLE) / {_SEMDEDUP_MAX_CELL}) AS BIGINT)"
+    )
+    # identical to ORACLE_SEMANTIC_DEDUP except the pairs CTE blocks on
+    # the sub-cell: same cell AND same u16(id) % ceil(n/max) bucket
+    return ORACLE_SEMANTIC_DEDUP.replace(
+        """pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),""",
+        f"""sizes AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  JOIN sizes s ON s.label = a.label
+  WHERE ({u16a}) % {nsub} = ({u16b}) % {nsub}
+),""",
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "semantic_dedup": QuerySpec(
         q_semantic_dedup, ORACLE_SEMANTIC_DEDUP,
         "SemDeDup: cell-blocked cosine dup groups keep the "
         "centroid-farthest member (stored-centroid prototypicality)",
+    ),
+    "semantic_dedup_capped": QuerySpec(
+        q_semantic_dedup_capped, _oracle_semantic_capped(),
+        "SemDeDup with sub-split cells (max ~64 members): flat "
+        "O(N*max_cell) pair cost — the corpus-scale form",
     ),
     "bpe_tokens": QuerySpec(
         q_bpe_tokens, ORACLE_BPE_TOKENS, "whitespace + BPE-regex token counting"

@@ -60,3 +60,31 @@ def test_srp_literal_weights_match_expression_form(spark, sf_dir):
         .count()
     )
     assert n_diff == 0
+
+
+def test_semantic_dedup_cap_is_sound(spark):
+    """Sub-split blocking only removes candidate pairs: capped drops
+    must be a SUBSET of the exact query's drops, and a cap larger than
+    every cell must reproduce the exact result identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings")
+    cent = ivf_centroids(emb).localCheckpoint()
+
+    def drops(max_cell):
+        out = semantic_dedup(emb, cent, tau=0.30, max_cell=max_cell)
+        return {r.vec_id for r in out.filter(F.col("dropped")).collect()}
+
+    exact = drops(None)
+    capped = drops(16)
+    assert capped <= exact
+    assert drops(10**9) == exact  # cap beyond every cell = exact

@@ -43,6 +43,9 @@ QUERIES = [
     "salted_join_agg",  # 8-way salted skew join + exact-sum agg
     "ivf_stored",  # pure probe vs persisted centroid artifact
     "ivf_pq_stored",  # full artifact stack: probe + pruned ADC index read
+    "semantic_dedup",  # UNCAPPED: quadratic by design at fixed cluster count
+    "semantic_dedup_capped",  # the scale form: sub-split cells, flat pair cost
+    "classifier_train",  # 3 GD aggregation passes over the corpus
 ]
 
 
@@ -157,6 +160,12 @@ def main() -> None:
                 "minhash_lsh legitimately trends highest: the K× corpus contains\n"
                 "K× near-duplicate families, so its candidate-pair OUTPUT grows\n"
                 "faster than its input — the dedup load is real.\n\n"
+                "semantic_dedup (uncapped) is the deliberate NEGATIVE CONTROL:\n"
+                "the scaled corpus keeps its cluster COUNT fixed, so\n"
+                "within-cell pairwise work grows K² — exactly why SemDeDup\n"
+                "scales cluster count with corpus size. semantic_dedup_capped\n"
+                "(sub-split cells, ≤~64 members) is the production form and\n"
+                "must stay ≈ flat.\n\n"
                 f"| query | t(1×) s | t({k}×) s | ratio | ratio/{k} |\n"
                 "|---|---|---|---|---|\n"
             )
