@@ -100,8 +100,9 @@ def full_registry() -> dict[str, QuerySpec]:
 #
 # ROUND 4 TODO: everything is then driver-proven at least once; rotate the
 # window onto (a) the queries ADDED in round 3 — ivf_stored ivf_pq_stored
-# semantic_dedup ann_recall classifier_train — which have local oracle
-# parity but no driver row yet and MUST be in the r04 window, (b) the 17 r01-only queries not
+# semantic_dedup semantic_dedup_capped ann_recall classifier_train — which
+# have local oracle parity but no driver row yet and MUST be in the r04
+# window, (b) the 17 r01-only queries not
 # re-checked here (proj_filter_compute or_filter_dim point_lookup global_sum
 # date_parts json_payload string_funcs array_funcs set_ops_halves cube_report
 # semi_join_active anti_join_inactive running_total hash_sample train_split
