@@ -103,6 +103,10 @@ HEADLINE = [
     "semantic_dedup_capped",
     # in-engine model training: 3 GD passes, one aggregation each
     "classifier_train",
+    # text -> hashed 16-dim embedding (map-only) -> exact cosine top-k:
+    # the vector stack with no embeddings table at all
+    "doc_embed",
+    "doc_topk",
 ]
 
 

@@ -36,6 +36,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
         quality_q,
         relational,
         relational2,
@@ -69,6 +70,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm5.REGISTRY)
     reg.update(llm6.REGISTRY)
     reg.update(llm7.REGISTRY)
+    reg.update(llm8.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
@@ -100,7 +102,8 @@ def full_registry() -> dict[str, QuerySpec]:
 #
 # ROUND 4 TODO: everything is then driver-proven at least once; rotate the
 # window onto (a) the queries ADDED in round 3 — ivf_stored ivf_pq_stored
-# semantic_dedup semantic_dedup_capped ann_recall classifier_train — which
+# semantic_dedup semantic_dedup_capped ann_recall classifier_train
+# doc_embed doc_topk — which
 # have local oracle parity but no driver row yet and MUST be in the r04
 # window, (b) the 17 r01-only queries not
 # re-checked here (proj_filter_compute or_filter_dim point_lookup global_sum

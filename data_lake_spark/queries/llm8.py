@@ -1,0 +1,164 @@
+"""Feature-hashed document embeddings computed IN-ENGINE: text → a
+16-dim signed bag-of-words vector (hashing trick, Weinberger et al.
+2009) as one map-only higher-order-function expression — no model, no
+UDF, no shuffle. Closes the text→vector→ANN loop for corpora that
+arrive WITHOUT precomputed embeddings: the derived vectors feed the
+same cosine/ANN/semantic-dedup operators as the embeddings table.
+
+Per token t: bucket(t) = value of md5 hex digit 4 (uniform 0..15),
+sign(t) = ±1 from the parity of hex digit 5 (independent digit);
+v[j] = Σ_{tokens, bucket=j} sign — counts weight repeats naturally.
+Exact integer folds → bit-identical across partitionings and engines.
+
+Plan shape at 100 TB: embedding computation is embarrassingly parallel
+projection work (the simhash pattern, generalized to a vector); the
+top-k scan broadcasts the query docs and streams the corpus exactly
+like similarity.cosine_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_DIM = 16
+_HEX = "0123456789abcdef"
+
+
+def doc_embed_expr(text_col: str = "text", dim: int = _DIM) -> Column:
+    """array<long> hashed embedding of a whitespace-tokenized text
+    column — one row per document, zero shuffle. Hash each token once
+    up front (no CSE inside lambda bodies), then fold one signed count
+    per dimension."""
+    hashes = F.transform(F.split(F.col(text_col), " "), lambda t: F.md5(t))
+
+    def bucket(h: Column) -> Column:
+        return F.instr(F.lit(_HEX), F.substring(h, 4, 1)) - 1
+
+    def sign(h: Column) -> Column:
+        return F.when(
+            F.ascii(F.substring(h, 5, 1)) % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(bucket(h) == j, sign(h)).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's 16-dim hashed embedding (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_embed_expr("text").alias("embedding")
+    ).orderBy("doc_id")
+
+
+_SQL_TOK_EMBED = f"""
+toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         STRPOS('{_HEX}', SUBSTR(MD5(tok), 4, 1)) - 1 AS bucket,
+         CASE WHEN ASCII(SUBSTR(MD5(tok), 5, 1)) % 2 = 1 THEN 1 ELSE -1 END AS sg
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, bucket, SUM(sg) AS v FROM hashed GROUP BY 1, 2
+),
+dims AS (SELECT UNNEST(RANGE({_DIM})) AS dim),
+dense AS (
+  SELECT d.doc_id, dims.dim, COALESCE(s.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN dims
+  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = dims.dim
+),
+vecs AS (
+  SELECT doc_id, LIST(CAST(v AS BIGINT) ORDER BY dim) AS embedding
+  FROM dense GROUP BY 1
+)"""
+
+ORACLE_DOC_EMBED = f"""
+WITH {_SQL_TOK_EMBED}
+SELECT doc_id, embedding FROM vecs ORDER BY doc_id
+"""
+
+
+def q_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-3 neighbors of the first 3 documents over the DERIVED
+    hashed embeddings — the whole vector stack (embed + exact scan)
+    with no embeddings table at all. Integer vectors make the quantized
+    dot products exact by construction."""
+    from data_lake_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = docs.select(
+        "doc_id",
+        F.transform(
+            doc_embed_expr("text"), lambda x: x.cast("double")
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+    q = vecs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("doc_id").alias("cand_id"), F.col("v").alias("cv"))
+    return (
+        cosine_topk(q, c, k=3)
+        .select("query_id", "cand_id", "cosine", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+_PS = "1000000000000.0"
+
+ORACLE_DOC_TOPK = f"""
+WITH {_SQL_TOK_EMBED},
+q AS (SELECT doc_id AS query_id, embedding AS qv FROM vecs WHERE doc_id < 3),
+c AS (SELECT doc_id AS cand_id, embedding AS cv FROM vecs),
+pelems AS (
+  SELECT query_id, cand_id,
+         CAST(UNNEST(qv) AS DOUBLE) AS qe,
+         CAST(UNNEST(cv) AS DOUBLE) AS ce
+  FROM q CROSS JOIN c WHERE query_id != cand_id
+),
+psums AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(CAST(FLOOR(qe * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot,
+         CAST(SUM(CAST(FLOOR(qe * qe * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS qq,
+         CAST(SUM(CAST(FLOOR(ce * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS cc
+  FROM pelems GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, cand_id, dot / (SQRT(qq) * SQRT(cc)) AS cosine FROM psums
+)
+SELECT query_id, cand_id, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 3
+ORDER BY query_id, rk
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "doc_embed": QuerySpec(
+        q_doc_embed,
+        ORACLE_DOC_EMBED,
+        "feature-hashed 16-dim document embeddings, map-only in-engine",
+    ),
+    "doc_topk": QuerySpec(
+        q_doc_topk,
+        ORACLE_DOC_TOPK,
+        "cosine top-3 over the derived hashed embeddings (text-only "
+        "corpus runs the full vector stack)",
+    ),
+}

@@ -56,6 +56,9 @@ _BNLJ_OK = {
     # recall report runs the exact baseline (labeled broadcast crossJoin,
     # same as cosine_topk) next to the compressed probe
     "ann_recall",
+    # exact scan over derived hashed embeddings — same labeled
+    # broadcast-crossJoin baseline shape as cosine_topk
+    "doc_topk",
 }
 
 
