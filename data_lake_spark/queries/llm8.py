@@ -57,11 +57,13 @@ def doc_embed_expr(text_col: str = "text", dim: int = _DIM) -> Column:
 
 
 def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every document's 16-dim hashed embedding (map-only). The input
-    is repartitioned first so the token-hashing CPU spreads across
-    cores even when the corpus arrives as one file — on a real cluster
-    the file split size does this; the exchange carries only (id, text)
-    and the expensive projection runs AFTER it."""
+    """Every document's 16-dim hashed embedding. The projection is
+    map-only; one narrow (id, text) round-robin exchange first spreads
+    the token-hashing CPU across cores, because this corpus ships as a
+    single parquet ROW GROUP — byte-range splits cannot cross it, so
+    file-split parallelism is physically unavailable (see the note in
+    session.py). On split-sized cluster files the exchange is free to
+    drop."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", "text")

@@ -55,6 +55,15 @@ def get_spark(
         # Larger broadcast threshold: our dims (users/customer/nation)
         # are dim-sized even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # NOTE on small-file parallelism: byte-range splits cannot cross
+        # a parquet ROW GROUP, and the driver-written testdata has one
+        # row group per file — so lowering openCostInBytes/
+        # maxPartitionBytes only creates empty splits + a straggler
+        # (measured: doc_embed 6.1 s single-task -> 15.9 s with 10 fake
+        # splits). CPU-heavy text queries that need spread on this data
+        # do ONE narrow (id, text) round-robin exchange before the
+        # expensive projection (queries/llm8.py); on a real cluster the
+        # writer's 128 MB row groups make file splits do this for free.
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER_SET"):
