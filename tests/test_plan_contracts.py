@@ -110,6 +110,12 @@ _SHUFFLE_BUDGET = {
     "embedding_quantize": 0,
     "ivf_stored": 3,
     "curation_funnel": 1,
+    "classifier_train": 0,
+    "doc_embed": 0,  # round-robin spread is not a hash shuffle
+    "doc_topk": 1,
+    "ivf_pq_stored": 6,
+    "semantic_dedup": 6,
+    "semantic_dedup_capped": 10,
 }
 
 
