@@ -43,18 +43,24 @@ def _codebook(spark: SparkSession, sf_dir: str, m: int, k: int):
 
 # shared oracle fragments: element rows with subspace index, md5-parity
 # seeded codes, one-step codebooks, nearest-code assignment
-_PQ_SQL = f"""
+
+
+def _pq_sql(subdim: int, k: int) -> str:
+    """The PQ training+encode CTE chain for an (m = 64/subdim, k)
+    configuration — shared by every PQ oracle; parameterized so the
+    recall ladder can replay it at tuned settings."""
+    return f"""
 elems AS (
   SELECT vec_id, label,
          CAST(UNNEST(embedding) AS DOUBLE) AS x,
          GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS d,
-         CAST((GENERATE_SUBSCRIPTS(embedding, 1) - 1) // 16 AS INT) AS s
+         CAST((GENERATE_SUBSCRIPTS(embedding, 1) - 1) // {subdim} AS INT) AS s
   FROM embeddings
 ),
 seeded AS (
   SELECT *,
          ((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 16
-          + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1) % {_K} AS code0
+          + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1) % {k} AS code0
   FROM elems
 ),
 cb AS (
@@ -73,6 +79,9 @@ codes AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) = 1
 )
 """
+
+
+_PQ_SQL = _pq_sql(16, _K)
 
 
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +131,9 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_SCORED_SQL = f"""{_PQ_SQL},
+def _pq_scored_sql(subdim: int, k: int) -> str:
+    """PQ fragments + per-query LUT + full ADC scan → ``scored``."""
+    return f"""{_pq_sql(subdim, k)},
 lut AS (
   SELECT qe.vec_id AS query_id, cb.s, cb.code,
          SUM(CAST(FLOOR(qe.x * cb.c * {_PS}) AS BIGINT)) AS lut
@@ -137,6 +148,9 @@ scored AS (
   WHERE co.vec_id != l.query_id
   GROUP BY 1, 2
 )"""
+
+
+_PQ_SCORED_SQL = _pq_scored_sql(16, _K)
 
 ORACLE_PQ_SEARCH = f"""
 WITH {_PQ_SCORED_SQL}
@@ -329,24 +343,26 @@ def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the artifact-served IVF-PQ against the exact cosine
-    baseline, measured IN-ENGINE — the "measure, don't guess" contract
-    as a first-class query: per query id, how many of the true top-5
-    neighbors the compressed probe recovered. Both sides run their
-    production plans (broadcast query set vs streamed corpus for the
-    exact baseline; stored index + centroids + codebook for IVF-PQ);
-    the intersection is one equi-join on (query_id, cand_id).
+    """The recall LADDER, measured IN-ENGINE — the "measure, don't
+    guess" contract as a first-class query: per query id and per
+    configuration, how many of the true top-5 neighbors the approximate
+    search recovered. Two rungs:
 
-    On this synthetic corpus the reported recall is LOW (~0-0.2):
-    uniform random vectors are the known worst case for coarse PQ
-    (m=4, k=8, n_probe=2) — every pairwise cosine crowds the same
-    narrow band, so compressed scores can't separate true neighbors.
-    That is the measurement working as intended: raise n_probe /
-    m / k_codes (or use pq_rerank's exact re-rank stage) and THIS
-    query shows what the knob bought; clustered real embeddings
-    recall far higher at identical settings (tests/test_ann_recall.py
-    exercises that regime)."""
-    from data_lake_spark.operators.pq import ivf_pq_topk_indexed
+    - ``ivf_pq_m4_k8_probe2`` — the cheapest artifact-served probe
+      (stored index + centroids + codebook). On this uniform-random
+      synthetic corpus it recalls LOW (~0-0.2) — the known worst case
+      for coarse PQ, every pairwise cosine crowds one narrow band;
+    - ``rerank_m8_k16_sl100`` — finer codes + the two-stage exact
+      re-rank of a 100-candidate shortlist, recovering ~0.5-0.6 here
+      (and far more on clustered real embeddings).
+
+    Same corpus, same exact baseline, so the delta between rows IS what
+    the extra compute bought. Each side runs its production plan; the
+    intersection is one equi-join on (query_id, cand_id)."""
+    from data_lake_spark.operators.pq import (
+        ivf_pq_topk_indexed,
+        pq_adc_rerank_topk,
+    )
     from data_lake_spark.operators.similarity import _to_double, cosine_topk
     from data_lake_spark.queries.llm2 import stored_centroids
 
@@ -358,8 +374,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("cand_id"), _to_double("embedding").alias("cv")
     )
-    exact = cosine_topk(q, c, k=5).select("query_id", "cand_id")
-    approx = ivf_pq_topk_indexed(
+    exact = (
+        cosine_topk(q, c, k=5)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def hits(config: str, approx: DataFrame) -> DataFrame:
+        a = approx.select("query_id", F.col("cand_id").alias("a_cand"))
+        return (
+            exact.join(
+                a,
+                (exact["query_id"] == a["query_id"])
+                & (exact["cand_id"] == a["a_cand"]),
+                "left",
+            )
+            .groupBy(exact["query_id"].alias("query_id"))
+            .agg(F.count("a_cand").alias("n_hits"))
+            .select(
+                F.lit(config).alias("config"),
+                "query_id",
+                "n_hits",
+                (F.col("n_hits") / F.lit(5.0)).alias("recall"),
+            )
+        )
+
+    probe = ivf_pq_topk_indexed(
         emb,
         query_ids=qids,
         index=_stored_index(spark, sf_dir, _M, _K),
@@ -367,25 +407,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=stored_centroids(spark, sf_dir),
         k_top=5,
         n_probe=2,
-    ).select("query_id", F.col("cand_id").alias("a_cand"))
-    hits = (
-        exact.join(
-            approx,
-            (exact["query_id"] == approx["query_id"])
-            & (exact["cand_id"] == approx["a_cand"]),
-            "left",
-        )
-        .groupBy(exact["query_id"].alias("query_id"))
-        .agg(F.count("a_cand").alias("n_hits"))
     )
-    return hits.select(
-        "query_id",
-        "n_hits",
-        (F.col("n_hits") / F.lit(5.0)).alias("recall"),
-    ).orderBy("query_id")
+    rerank = pq_adc_rerank_topk(
+        emb, qids, k_top=5, shortlist=100, m=8, k_codes=16,
+        codebook=_codebook(spark, sf_dir, 8, 16),
+    )
+    return (
+        hits("ivf_pq_m4_k8_probe2", probe)
+        .unionByName(hits("rerank_m8_k16_sl100", rerank))
+        .orderBy("config", "query_id")
+    )
 
 
 ORACLE_ANN_RECALL = f"""
+SELECT * FROM (
 WITH {_PQ_SQL},
 cent AS (
   SELECT label AS cell, d,
@@ -454,12 +489,74 @@ exact AS (
   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
                              ORDER BY cosine DESC, cand_id) <= 5
 )
-SELECT e.query_id, COUNT(a.cand_id) AS n_hits,
+SELECT 'ivf_pq_m4_k8_probe2' AS config, e.query_id,
+       COUNT(a.cand_id) AS n_hits,
        COUNT(a.cand_id) / 5.0 AS recall
 FROM exact e
 LEFT JOIN approx a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
-GROUP BY 1
-ORDER BY 1
+GROUP BY 1, 2
+)
+UNION ALL
+SELECT * FROM (
+WITH {_pq_scored_sql(8, 16)},
+short AS (
+  SELECT query_id, cand_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY approx_dot DESC, cand_id) <= 100
+),
+norms AS (
+  SELECT vec_id,
+         SQRT(CAST(SUM(CAST(FLOOR(x * x * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS}) AS nrm
+  FROM elems GROUP BY 1
+),
+pe AS (
+  SELECT sh.query_id, sh.cand_id,
+         SUM(CAST(FLOOR(qe.x * ce.x * {_PS}) AS BIGINT)) AS dq
+  FROM short sh
+  JOIN elems qe ON qe.vec_id = sh.query_id
+  JOIN elems ce ON ce.vec_id = sh.cand_id AND ce.d = qe.d
+  GROUP BY 1, 2
+),
+rr AS (
+  SELECT p.query_id, p.cand_id,
+         (CAST(p.dq AS DOUBLE) / {_PS}) / (nq.nrm * nc.nrm) AS cosine
+  FROM pe p
+  JOIN norms nq ON nq.vec_id = p.query_id
+  JOIN norms nc ON nc.vec_id = p.cand_id
+),
+rtop AS (
+  SELECT query_id, cand_id FROM rr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, cand_id) <= 5
+),
+epe AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS cand_id,
+         SUM(CAST(FLOOR(qe.x * ce.x * {_PS}) AS BIGINT)) AS dq
+  FROM elems qe
+  JOIN elems ce ON ce.d = qe.d AND ce.vec_id != qe.vec_id
+  WHERE qe.vec_id IN (0, 1, 2, 3, 4)
+  GROUP BY 1, 2
+),
+eexact AS (
+  SELECT query_id, cand_id
+  FROM (
+    SELECT p.query_id, p.cand_id,
+           (CAST(p.dq AS DOUBLE) / {_PS}) / (nq.nrm * nc.nrm) AS cosine
+    FROM epe p
+    JOIN norms nq ON nq.vec_id = p.query_id
+    JOIN norms nc ON nc.vec_id = p.cand_id
+  )
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, cand_id) <= 5
+)
+SELECT 'rerank_m8_k16_sl100' AS config, e.query_id,
+       COUNT(r.cand_id) AS n_hits,
+       COUNT(r.cand_id) / 5.0 AS recall
+FROM eexact e
+LEFT JOIN rtop r ON r.query_id = e.query_id AND r.cand_id = e.cand_id
+GROUP BY 1, 2
+)
+ORDER BY config, query_id
 """
 
 
