@@ -74,21 +74,47 @@ def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
 
 
 def _list_parquet_files(spark, root: str) -> list[tuple[str, int]]:
-    """(path, bytes) of every parquet data file under ``root``, via the
-    Hadoop FileSystem API — works on any scheme (file/HDFS/S3), never
-    driver-local os.walk."""
+    """(relative_dir, bytes) of every parquet data file under ``root``,
+    via the Hadoop FileSystem API — works on any scheme (file/HDFS/S3),
+    never driver-local os.walk. The relative dir is computed from the
+    FS-QUALIFIED root (``fs.makeQualified``), so the caller's spelling
+    (``file:///x`` vs ``file:/x`` vs ``/x``) never leaks into partition
+    identity."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(root)
     fs = p.getFileSystem(conf)
+    qroot = fs.makeQualified(p).toString().rstrip("/")
     out = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().toString()
         if name.endswith(".parquet"):
-            out.append((name, int(st.getLen())))
+            rel = name[len(qroot):].lstrip("/")
+            out.append((rel.rsplit("/", 1)[0] if "/" in rel else "", int(st.getLen())))
     return out
+
+
+# Spark/Hive writes NULL partition values as this sentinel directory
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_dir(rel: str, partition_cols: list[str]) -> list:
+    """Decode a ``k1=v1/k2=v2`` directory suffix into the partition
+    VALUES (None for the Hive null sentinel), unescaping Hive's %xx
+    encoding of special characters — matching on decoded values, not
+    directory strings, is what keeps 'a b'/NULL/timestamp partitions
+    compactable."""
+    from urllib.parse import unquote
+
+    vals: dict[str, object] = {}
+    for piece in rel.split("/"):
+        if "=" not in piece:
+            continue
+        k, v = piece.split("=", 1)
+        vals[k] = None if v == _HIVE_NULL else unquote(v)
+    return [vals.get(c) for c in partition_cols]
 
 
 def compaction_report(
@@ -101,13 +127,10 @@ def compaction_report(
     A healthy table has n_files ≈ n_target; n_files ≫ n_target is the
     small-file problem (per-file open/seek overhead, starved scan
     parallelism granularity, NameNode/S3-listing pressure)."""
-    import os as _os
-
     by_dir: dict[str, list[int]] = {}
-    for path, size in _list_parquet_files(spark, root):
+    for rel, size in _list_parquet_files(spark, root):
         # partition identity = the k1=v1/k2=v2 suffix between the table
         # root and the file ("" for an unpartitioned table)
-        rel = _os.path.dirname(path).split(root.rstrip("/"), 1)[-1].strip("/")
         by_dir.setdefault(rel, []).append(size)
     rows = []
     for d in sorted(by_dir):
@@ -142,39 +165,60 @@ def compact_partitions(
     OPTIMIZE / Iceberg rewrite_data_files), expressed as one Spark job:
 
     - per-partition target file counts come from the METADATA listing
-      (``src_root``) — no data read to plan;
-    - a salt column ``pmod(hash(*all columns), n_target)`` splits each
-      partition's rows across its target files; the single shuffle is a
-      repartition on (partition, salt), so every task holds whole
-      output files and writes each exactly once;
+      (``src_root``) — no data read to plan. The directory names are
+      DECODED (Hive %xx unescaping, NULL sentinel → null) and matched
+      against the partition columns' values with null-safe equality, so
+      escaped values ('a b', timestamps) and null partitions plan
+      correctly instead of silently falling back to one file;
+    - a salt column ``pmod(hash(monotonic row id), n_target)`` splits
+      each partition's rows across its target files — salting on the
+      row POSITION, not row content, so exact-duplicate-heavy
+      partitions still split by volume (a content hash would send every
+      copy to one file) and map-typed columns don't break F.hash;
     - rows are bit-identical to the input (pure rewrite), only the file
       layout changes.
 
-    Returns {partition_value: n_target}. Write is overwrite-to-``dst``
+    Returns {partition_dir: n_target}. Write is overwrite-to-``dst``
     (publish-then-swap — the safe pattern; compact-in-place belongs to
     table formats with atomic commit)."""
     spark = df.sparkSession
     rep = compaction_report(spark, src_root, target_bytes).collect()
     targets = {r.partition: int(r.n_target) for r in rep}
-    mapping = spark.createDataFrame(
-        [(k, v) for k, v in targets.items()],
-        "__pval string, __n_target long",
-    )
-    pcol = F.concat_ws(
-        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in partition_cols]
-    )
-    salted = (
-        df.join(
-            F.broadcast(mapping), pcol == F.col("__pval"), "left"
+    if not partition_cols:
+        n = max(targets.get("", 1), 1)
+        (
+            df.withColumn(
+                "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n))
+            )
+            .repartition(n, F.col("__salt"))
+            .drop("__salt")
+            .write.mode("overwrite")
+            .parquet(dst)
         )
+        return targets
+    map_rows = [
+        tuple(_parse_partition_dir(k, partition_cols)) + (v,)
+        for k, v in targets.items()
+    ]
+    mapping = spark.createDataFrame(
+        map_rows,
+        ", ".join(f"__p_{c} string" for c in partition_cols)
+        + ", __n_target long",
+    )
+    cond = None
+    for c in partition_cols:
+        eq = df[c].cast("string").eqNullSafe(F.col(f"__p_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    salted = (
+        df.join(F.broadcast(mapping), cond, "left")
         .withColumn(
             "__salt",
             F.pmod(
-                F.hash(*[F.col(c) for c in df.columns]),
+                F.hash(F.monotonically_increasing_id()),
                 F.coalesce(F.col("__n_target"), F.lit(1)),
             ),
         )
-        .drop("__pval", "__n_target")
+        .drop("__n_target", *[f"__p_{c}" for c in partition_cols])
     )
     n_tasks = max(sum(targets.values()), 1)
     (

@@ -487,8 +487,31 @@ def ivf_pq_topk_indexed(
     full-corpus scan of any kind — not raw vectors, not even a
     (vec_id, label) membership projection: membership lives in the
     index, exactly as at 100 TB. Scores are bit-identical to
-    ivf_pq_topk (same quantized LUT arithmetic, same candidates)."""
+    ivf_pq_topk (same quantized LUT arithmetic, same candidates).
+
+    If the index carries a ``batch_id`` column (the streaming ingest's
+    per-batch directories), only each vector's LATEST entry scores: a
+    vector re-embedded and re-ingested in a later micro-batch would
+    otherwise contribute code rows from BOTH batches and its summed
+    approx_dot would double, floating it to the top of every top-k.
+    The dedup is one hash aggregate over the compressed codes — cheap
+    relative to the scan it protects."""
     from data_lake_spark.operators.similarity import probed_cells
+
+    if "batch_id" in index.columns:
+        index = (
+            index.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("codes", "cell"), F.col("batch_id")
+                ).alias("st")
+            )
+            .select(
+                F.col(id_col),
+                F.col("st.codes").alias("codes"),
+                F.col("st.cell").alias("cell"),
+            )
+        )
 
     probed = probed_cells(
         emb, query_ids, n_probe, id_col, vec_col, centroids=centroids

@@ -478,7 +478,10 @@ def semantic_dedup(
         emb.select(
             F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")
         )
-        .repartition(16, label_col)
+        # hash-spread on the blocking key; partition count follows
+        # spark.sql.shuffle.partitions (a literal cap here would halve
+        # the dominant pairwise stage's parallelism on bigger clusters)
+        .repartition(label_col)
         .withColumn("nrm", norm_exact("v"))
         .localCheckpoint(eager=False)
     )
@@ -506,10 +509,16 @@ def semantic_dedup(
         .groupBy(id_col)
         .agg(F.sum(F.floor(F.col("x") * F.col("c") * F.lit(PSCALE))).alias("dq"))
     )
+    # LEFT joins: a vector whose cell is absent from the centroids
+    # artifact (stale/subset-trained model) keeps its output row with a
+    # null cos_cent — and since null never satisfies either drop
+    # predicate below, such vectors are neither dropped nor cause drops.
+    # An inner join here would silently erase them from the result,
+    # violating the one-row-per-vector contract.
     cc = (
         e.select(F.col(id_col), F.col(label_col).alias("cell"), "nrm")
-        .join(cdot, id_col)
-        .join(F.broadcast(cnorm), "cell")
+        .join(cdot, id_col, "left")
+        .join(F.broadcast(cnorm), "cell", "left")
         .select(
             F.col(id_col),
             "cell",

@@ -97,15 +97,14 @@ def full_registry() -> dict[str, QuerySpec]:
 # driver row (late round-2 additions: pq family, sketches2, llm6 dedup suite,
 # athena dialect, gap-fill, sampling, skew), then re-checks 28 of the 45
 # r01-green-only queries as regression canaries, plus 3 r02-green sentinels —
-# exactly 50. After r03, r01∪r02∪r03 covers all 114 registry queries with at
-# least one green driver row each.
+# exactly 50. After r03, r01∪r02∪r03 covers all 114 queries that existed at
+# rotation time; the 8 queries ADDED during round 3 (ivf_stored,
+# ivf_pq_stored, semantic_dedup, semantic_dedup_capped, ann_recall,
+# classifier_train, doc_embed, doc_topk — registry is now 122) have local
+# oracle parity only and still need their first driver row.
 #
-# ROUND 4 TODO: everything is then driver-proven at least once; rotate the
-# window onto (a) the queries ADDED in round 3 — ivf_stored ivf_pq_stored
-# semantic_dedup semantic_dedup_capped ann_recall classifier_train
-# doc_embed doc_topk — which
-# have local oracle parity but no driver row yet and MUST be in the r04
-# window, (b) the 17 r01-only queries not
+# ROUND 4 TODO: rotate the window onto (a) those 8 round-3 additions —
+# they MUST be in the r04 window, (b) the 17 r01-only queries not
 # re-checked here (proj_filter_compute or_filter_dim point_lookup global_sum
 # date_parts json_payload string_funcs array_funcs set_ops_halves cube_report
 # semi_join_active anti_join_inactive running_total hash_sample train_split

@@ -88,3 +88,30 @@ def test_semantic_dedup_cap_is_sound(spark):
     capped = drops(16)
     assert capped <= exact
     assert drops(10**9) == exact  # cap beyond every cell = exact
+
+
+def test_semantic_dedup_stale_centroids_keep_all_rows(spark):
+    """A centroids artifact missing some cells (stale/subset-trained)
+    must not erase those cells' vectors from the output: every vector
+    keeps its row, unjudgeable ones get null cos_cent and are neither
+    dropped nor cause drops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings")
+    some_cell = emb.select("label").first().label
+    stale = ivf_centroids(emb).filter(F.col("cell") != some_cell)
+    out = semantic_dedup(emb, stale.localCheckpoint()).localCheckpoint()
+    assert out.count() == emb.count()  # one row per vector, none vanish
+    orphans = out.filter(F.col("cell") == some_cell)
+    assert orphans.count() == emb.filter(F.col("label") == some_cell).count()
+    assert orphans.filter(F.col("cos_cent").isNotNull()).count() == 0
+    assert orphans.filter(F.col("dropped")).count() == 0

@@ -146,3 +146,41 @@ def test_query_served_from_streamed_index(spark, tmp_path):
     )
     assert streamed == topk(batch_index)
     assert len(streamed) == 9  # 3 queries x top-3
+
+
+def test_reingested_vector_scores_once(spark):
+    """A vector re-embedded in a later batch exists in two batch_id
+    partitions; the indexed query must score only its LATEST codes —
+    never sum both batches' LUT rows into a doubled approx_dot."""
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.operators.pq import ivf_pq_topk_indexed
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = hash_seeds(emb, k=4)
+    codebook = pq_codebook_lit(emb, m=4, k=8)
+    values, present, subdim = codebook
+    base = pq_codes_array(emb, values, present, subdim).join(
+        assign_cells(_elems(emb, "vec_id", "embedding"), centroids, "vec_id")
+        .select("vec_id", "cell"),
+        "vec_id",
+    )
+    # batch 0 = whole corpus; batch 1 = vectors 10..19 re-ingested with
+    # identical codes (the duplicate-sum trap: same rows twice)
+    dup = base.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    staged = base.withColumn("batch_id", F.lit(0)).unionByName(
+        dup.withColumn("batch_id", F.lit(1))
+    )
+    clean = {
+        (r.query_id, r.rk, r.cand_id, r.approx_dot)
+        for r in ivf_pq_topk_indexed(
+            emb, [0, 1, 2], base, codebook, centroids, k_top=3, n_probe=2
+        ).collect()
+    }
+    deduped = {
+        (r.query_id, r.rk, r.cand_id, r.approx_dot)
+        for r in ivf_pq_topk_indexed(
+            emb, [0, 1, 2], staged, codebook, centroids, k_top=3, n_probe=2
+        ).collect()
+    }
+    assert deduped == clean

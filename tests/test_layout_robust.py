@@ -258,3 +258,64 @@ def test_compaction_splits_oversized_partition(spark, tmp_path):
     assert (
         spark.read.parquet(dst).count() == 50_000
     )
+
+
+def test_compaction_handles_escaped_and_null_partitions(spark, tmp_path):
+    """Partition values with Hive-escaped characters ('a b', 'x:y') and
+    NULLs (__HIVE_DEFAULT_PARTITION__ dirs) must be planned and split
+    like any other partition — the decoded-value null-safe join, not a
+    raw directory-string match."""
+    from pyspark.sql import Row
+
+    from data_lake_spark.layout import compact_partitions, compaction_report
+
+    src = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [Row(id=i, part=["a b", "x:y", None][i % 3]) for i in range(3000)]
+    )
+    df.repartition(10).write.partitionBy("part").parquet(src)
+
+    rep = {r.partition: r for r in compaction_report(spark, src, 10**9).collect()}
+    assert len(rep) == 3
+    assert any("%20" in p or "a b" in p for p in rep)  # escaped dir listed
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in rep)
+
+    dst = str(tmp_path / "esc_out")
+    compact_partitions(
+        spark.read.parquet(src), dst, ["part"], src_root=src, target_bytes=10**9
+    )
+    # every partition (escaped, colon, null) collapsed to ONE file
+    out = {r.partition: r for r in compaction_report(spark, dst, 10**9).collect()}
+    assert len(out) == 3
+    for p, r in out.items():
+        assert r.n_files == 1, (p, r)
+    a = sorted((r.id, r.part) for r in spark.read.parquet(src).collect())
+    b = sorted((r.id, r.part) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compaction_splits_duplicate_heavy_partition(spark, tmp_path):
+    """Exact-duplicate rows must still spread across the planned file
+    count (position salt, not content hash)."""
+    import glob as _glob
+
+    from data_lake_spark.layout import compact_partitions, compaction_report
+
+    src = str(tmp_path / "dup")
+    df = spark.range(0, 40_000).select(
+        F.lit(7).alias("id"),
+        F.lit("x").alias("part"),
+        F.lit("A" * 200).alias("pad"),
+    )
+    df.repartition(8).write.partitionBy("part").parquet(src)
+    total = compaction_report(spark, src, 10**9).collect()[0].total_bytes
+    target = max(total // 3, 1)
+    rep = compaction_report(spark, src, target).collect()[0]
+    assert rep.n_target >= 3
+    dst = str(tmp_path / "dup_out")
+    compact_partitions(
+        spark.read.parquet(src), dst, ["part"], src_root=src, target_bytes=target
+    )
+    files = _glob.glob(f"{dst}/part=x/*.parquet")
+    assert len(files) >= 2, files  # identical rows no longer co-salted
+    assert spark.read.parquet(dst).count() == 40_000
