@@ -474,14 +474,19 @@ def semantic_dedup(
     capped, the cost curve is flat. None = exact all-pairs-within-cell
     (the oracle form). Capped drops are a SUBSET of exact drops (fewer
     pairs compared, same per-pair rule)."""
+    # hash-spread on the blocking key with an EXPLICIT partition count:
+    # sized from shuffle.partitions so big clusters keep their
+    # parallelism (a hardcoded 16 halved local[32]), but pinned —
+    # repartition(col) without a count is AQE-coalescible, and AQE sizes
+    # by PRE-join bytes, funneling the quadratic pairwise stage that
+    # explodes AFTER the exchange into ~2 tasks (measured 1.4 s → 3.1 s
+    # at sf0.1; same trap q_embedding_neardup documents).
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = (
         emb.select(
             F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")
         )
-        # hash-spread on the blocking key; partition count follows
-        # spark.sql.shuffle.partitions (a literal cap here would halve
-        # the dominant pairwise stage's parallelism on bigger clusters)
-        .repartition(label_col)
+        .repartition(n_parts, label_col)
         .withColumn("nrm", norm_exact("v"))
         .localCheckpoint(eager=False)
     )
