@@ -103,6 +103,10 @@ HEADLINE = [
     "semantic_dedup_capped",
     # in-engine model training: 3 GD passes, one aggregation each
     "classifier_train",
+    # the knob-to-measurement contract: recall@5 of coarse IVF-PQ vs the
+    # m=8/k=16 rerank ladder, both against one exact baseline — benching
+    # it guards the two-config oracle's cost
+    "ann_recall",
     # text -> hashed 16-dim embedding (map-only) -> exact cosine top-k:
     # the vector stack with no embeddings table at all
     "doc_embed",
@@ -172,19 +176,28 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Spreads and repeat count go to STDERR: the driver captures only the
+    # last ~2000 chars of stdout, and round 3's single fat line (queries +
+    # spread + repeats) outgrew that window — the head of the JSON was
+    # truncated and the headline was lost ("parsed": null). The parseable
+    # stdout line must stay compact AND last.
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "spread": spreads,
-                "repeats": repeats,
-                "sf": sf_val,
-            }
-        )
+        json.dumps({"spread": spreads, "repeats": repeats}, separators=(",", ":")),
+        file=sys.stderr,
     )
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(headline) > 1900:  # still over the capture budget? warn loudly
+        print(f"# WARNING: headline line {len(headline)} chars > 1900", file=sys.stderr)
+    print(headline)
 
 
 if __name__ == "__main__":

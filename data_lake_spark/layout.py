@@ -170,28 +170,46 @@ def compact_partitions(
       against the partition columns' values with null-safe equality, so
       escaped values ('a b', timestamps) and null partitions plan
       correctly instead of silently falling back to one file;
-    - a salt column ``pmod(hash(monotonic row id), n_target)`` splits
-      each partition's rows across its target files — salting on the
-      row POSITION, not row content, so exact-duplicate-heavy
-      partitions still split by volume (a content hash would send every
-      copy to one file) and map-typed columns don't break F.hash;
+    - a salt column ``pmod(rowkey + dup_idx, n_target)`` splits each
+      partition's rows across its target files, where ``rowkey`` is a
+      content hash of the FULL row (xxhash64 of its JSON projection —
+      JSON so map/binary columns don't break F.hash) and ``dup_idx`` is
+      a row_number within identical-row groups. Content + counter keeps
+      the salt DETERMINISTIC under task retries — a positional salt
+      (hash of monotonically_increasing_id) recomputes differently
+      after a shuffle-fetch failure and can duplicate or drop rows in
+      the rewrite, the same hazard SPARK-23207 fixed for round-robin
+      repartition. The counter also keeps exact-duplicate-heavy
+      partitions splitting by volume (a bare content hash would send
+      every copy to one file); identical rows swapping counters across
+      retries yields the same (row, salt) multiset, so the output is
+      retry-stable. Cost: the counter window adds one exchange on
+      (partition, rowkey) before the placement exchange — the price of
+      retry-determinism for a job that must be bit-exact;
     - rows are bit-identical to the input (pure rewrite), only the file
       layout changes.
 
     Returns {partition_dir: n_target}. Write is overwrite-to-``dst``
     (publish-then-swap — the safe pattern; compact-in-place belongs to
     table formats with atomic commit)."""
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     rep = compaction_report(spark, src_root, target_bytes).collect()
     targets = {r.partition: int(r.n_target) for r in rep}
+    rowkey = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     if not partition_cols:
         n = max(targets.get("", 1), 1)
+        dup_idx = F.row_number().over(
+            Window.partitionBy("__rowkey").orderBy("__rowkey")
+        )
         (
-            df.withColumn(
-                "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n))
+            df.withColumn("__rowkey", rowkey)
+            .withColumn(
+                "__salt", F.pmod(F.col("__rowkey") + dup_idx, F.lit(n))
             )
             .repartition(n, F.col("__salt"))
-            .drop("__salt")
+            .drop("__rowkey", "__salt")
             .write.mode("overwrite")
             .parquet(dst)
         )
@@ -209,16 +227,20 @@ def compact_partitions(
     for c in partition_cols:
         eq = df[c].cast("string").eqNullSafe(F.col(f"__p_{c}"))
         cond = eq if cond is None else (cond & eq)
+    dup_idx = F.row_number().over(
+        Window.partitionBy(*partition_cols, "__rowkey").orderBy("__rowkey")
+    )
     salted = (
         df.join(F.broadcast(mapping), cond, "left")
+        .withColumn("__rowkey", rowkey)
         .withColumn(
             "__salt",
             F.pmod(
-                F.hash(F.monotonically_increasing_id()),
+                F.col("__rowkey") + dup_idx,
                 F.coalesce(F.col("__n_target"), F.lit(1)),
             ),
         )
-        .drop("__n_target", *[f"__p_{c}" for c in partition_cols])
+        .drop("__rowkey", "__n_target", *[f"__p_{c}" for c in partition_cols])
     )
     n_tasks = max(sum(targets.values()), 1)
     (

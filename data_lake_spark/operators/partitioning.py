@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def shuffle_parallelism(spark: SparkSession) -> int:
+    """The session's shuffle width as an int, for explicit repartition
+    counts. Reads ``spark.sql.shuffle.partitions`` but falls back to
+    ``sparkContext.defaultParallelism`` when the conf is non-numeric —
+    some AQE-managed distributions set it to ``"auto"``, and a bare
+    ``int(conf)`` would crash the operator before any work ran."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

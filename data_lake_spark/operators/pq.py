@@ -277,8 +277,17 @@ def codes_elems(codes_arr: DataFrame, id_col: str = "vec_id") -> DataFrame:
     streaming start_ivfpq_index_ingest at-rest format. A map-only
     m-entry posexplode of the compressed codes; pass the result as
     ``codes`` to pq_adc_topk / ivf_pq_topk so serving calls read the
-    m-byte index instead of re-encoding the corpus from raw vectors."""
-    return codes_arr.select(
+    m-byte index instead of re-encoding the corpus from raw vectors.
+
+    When the index carries a ``batch_id`` column (the streaming
+    ingest's per-batch directories), only each vector's LATEST entry is
+    exploded — without this, a vector re-ingested in a later batch
+    contributes code rows from both batches and its summed approx_dot
+    doubles in pq_adc_topk / pq_adc_rerank_topk (the same trap
+    ivf_pq_topk_indexed guards against, via the same shared helper)."""
+    from data_lake_spark.operators.upsert import latest_batch
+
+    return latest_batch(codes_arr, id_col).select(
         F.col(id_col).alias("cand_id"),
         F.posexplode("codes").alias("s", "code"),
     )
@@ -495,23 +504,12 @@ def ivf_pq_topk_indexed(
     otherwise contribute code rows from BOTH batches and its summed
     approx_dot would double, floating it to the top of every top-k.
     The dedup is one hash aggregate over the compressed codes — cheap
-    relative to the scan it protects."""
+    relative to the scan it protects (shared helper:
+    operators.upsert.latest_batch, also applied by codes_elems)."""
     from data_lake_spark.operators.similarity import probed_cells
+    from data_lake_spark.operators.upsert import latest_batch
 
-    if "batch_id" in index.columns:
-        index = (
-            index.groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.struct("codes", "cell"), F.col("batch_id")
-                ).alias("st")
-            )
-            .select(
-                F.col(id_col),
-                F.col("st.codes").alias("codes"),
-                F.col("st.cell").alias("cell"),
-            )
-        )
+    index = latest_batch(index, id_col)
 
     probed = probed_cells(
         emb, query_ids, n_probe, id_col, vec_col, centroids=centroids

@@ -481,7 +481,9 @@ def semantic_dedup(
     # by PRE-join bytes, funneling the quadratic pairwise stage that
     # explodes AFTER the exchange into ~2 tasks (measured 1.4 s → 3.1 s
     # at sf0.1; same trap q_embedding_neardup documents).
-    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from data_lake_spark.operators.partitioning import shuffle_parallelism
+
+    n_parts = shuffle_parallelism(emb.sparkSession)
     e = (
         emb.select(
             F.col(id_col), F.col(label_col), _to_double(vec_col).alias("v")

@@ -52,6 +52,26 @@ def keep_latest(
     )
 
 
+def latest_batch(df: DataFrame, id_col: str, batch_col: str = "batch_id") -> DataFrame:
+    """Keep only each id's row from its highest ``batch_col`` — the
+    reader-side dedup for per-batch-directory streaming indexes
+    (streaming.start_ivfpq_index_ingest / start_ivf_index_ingest): a
+    vector re-ingested in a later micro-batch leaves rows under BOTH
+    batch directories, and any scorer that sums over code/candidate rows
+    would double-count it. One map-side-combinable hash aggregate
+    (max_by over a struct of the remaining columns) — cheap relative to
+    the scan it protects. No-op when ``batch_col`` is absent (batch-built
+    indexes have no batch dimension)."""
+    if batch_col not in df.columns:
+        return df
+    others = [c for c in df.columns if c not in (id_col, batch_col)]
+    return (
+        df.groupBy(id_col)
+        .agg(F.max_by(F.struct(*others), F.col(batch_col)).alias("__st"))
+        .select(F.col(id_col), *[F.col(f"__st.{c}").alias(c) for c in others])
+    )
+
+
 def dedup_content(df: DataFrame, ignore_cols: list[str]) -> DataFrame:
     """D2: drop duplicates on all columns EXCEPT audit columns
     (bronze_ingest_users_mock.py:79-80 excludes year/month/day/hour/minute)."""

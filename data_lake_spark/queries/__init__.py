@@ -90,77 +90,80 @@ def full_registry() -> dict[str, QuerySpec]:
     return ordered
 
 
-# The driver oracle-checks the first 50 registry entries per round. Round 1
-# checked the first 50 in module order; round 2 front-loaded the 45 previously
-# unchecked queries + 2 freshly-oracle-ized sketches + 3 sentinels — all 50
-# green. Round 3 (this list) front-loads the 19 queries that have NEVER had a
-# driver row (late round-2 additions: pq family, sketches2, llm6 dedup suite,
-# athena dialect, gap-fill, sampling, skew), then re-checks 28 of the 45
-# r01-green-only queries as regression canaries, plus 3 r02-green sentinels —
-# exactly 50. After r03, r01∪r02∪r03 covers all 114 queries that existed at
-# rotation time; the 8 queries ADDED during round 3 (ivf_stored,
-# ivf_pq_stored, semantic_dedup, semantic_dedup_capped, ann_recall,
-# classifier_train, doc_embed, doc_topk — registry is now 122) have local
-# oracle parity only and still need their first driver row.
+# The driver oracle-checks the first 50 registry entries per round. Window
+# history: r01 = first 50 in module order; r02 = the 45 then-unchecked + 2
+# fresh sketches + 3 sentinels; r03 = the 19 never-checked late-r02 additions
+# + 28 r01 regression canaries + 3 r02 sentinels. All 150 rows across
+# r01∪r02∪r03 are green (zero hash mismatches in three rounds).
 #
-# ROUND 4 TODO: rotate the window onto (a) those 8 round-3 additions —
-# they MUST be in the r04 window, (b) the 17 r01-only queries not
-# re-checked here (proj_filter_compute or_filter_dim point_lookup global_sum
-# date_parts json_payload string_funcs array_funcs set_ops_halves cube_report
-# semi_join_active anti_join_inactive running_total hash_sample train_split
-# mom_change lang_id), and (c) the r02-only block, oldest verdict first.
+# Round 4 (this list): (a) the 8 queries ADDED during round 3 that have never
+# had a driver row (ivf_stored, ivf_pq_stored, semantic_dedup,
+# semantic_dedup_capped, ann_recall, classifier_train, doc_embed, doc_topk),
+# (b) the 17 queries whose only green row is r01 — two rounds stale, and
+# (c) the first 25 of the 47 r02-only queries, in r02 order (oldest verdict
+# first). 8 + 17 + 25 = exactly 50.
+#
+# ROUND 5 TODO: rotate onto (a) any queries added during round 4 (they MUST
+# be in the r05 window — keep this note current as queries land), then
+# (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
+# sliding_rollup funnel cohort_retention json_props scd2_history top_paths
+# date_spine_fill unpivot_metrics session_native api_earnings api_needle
+# api_avg_profitability api_total_profit api_profit_avg api_dow
+# api_detailed_ranking approx_distinct quantile_sketch nested_flatten
+# exact_dedup, then (c) the r03-only block (the 19 first-checked in r03),
+# oldest verdict first, to fill 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-checked (19) — MUST be in this window
-    "pq_encode",
-    "pq_search",
-    "pq_rerank",
-    "ivf_pq",
-    "heavy_hitters",
-    "theta_distinct",
-    "kll_quantile",
-    "skew_report",
-    "salted_join_agg",
-    "weighted_sample",
-    "gap_fill_interp",
-    "line_dedup",
-    "source_cap",
-    "partial_overlap",
-    "curation_funnel",
-    "athena_earnings_day",
-    "athena_dow_dist",
-    "athena_weekly",
-    "athena_needle_period",
-    # r01-green regression canaries (28 of 45; the rest keep their r01 row)
-    "left_join_dim",
-    "or_key_join",
-    "full_outer_platforms",
-    "literal_dim_report",
-    "weekly_agg",
-    "multi_agg_attrs",
-    "avg_of_sums",
-    "dow_distribution",
-    "ratio_profitability",
-    "rank_models",
-    "top5_distribution",
-    "pagination",
-    "earnings_series_pivot",
-    "dedup_keep_latest",
-    "rollup_report",
-    "topk_per_group",
-    "revenue_by_region",
-    "grouping_sets_report",
-    "trailing_7d",
-    "profile_orders",
-    "ntile_deciles",
-    "percentile_report",
-    "bigram_lm_score",
-    "repetition_stats",
-    "decontam",
-    "mixture_weights",
-    "text_stats",
-    "shingle_pairs",
-    # r02-green sentinels (regression canaries)
-    "earnings_by_day",
-    "minhash_lsh",
-    "api_models_distribution",
+    # round-3 additions, never driver-checked (8) — MUST be in this window
+    "ivf_stored",
+    "ivf_pq_stored",
+    "semantic_dedup",
+    "semantic_dedup_capped",
+    "ann_recall",
+    "classifier_train",
+    "doc_embed",
+    "doc_topk",
+    # r01-only stale queries (17) — last green row is two rounds old
+    "proj_filter_compute",
+    "or_filter_dim",
+    "point_lookup",
+    "global_sum",
+    "date_parts",
+    "json_payload",
+    "string_funcs",
+    "array_funcs",
+    "set_ops_halves",
+    "cube_report",
+    "semi_join_active",
+    "anti_join_inactive",
+    "running_total",
+    "hash_sample",
+    "train_split",
+    "mom_change",
+    "lang_id",
+    # r02-only block, oldest verdict first (25 of 47)
+    "simhash",
+    "cosine_topk",
+    "winnow_fingerprint",
+    "ann_lsh",
+    "ivf_assign",
+    "ivf_search",
+    "dedup_clusters",
+    "ann_multiprobe",
+    "bpe_tokens",
+    "embedding_neardup",
+    "multimodal_decode",
+    "frame_sample",
+    "length_band_join",
+    "quality_quantile_filter",
+    "vocab_stats",
+    "seq_pack",
+    "pii_redact",
+    "tfidf_topterms",
+    "kmeans_refine",
+    "classifier_filter",
+    "chunk_docs",
+    "stratified_sample",
+    "embedding_quantize",
+    "quality_report",
+    "session_stats",
 ]

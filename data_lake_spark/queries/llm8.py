@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.partitioning import shuffle_parallelism
 from data_lake_spark.queries import QuerySpec
 
 _DIM = 16
@@ -63,11 +64,13 @@ def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     single parquet ROW GROUP — byte-range splits cannot cross it, so
     file-split parallelism is physically unavailable (see the note in
     session.py). On split-sized cluster files the exchange is free to
-    drop."""
+    drop. Sized from the session's shuffle width, not a literal — a
+    hardcoded 32 was a local[32] tuning that would cap this stage at 32
+    tasks on a real cluster."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", "text")
-        .repartition(32)
+        .repartition(shuffle_parallelism(spark))
         .select("doc_id", doc_embed_expr("text").alias("embedding"))
         .orderBy("doc_id")
     )
@@ -114,7 +117,7 @@ def q_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vecs = (
         docs.select("doc_id", "text")
-        .repartition(32)
+        .repartition(shuffle_parallelism(spark))
         .select(
             "doc_id",
             F.transform(

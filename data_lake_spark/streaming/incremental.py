@@ -245,7 +245,16 @@ def start_ivf_index_ingest(
     republishes identical files instead of appending duplicate rows —
     the same idempotent exactly-once pattern as start_lsh_dedup_ingest.
     Readers see ``batch_id`` as an extra partition column; cell pruning
-    is unaffected (cell dirs nest inside each batch dir)."""
+    is unaffected (cell dirs nest inside each batch dir).
+
+    Reader contract: a vector RE-ingested in a later batch leaves rows
+    under BOTH batch directories (crash-replay idempotence protects
+    within a batch, not across batches), so a cell-probe scorer that
+    reads the raw index sees duplicate/stale candidate rows. Readers
+    must keep only each vector's latest batch —
+    ``operators.upsert.latest_batch(index, id_col)`` is the shared
+    one-aggregate helper (the same dedup pq.codes_elems and
+    pq.ivf_pq_topk_indexed apply to the PQ codes index)."""
     from data_lake_spark.operators.kmeans import _elems, assign_cells
 
     cent = centroids.localCheckpoint()

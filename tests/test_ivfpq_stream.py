@@ -184,3 +184,43 @@ def test_reingested_vector_scores_once(spark):
         ).collect()
     }
     assert deduped == clean
+
+
+def test_codes_elems_dedups_batches(spark):
+    """codes_elems must apply the same latest-batch dedup as the indexed
+    path: a (vec_id, codes, batch_id) frame with a vector re-ingested in
+    a later batch explodes to exactly one code row per (vec_id, s) —
+    otherwise every ADC scorer fed by codes_elems double-sums it."""
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.operators.pq import codes_elems
+
+    emb = load_table(spark, SF, "embeddings")
+    codebook = pq_codebook_lit(emb, m=4, k=8)
+    values, present, subdim = codebook
+    base = pq_codes_array(emb, values, present, subdim)
+    dup = base.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    staged = base.withColumn("batch_id", F.lit(0)).unionByName(
+        dup.withColumn("batch_id", F.lit(1))
+    )
+    plain = {
+        (r.cand_id, r.s, r.code) for r in codes_elems(base).collect()
+    }
+    rows = codes_elems(staged).collect()
+    assert len(rows) == len(plain)  # no doubled rows
+    assert {(r.cand_id, r.s, r.code) for r in rows} == plain
+
+
+def test_latest_batch_keeps_newest_values(spark):
+    """latest_batch picks the HIGHEST batch_id's values per id (not just
+    dropping duplicates), and is a no-op without a batch column."""
+    from data_lake_spark.operators.upsert import latest_batch
+
+    df = spark.createDataFrame(
+        [(1, "old", 0), (1, "new", 1), (2, "only", 0)],
+        "vec_id long, payload string, batch_id long",
+    )
+    got = {(r.vec_id, r.payload) for r in latest_batch(df, "vec_id").collect()}
+    assert got == {(1, "new"), (2, "only")}
+    no_batch = df.drop("batch_id")
+    assert latest_batch(no_batch, "vec_id") is no_batch

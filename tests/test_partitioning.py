@@ -118,3 +118,29 @@ def test_write_partitioned_prunes(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_shuffle_parallelism_falls_back_on_non_numeric_conf(spark):
+    """AQE-managed distributions can set shuffle.partitions to a
+    non-numeric sentinel; the helper must fall back to
+    defaultParallelism instead of crashing the operator."""
+    from data_lake_spark.operators.partitioning import shuffle_parallelism
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    assert shuffle_parallelism(spark) == int(orig)
+
+    # Spark 4's conf layer type-checks shuffle.partitions at set-time,
+    # so exercise the non-numeric path through a stub session (the shape
+    # older/managed distributions actually present).
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Stub:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_parallelism(_Stub()) == 7
