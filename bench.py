@@ -107,6 +107,9 @@ HEADLINE = [
     # m=8/k=16 rerank ladder, both against one exact baseline — benching
     # it guards the two-config oracle's cost
     "ann_recall",
+    # the dedup twin of ann_recall: banding-config recall vs exact
+    # Jaccard ground truth, candidates-paid next to pairs-caught
+    "lsh_recall",
     # text -> hashed 16-dim embedding (map-only) -> exact cosine top-k:
     # the vector stack with no embeddings table at all
     "doc_embed",

@@ -103,8 +103,9 @@ def full_registry() -> dict[str, QuerySpec]:
 # (c) the first 25 of the 47 r02-only queries, in r02 order (oldest verdict
 # first). 8 + 17 + 25 = exactly 50.
 #
-# ROUND 5 TODO: rotate onto (a) any queries added during round 4 (they MUST
-# be in the r05 window — keep this note current as queries land), then
+# ROUND 5 TODO: rotate onto (a) the queries added during round 4 — so far:
+# lsh_recall — they MUST be in the r05 window (keep this list current as
+# queries land), then
 # (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
 # sliding_rollup funnel cohort_retention json_props scd2_history top_paths
 # date_spine_fill unpivot_metrics session_native api_earnings api_needle

