@@ -145,3 +145,83 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter or use large-star/small-star for long-chain graphs"
     )
+
+
+# Fixed-point scale for exact PageRank arithmetic: ranks live as integer
+# "rank units" (1.0 == 10^12) so every operation — the teleport term, the
+# per-edge contribution split, the damping multiply — is integer `div`,
+# which both Spark and any ANSI engine evaluate identically. Double
+# arithmetic would make the fixpoint partition-order-dependent.
+PAGERANK_ONE = 1_000_000_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Power-iteration PageRank over a DIRECTED edge list, exact by
+    construction: ranks are integer fixed-point (:data:`PAGERANK_ONE`
+    units), contributions are ``rank div out_degree``, damping is
+    ``damping_pct * sum div 100`` — all integer ops, so the result is
+    bit-identical on any partitioning, any engine, any cluster size
+    (the functions/exact.py philosophy applied to an iterative
+    algorithm). The deliberate cost: floor truncation loses ≤1 unit per
+    edge per iteration (≤1e-12 of mass), irrelevant for ranking.
+
+    Plan shape per iteration: ONE shuffle of the rank frame (join with
+    the degree-annotated edge list on ``src``, then a map-side-
+    combinable SUM by ``dst``), exactly the textbook distributed
+    PageRank schedule. The edge list is materialized once with its out-
+    degrees and reused every round; lineage is cut per round with
+    localCheckpoint so the plan stays flat (the connected_components
+    pattern). Dangling nodes (no out-edges) keep only the teleport
+    term, matching the simple "no redistribution" PageRank variant —
+    document the choice rather than hide it.
+
+    nodes: one column ``node_col`` (include isolated nodes). Returns
+    (node, rank_units) with SUM(rank) ≈ PAGERANK_ONE (minus floor dust).
+    """
+    nodes = nodes.select(F.col(node_col).alias("node"))
+    # N and the teleport constant are driver scalars — two longs, not data
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    teleport = (PAGERANK_ONE * (100 - damping_pct)) // (100 * n)
+
+    deg = edges.groupBy(F.col(src_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ed = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .join(deg, "u")
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+
+    ranks = nodes.withColumn(
+        "rank_units", F.lit(PAGERANK_ONE // n).cast("long")
+    )
+    for _ in range(n_iter):
+        contrib = ed.join(ranks, ed.u == ranks.node).select(
+            F.col("v").alias("node2"),
+            F.expr("rank_units div out_deg").alias("c"),
+        )
+        sums = contrib.groupBy("node2").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes.node == sums.node2, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_units"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

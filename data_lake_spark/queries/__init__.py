@@ -43,6 +43,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational3,
         relational4,
         relational5,
+        retrieval_q,
         sketches,
         sketches2,
         sqlcompat_q,
@@ -79,6 +80,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(train_q.REGISTRY)
     reg.update(api_queries.REGISTRY)
     reg.update(sqlcompat_q.REGISTRY)
+    reg.update(retrieval_q.REGISTRY)
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW_PRIORITY:
@@ -104,8 +106,8 @@ def full_registry() -> dict[str, QuerySpec]:
 # first). 8 + 17 + 25 = exactly 50.
 #
 # ROUND 5 TODO: rotate onto (a) the queries added during round 4 — so far:
-# lsh_recall — they MUST be in the r05 window (keep this list current as
-# queries land), then
+# lsh_recall bm25_topk rrf_fusion pagerank_docs — they MUST be in the r05
+# window (keep this list current as queries land), then
 # (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
 # sliding_rollup funnel cohort_retention json_props scd2_history top_paths
 # date_spine_fill unpivot_metrics session_native api_earnings api_needle

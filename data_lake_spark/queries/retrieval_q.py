@@ -1,0 +1,501 @@
+"""Retrieval-side queries: BM25 lexical scoring, hybrid lexical+vector
+rank fusion (RRF), and PageRank over the near-dup candidate graph.
+
+The reference's query surface stops at SQL rollups (its Lambda handlers
+serve aggregates — e.g. `/root/reference/src/lambdas/earnings_analytics/
+lambda_function.py`); a training-data engine also has to ANSWER
+retrieval questions over the corpus it curates: "which documents match
+this query" (lexical BM25), "which match semantically" (the hashed-
+embedding cosine stack from queries/llm8.py), and "which are most
+central in the duplication graph" (PageRank over the shingle-candidate
+edges — a centrality prior for keeper selection). All three are exact
+by construction — integer fixed-point arithmetic throughout, the
+functions/exact.py philosophy — so driver-vs-oracle comparison is
+bit-identical and, more importantly, results don't drift with
+partitioning at cluster scale.
+
+Plan shapes (the 100 TB contract):
+
+- ``bm25_topk``: per-doc term frequencies are higher-order-function
+  expressions over the split token array — ZERO explode, zero shuffle;
+  the corpus-level (N, total_tokens, per-term df) statistics are ONE
+  map-side-combinable aggregate broadcast back as a one-row frame; the
+  final top-k is TakeOrderedAndProject (never a global window sort).
+- ``rrf_fusion``: query-by-document — candidate generation is an
+  inverted-index equi-join on token (the shingle_pairs scale pattern,
+  never query×corpus on anything but the tiny top-k lists), fused with
+  the cosine top-k by a full outer join on the two ≤k rank lists.
+- ``pagerank_docs``: operators/graph.pagerank — one rank-frame shuffle
+  per iteration against a materialized degree-annotated edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+# BM25 constants k1=1.2, b=0.75 cleared of fractions (×10·avgdl·N): the
+# per-term normalizer tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) becomes the
+# all-integer 22·tf·T·SCALE div (10·tf·T + 3·T + 9·dl·N) with T = total
+# corpus tokens, N = docs. idf (N−df+0.5)/(df+0.5) clears to
+# (2N−2df+1)·SCALE div (2df+1). Floor-per-term then integer SUM — the
+# same deterministic-quantize-then-sum recipe as functions/exact.py,
+# and transcendental-free (engines disagree in the last ULP of ln; they
+# cannot disagree about integer div — the llm3.py vocab-pruning rule).
+_IDF_SCALE = 1_000_000
+_NORM_SCALE = 10_000
+_TERMS = ("spark", "join", "window", "vector")
+_RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack 2009)
+
+
+def _bm25_term_expr(t: str) -> str:
+    """Integer BM25 term score as a SQL expression string — identical
+    text runs under Spark SQL and DuckDB (only unsigned `div`/`//`
+    differs, parameterized by the caller via ``{div}``)."""
+    idf = f"((2*n_docs - 2*df_{t} + 1) * {_IDF_SCALE} {{div}} (2*df_{t} + 1))"
+    norm = (
+        f"((22 * tf_{t} * t_tokens * {_NORM_SCALE}) "
+        f"{{div}} (10 * tf_{t} * t_tokens + 3 * t_tokens + 9 * dl * n_docs))"
+    )
+    return f"(CASE WHEN tf_{t} > 0 THEN {idf} * {norm} ELSE 0 END)"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for the literal query {spark join window
+    vector}. Map-only per-doc features (dl + one HOF count per term over
+    the split-once token array), one broadcast one-row stats frame, and
+    a TakeOrderedAndProject top-k — no explode, no groupBy shuffle, no
+    global sort; at 100 TB this is a single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        # NB: a two-arg lambda would be read by F.filter as
+        # (element, index) — bind the term via a closure factory
+        *[
+            F.size(F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _TERMS
+        ],
+    )
+    score = " + ".join(_bm25_term_expr(t).format(div="div") for t in _TERMS)
+    n_terms = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in _TERMS
+    )
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(score).cast("long").alias("score"),
+            F.expr(n_terms).cast("long").alias("n_terms"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+    # rank over the already-reduced 10-row frame, not the corpus
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def _oracle_bm25(where: str = "") -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text,' '), x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _TERMS
+    )
+    score = " + ".join(_bm25_term_expr(t).format(div="//") for t in _TERMS)
+    n_terms = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in _TERMS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents {where}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS t_tokens,
+         {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         CAST({score} AS BIGINT) AS score,
+         CAST({n_terms} AS BIGINT) AS n_terms
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score, n_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+ORACLE_BM25_TOPK = _oracle_bm25()
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion — hybrid lexical+semantic retrieval, query-by-document
+# ---------------------------------------------------------------------------
+
+_TOPN = 20  # per-list depth fed into the fusion
+_FINAL_K = 5
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two query-by-document rankings for the
+    first 3 documents: a lexical BM25 ranking (query terms = the query
+    doc's distinct tokens, candidates generated by an inverted-index
+    token join) and a semantic ranking (cosine over the in-engine
+    hashed embeddings, queries/llm8.py). rrf = Σ_list 10^6 div
+    (60 + rank), absent-from-list contributes 0 — integer arithmetic,
+    exact on both engines.
+
+    Scale shape: the token join is inverted-index (tiny broadcast query
+    term list × corpus term frequencies, never query×corpus); the
+    cosine side broadcasts 3 query vectors and streams the corpus; the
+    fusion full-outer-joins two ≤TOPN·|Q| rank lists — dim-sized."""
+    from data_lake_spark.operators.similarity import cosine_topk
+    from data_lake_spark.queries.llm8 import doc_embed_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.split(F.col("text"), " ")
+
+    # --- lexical side: corpus term stats once, per-query-term join ----
+    tokens = docs.select(
+        "doc_id",
+        F.size(toks_arr).cast("long").alias("dl"),
+        F.explode(toks_arr).alias("tok"),
+    )
+    tf = tokens.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.min("dl").alias("dl"),  # constant within the group
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks_arr)).cast("long").alias("t_tokens"),
+    )
+    qterms = (
+        tokens.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    idf = f"((2*n_docs - 2*df + 1) * {_IDF_SCALE} div (2*df + 1))"
+    norm = (
+        f"((22 * tf * t_tokens * {_NORM_SCALE}) "
+        f"div (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs))"
+    )
+    lex_scores = (
+        tf.join(F.broadcast(qterms), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.sum(F.expr(f"{idf} * {norm}")).cast("long").alias("score"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id")
+    )
+    lex = (
+        lex_scores.withColumn("rank_lex", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank_lex") <= _TOPN)
+        .select("query_id", "cand_id", "rank_lex")
+    )
+
+    # --- semantic side: hashed-embedding cosine top-N (llm8 stack) ----
+    vecs = docs.select(
+        "doc_id",
+        F.transform(doc_embed_expr("text"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    ).localCheckpoint(eager=False)
+    sem = (
+        cosine_topk(
+            vecs.filter(F.col("doc_id") < 3).select(
+                F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+            ),
+            vecs.select(F.col("doc_id").alias("cand_id"), F.col("v").alias("cv")),
+            k=_TOPN,
+        )
+        .select("query_id", "cand_id", F.col("rk").alias("rank_sem"))
+    )
+
+    # --- fusion: two ≤TOPN·|Q| lists, integer reciprocal ranks --------
+    fused = (
+        lex.join(sem, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("long").alias("rank_sem"),
+            (
+                F.expr(
+                    f"CASE WHEN rank_lex IS NULL THEN 0 "
+                    f"ELSE {_IDF_SCALE} div ({_RRF_K} + rank_lex) END"
+                )
+                + F.expr(
+                    f"CASE WHEN rank_sem IS NULL THEN 0 "
+                    f"ELSE {_IDF_SCALE} div ({_RRF_K} + rank_sem) END"
+                )
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rk") <= _FINAL_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+_PS = "1000000000000.0"  # the llm8/similarity quantized-dot scale
+
+# Lexical CTE chain (mirrors the q_rrf_fusion lexical side textually).
+_SQL_LEX = f"""
+tokens AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) AS dl,
+         UNNEST(STRING_SPLIT(text,' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+  FROM tokens GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT)) AS BIGINT) AS t_tokens
+  FROM documents
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, tok FROM tokens WHERE doc_id < 3
+),
+lex_scores AS (
+  SELECT q.query_id, t.doc_id AS cand_id,
+         CAST(SUM(
+           ((2*n_docs - 2*df + 1) * {_IDF_SCALE} // (2*df + 1)) *
+           ((22 * tf * t_tokens * {_NORM_SCALE})
+            // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs))
+         ) AS BIGINT) AS score
+  FROM tf t
+  JOIN qterms q ON t.tok = q.tok AND t.doc_id != q.query_id
+  JOIN dfreq d ON d.tok = t.tok
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS BIGINT) AS rank_lex
+  FROM lex_scores QUALIFY rank_lex <= {_TOPN}
+)"""
+
+# Semantic CTE chain: the llm8 hashed-embedding vectors (imported
+# textually so the recipes can never drift apart) + the quantized
+# cosine, per-query rank capped at _TOPN.
+_SQL_SEM = f"""
+sq AS (SELECT doc_id AS query_id, embedding AS qv FROM vecs WHERE doc_id < 3),
+sc AS (SELECT doc_id AS cand_id, embedding AS cv FROM vecs),
+spelems AS (
+  SELECT query_id, cand_id,
+         CAST(UNNEST(qv) AS DOUBLE) AS qe,
+         CAST(UNNEST(cv) AS DOUBLE) AS ce
+  FROM sq CROSS JOIN sc WHERE query_id != cand_id
+),
+spsums AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(CAST(FLOOR(qe * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS dot,
+         CAST(SUM(CAST(FLOOR(qe * qe * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS qq,
+         CAST(SUM(CAST(FLOOR(ce * ce * {_PS}) AS BIGINT)) AS DOUBLE) / {_PS} AS cc
+  FROM spelems GROUP BY 1, 2
+),
+sem AS (
+  SELECT query_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                          cand_id) AS BIGINT) AS rank_sem
+  FROM spsums QUALIFY rank_sem <= {_TOPN}
+)"""
+
+
+def _oracle_rrf() -> str:
+    from data_lake_spark.queries.llm8 import _SQL_TOK_EMBED
+
+    return f"""
+WITH {_SQL_LEX},
+{_SQL_TOK_EMBED},
+{_SQL_SEM},
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.cand_id, s.cand_id) AS cand_id,
+         CAST(COALESCE(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+         CAST(COALESCE(s.rank_sem, 0) AS BIGINT) AS rank_sem,
+         CAST(
+           (CASE WHEN l.rank_lex IS NULL THEN 0
+                 ELSE {_IDF_SCALE} // ({_RRF_K} + l.rank_lex) END)
+         + (CASE WHEN s.rank_sem IS NULL THEN 0
+                 ELSE {_IDF_SCALE} // ({_RRF_K} + s.rank_sem) END)
+         AS BIGINT) AS rrf_micro
+  FROM lex l
+  FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.cand_id = s.cand_id
+)
+SELECT query_id, cand_id, rank_lex, rank_sem, rrf_micro,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, cand_id) AS BIGINT) AS rk
+FROM fused QUALIFY rk <= {_FINAL_K}
+ORDER BY query_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# pagerank_docs — centrality over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+_PR_WINDOW = 80  # the shingle_pairs doc window — bounded pair volume
+_PR_ITER = 3
+
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the undirected shingle-Jaccard
+    candidate graph (the shingle_pairs edge set, both directions):
+    which documents sit at the center of duplication neighborhoods — a
+    centrality prior for cluster-keeper selection beyond min-id. Exact
+    integer fixed-point throughout (operators/graph.pagerank), so the
+    iterative fixpoint is bit-identical to the oracle's unrolled CTEs."""
+    from data_lake_spark.operators.graph import pagerank
+    from data_lake_spark.operators.textdedup import jaccard_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PR_WINDOW
+    )
+    pairs = jaccard_pairs(shingles(docs, n=3), min_jaccard=0.01).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranks = pagerank(
+        docs.select(F.col("doc_id").alias("node")),
+        edges,
+        n_iter=_PR_ITER,
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"), "rank_units"
+    ).orderBy(F.col("rank_units").desc(), "doc_id")
+
+
+_PR_ONE = 1_000_000_000_000
+_PR_SQL_GRAPH = f"""
+toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id < {_PR_WINDOW}
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.01
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id < {_PR_WINDOW}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+ed AS (SELECT e.u, e.v, d.out_deg FROM edges e JOIN deg d USING (u))"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled power iteration: per-edge integer contribution,
+    grouped sum by destination, teleport + damped sum — textually the
+    operators/graph.pagerank schedule."""
+    prev = f"r{i - 1}"
+    return f"""
+c{i} AS (
+  SELECT e.v AS node, SUM(r.rank_units // e.out_deg) AS s
+  FROM ed e JOIN {prev} r ON r.node = e.u GROUP BY 1
+),
+r{i} AS (
+  SELECT nd.node,
+         CAST((SELECT ({_PR_ONE} * 15) // (100 * n) FROM nn)
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_units
+  FROM nodes nd LEFT JOIN c{i} c USING (node)
+)"""
+
+
+ORACLE_PAGERANK_DOCS = f"""
+WITH {_PR_SQL_GRAPH},
+r0 AS (
+  SELECT node,
+         CAST({_PR_ONE} // (SELECT n FROM nn) AS BIGINT) AS rank_units
+  FROM nodes
+),{",".join(_pr_iter_sql(i) for i in range(1, _PR_ITER + 1))}
+SELECT node AS doc_id, rank_units
+FROM r{_PR_ITER}
+ORDER BY rank_units DESC, doc_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "bm25_topk": QuerySpec(
+        q_bm25_topk,
+        ORACLE_BM25_TOPK,
+        "integer-exact BM25 top-10, map-only tf via HOFs + broadcast stats",
+    ),
+    "rrf_fusion": QuerySpec(
+        q_rrf_fusion,
+        _oracle_rrf(),
+        "hybrid retrieval: BM25 inverted-index + hashed-embedding cosine, "
+        "reciprocal-rank fused",
+    ),
+    "pagerank_docs": QuerySpec(
+        q_pagerank_docs,
+        ORACLE_PAGERANK_DOCS,
+        "integer fixed-point PageRank over the shingle near-dup graph",
+    ),
+}

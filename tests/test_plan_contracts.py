@@ -62,6 +62,12 @@ _BNLJ_OK = {
     # three one-row scalar aggregates (candidate/truth/caught counts)
     # assembled via broadcast crossJoin per config rung
     "lsh_recall",
+    # one-row corpus-stats frame (N, total tokens, per-term df) attached
+    # via broadcast crossJoin — the scalar-subquery shape again
+    "bm25_topk",
+    # same one-row stats frame on the lexical side + the cosine side's
+    # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
+    "rrf_fusion",
 }
 
 
@@ -126,6 +132,15 @@ _SHUFFLE_BUDGET = {
     # truth jaccard join + two banding rungs over one checkpointed
     # signature table; scalar-count assembly adds no hash exchange
     "lsh_recall": 4,
+    # map-only HOF term counts + broadcast one-row stats + TakeOrdered:
+    # BM25 over the corpus is a single scan, zero shuffles
+    "bm25_topk": 0,
+    # inverted-index tf/df aggregates, two per-query rank windows, and
+    # the (tiny-list) full-outer fusion join
+    "rrf_fusion": 10,
+    # iterations are lineage-cut per round (the connected_components
+    # pattern); the visible final stage is teleport + damped-sum only
+    "pagerank_docs": 0,
 }
 
 
