@@ -114,6 +114,16 @@ HEADLINE = [
     # the vector stack with no embeddings table at all
     "doc_embed",
     "doc_topk",
+    # integer-exact BM25: map-only HOF term counts + one broadcast
+    # stats row + TakeOrdered — a zero-shuffle corpus scan
+    "bm25_topk",
+    # hybrid retrieval: inverted-index BM25 ⊕ hashed-embedding cosine,
+    # reciprocal-rank fused
+    "rrf_fusion",
+    # integer fixed-point PageRank over the shingle near-dup graph
+    "pagerank_docs",
+    # CC + PageRank composed on one LSH edge set: centrality keepers
+    "central_keeper",
 ]
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.operators.partitioning import shuffle_parallelism
 from data_lake_spark.queries import QuerySpec
 
 # BM25 constants k1=1.2, b=0.75 cleared of fractions (×10·avgdl·N): the
@@ -181,15 +182,22 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_arr = F.split(F.col("text"), " ")
 
     # --- lexical side: corpus term stats once, per-query-term join ----
-    tokens = docs.select(
-        "doc_id",
-        F.size(toks_arr).cast("long").alias("dl"),
-        F.explode(toks_arr).alias("tok"),
+    tokens = (
+        docs.select("doc_id", "text")
+        .repartition(shuffle_parallelism(spark))
+        .select(
+            "doc_id",
+            F.size(toks_arr).cast("long").alias("dl"),
+            F.explode(toks_arr).alias("tok"),
+        )
     )
+    # materialize the per-(doc, token) frequencies ONCE: dfreq, the
+    # query-term list, and the scoring join all read it — without the
+    # checkpoint each consumer re-tokenizes the whole corpus
     tf = tokens.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.min("dl").alias("dl"),  # constant within the group
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -198,9 +206,8 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(toks_arr)).cast("long").alias("t_tokens"),
     )
     qterms = (
-        tokens.filter(F.col("doc_id") < 3)
+        tf.filter(F.col("doc_id") < 3)
         .select(F.col("doc_id").alias("query_id"), "tok")
-        .distinct()
     )
     idf = f"((2*n_docs - 2*df + 1) * {_IDF_SCALE} div (2*df + 1))"
     norm = (
@@ -225,12 +232,19 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- semantic side: hashed-embedding cosine top-N (llm8 stack) ----
-    vecs = docs.select(
-        "doc_id",
-        F.transform(doc_embed_expr("text"), lambda x: x.cast("double")).alias(
-            "v"
-        ),
-    ).localCheckpoint(eager=False)
+    # the corpus ships as one parquet row group, so the CPU-bound md5
+    # token hashing needs the same narrow spread q_doc_embed documents
+    vecs = (
+        docs.select("doc_id", "text")
+        .repartition(shuffle_parallelism(spark))
+        .select(
+            "doc_id",
+            F.transform(
+                doc_embed_expr("text"), lambda x: x.cast("double")
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
     sem = (
         cosine_topk(
             vecs.filter(F.col("doc_id") < 3).select(
@@ -499,3 +513,118 @@ REGISTRY: dict[str, QuerySpec] = {
         "integer fixed-point PageRank over the shingle near-dup graph",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# central_keeper — dedup keeper selection by centrality, not min-id
+# ---------------------------------------------------------------------------
+
+
+def q_central_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision with a centrality-aware canonical choice: MinHash
+    band-collision pairs become the near-dup graph; connected components
+    assign clusters (the dedup_clusters closure), and the KEEPER of each
+    cluster is its highest-PageRank member (most-connected ≈ the most
+    representative copy; min doc_id only breaks exact rank ties) instead
+    of the arbitrary min-id. Both graph algorithms run on the same edge
+    set; both are integer-exact, so the composition is oracle-checkable
+    end to end.
+
+    Scale: edges are LSH-sparse (never pairwise), components and ranks
+    are each a few join+agg rounds over the edge frame, and the final
+    per-cluster argmax is one window over cluster-partitioned rows —
+    clusters are dup groups, i.e. tiny."""
+    from data_lake_spark.operators.graph import connected_components, pagerank
+    from data_lake_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n=3, n_hashes=8, rows_per_band=2).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)  # cc and pagerank both read it
+    nodes = docs.select(F.col("doc_id").alias("node"))
+
+    cc = connected_components(nodes, pairs, src_col="doc_a", dst_col="doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = pagerank(nodes, edges, n_iter=3)
+
+    joined = cc.join(pr, "node").select(
+        F.col("node").alias("doc_id"), "cluster_id", "rank_units"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank_units").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn(
+            "is_keeper", (F.row_number().over(w) == 1).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_central_keeper() -> str:
+    from data_lake_spark.queries.llm2 import _SHINGLES_SQL
+
+    prs = ",".join(_pr_iter_sql(i) for i in range(1, _PR_ITER + 1))
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip().rstrip()},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(MD5('{i}:' || shingle)) AS sig{i}" for i in range(8))}
+  FROM sh GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, MD5(sig0 || sig1) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sigs
+  UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sigs
+  UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+undirected AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.b, r.root FROM reach r JOIN undirected u ON u.a = r.node
+),
+clusters AS (
+  SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY 1
+),
+edges AS (SELECT a AS u, b AS v FROM undirected),
+nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+ed AS (SELECT e.u, e.v, d.out_deg FROM edges e JOIN deg d USING (u)),
+r0 AS (
+  SELECT node,
+         CAST({_PR_ONE} // (SELECT n FROM nn) AS BIGINT) AS rank_units
+  FROM nodes
+),{prs},
+joined AS (
+  SELECT c.node AS doc_id, c.cluster_id, r.rank_units
+  FROM clusters c JOIN r{_PR_ITER} r ON r.node = c.node
+)
+SELECT doc_id, cluster_id, rank_units,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY rank_units DESC, doc_id) = 1
+            AS BIGINT) AS is_keeper
+FROM joined ORDER BY doc_id
+"""
+
+
+REGISTRY["central_keeper"] = QuerySpec(
+    q_central_keeper,
+    _oracle_central_keeper(),
+    "near-dup clusters with PageRank-centrality keeper selection "
+    "(CC + PageRank composed on one LSH edge set)",
+)

@@ -135,9 +135,9 @@ _SHUFFLE_BUDGET = {
     # map-only HOF term counts + broadcast one-row stats + TakeOrdered:
     # BM25 over the corpus is a single scan, zero shuffles
     "bm25_topk": 0,
-    # inverted-index tf/df aggregates, two per-query rank windows, and
-    # the (tiny-list) full-outer fusion join
-    "rrf_fusion": 10,
+    # inverted-index tf/df aggregates (one checkpointed tf frame), two
+    # per-query rank windows, and the (tiny-list) full-outer fusion join
+    "rrf_fusion": 7,
     # iterations are lineage-cut per round (the connected_components
     # pattern); the visible final stage is teleport + damped-sum only
     "pagerank_docs": 0,

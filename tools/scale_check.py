@@ -50,6 +50,11 @@ QUERIES = [
     "doc_topk",  # broadcast-Q exact cosine scan over derived vectors
     "ann_recall",  # recall ladder: coarse + rerank IVF-PQ vs exact baseline
     "lsh_recall",  # banding recall ladder vs exact-Jaccard ground truth
+    "bm25_topk",  # zero-shuffle BM25 scan: must be flat in corpus size
+    "rrf_fusion",  # inverted-index lexical + broadcast-Q cosine fusion
+    "central_keeper",  # CC + PageRank over the corpus-wide LSH edge set
+    # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
+    # cost doesn't grow with corpus multiplication, so no row here)
 ]
 
 
