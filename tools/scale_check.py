@@ -201,6 +201,13 @@ def main() -> None:
                 "scales cluster count with corpus size. semantic_dedup_capped\n"
                 "(sub-split cells, ≤~64 members) is the production form and\n"
                 "must stay ≈ flat.\n\n"
+                "doc_embed / doc_topk / rrf_fusion are honest CPU-linear\n"
+                "map work (md5 token hashing over every document) — their\n"
+                "ratio tracks corpus size with ratio/K well under 1, and the\n"
+                "cost parallelizes with executors, not with shuffle width.\n"
+                "central_keeper (CC + PageRank on the LSH edge set) stays\n"
+                "sub-linear because both graph passes are joins against the\n"
+                "sparse candidate edges, never the document pair space.\n\n"
                 f"| query | t(1×) s | t({k}×) s | ratio | ratio/{k} |\n"
                 "|---|---|---|---|---|\n"
             )
