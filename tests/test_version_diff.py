@@ -93,3 +93,70 @@ def test_key_only_table_all_value_columns_empty(spark, tmp_path):
     feed = version_diff(spark, root, ["id"], v_from=1, v_to=2)
     got = {(r["id"], r["_change_type"]) for r in feed.collect()}
     assert got == {(1, "delete"), (3, "insert")}
+
+
+# ---------------------------------------------------------------------------
+# maintain_aggregate — CDC-driven materialized-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _recompute(df):
+    from data_lake_spark.functions.exact import sum_micros
+
+    return df.groupBy("name").agg(
+        sum_micros(F.col("amount")).alias("value_u"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def test_maintained_aggregate_matches_recompute(spark, tmp_path):
+    from data_lake_spark.versioned import (
+        maintain_aggregate,
+        read_version,
+        version_diff,
+        write_version,
+    )
+
+    root = str(tmp_path / "mv")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "a", 1.25), (3, "b", 30.0), (4, "c", 7.0)],
+        "id long, name string, amount double",
+    )
+    write_version(v1, root)
+    # updates (2: 1.25->2.75), deletes (4 — group c VANISHES), inserts
+    # (5 into new group d), unchanged (1, 3)
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "a", 2.75), (3, "b", 30.0), (5, "d", -0.1)],
+        "id long, name string, amount double",
+    )
+    write_version(v2, root)
+
+    state = _recompute(read_version(spark, root, 1))
+    feed = version_diff(spark, root, ["id"], v_from=1, v_to=2)
+    maintained = maintain_aggregate(state, feed, ["name"], "amount")
+
+    assert table_checksum(maintained) == table_checksum(
+        _recompute(read_version(spark, root, 2))
+    )
+    # group c is gone entirely, not present with a zero count
+    assert maintained.filter(F.col("name") == "c").count() == 0
+
+
+def test_maintain_with_empty_feed_is_identity(spark, tmp_path):
+    from data_lake_spark.versioned import (
+        maintain_aggregate,
+        read_version,
+        version_diff,
+        write_version,
+    )
+
+    root = str(tmp_path / "mv2")
+    v = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 6.0)], "id long, name string, amount double"
+    )
+    write_version(v, root)
+    write_version(v, root)
+    state = _recompute(read_version(spark, root, 1))
+    feed = version_diff(spark, root, ["id"], v_from=1, v_to=2)
+    maintained = maintain_aggregate(state, feed, ["name"], "amount")
+    assert table_checksum(maintained) == table_checksum(state)
