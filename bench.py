@@ -124,6 +124,10 @@ HEADLINE = [
     "pagerank_docs",
     # CC + PageRank composed on one LSH edge set: centrality keepers
     "central_keeper",
+    # per-source dataset card (integer-exact Gini language mix)
+    "dataset_card",
+    # per-doc 3-gram first-occurrence novelty (corpus-freshness curve)
+    "ngram_novelty",
 ]
 
 

@@ -27,6 +27,7 @@ class QuerySpec:
 def full_registry() -> dict[str, QuerySpec]:
     from data_lake_spark.queries import (
         api_queries,
+        corpus_q,
         curation,
         curation2,
         llm,
@@ -81,6 +82,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(api_queries.REGISTRY)
     reg.update(sqlcompat_q.REGISTRY)
     reg.update(retrieval_q.REGISTRY)
+    reg.update(corpus_q.REGISTRY)
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW_PRIORITY:
@@ -106,8 +108,9 @@ def full_registry() -> dict[str, QuerySpec]:
 # first). 8 + 17 + 25 = exactly 50.
 #
 # ROUND 5 TODO: rotate onto (a) the queries added during round 4 — so far:
-# lsh_recall bm25_topk rrf_fusion pagerank_docs central_keeper — they MUST
-# be in the r05 window (keep this list current as queries land), then
+# lsh_recall bm25_topk rrf_fusion pagerank_docs central_keeper dataset_card
+# ngram_novelty — they MUST be in the r05 window (keep this list current as
+# queries land), then
 # (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
 # sliding_rollup funnel cohort_retention json_props scd2_history top_paths
 # date_spine_fill unpivot_metrics session_native api_earnings api_needle

@@ -1,0 +1,175 @@
+"""Corpus-health reporting: the dataset-card rollup and the n-gram
+novelty curve — the two numbers a curation run publishes alongside the
+shards it exports (datasheets-for-datasets practice; the reference's
+gold zone publishes the analogous per-platform rollups, e.g.
+`/root/reference/src/lambdas/earnings_analytics/lambda_function.py`).
+
+Both are transcendental-free by design (the functions/exact.py rule):
+language concentration uses Gini impurity — 1 − Σ share² — which is
+RATIONAL in the group counts, computed as (T² − Σ nᵢ²)·10⁶ div T² in
+exact integers, where Shannon entropy would drag in log and the
+engines' last-ULP disagreement.
+
+Plan shapes: ``dataset_card`` is two map-side-combinable aggregations
+(per source+lang, then per source) plus one exact-distinct over the
+content hash — dim-sized output, no window over the corpus.
+``ngram_novelty`` is the inverted-index pattern: distinct shingles per
+doc, one groupBy shingle for the global first-occurrence, one
+co-partitioned join back on shingle, one groupBy doc — shuffles on the
+shingle key only, never a pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_SCALE = 1_000_000
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: docs, tokens, exact-dup count (docs
+    minus distinct content hashes), mean doc length, and language
+    concentration as integer-exact Gini impurity (0 = one language,
+    →1 = uniform mix)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lang_sq = per_lang.groupBy("source").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("h").alias("n_uniq"),
+    )
+    return (
+        per_source.join(lang_sq, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") - F.col("n_uniq")).cast("long").alias("n_exact_dups"),
+            F.expr(f"(n_tokens * {_SCALE}) div n_docs").alias("mean_len_micro"),
+            "n_langs",
+            F.expr(
+                f"((n_docs * n_docs - sum_sq) * {_SCALE}) div (n_docs * n_docs)"
+            ).alias("lang_gini_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH d AS (
+  SELECT source, lang, MD5(LOWER(text)) AS h,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+),
+lang_sq AS (
+  SELECT source, CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per_lang GROUP BY 1
+),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
+  FROM d GROUP BY 1
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(s.n_docs - s.n_uniq AS BIGINT) AS n_exact_dups,
+       (s.n_tokens * {_SCALE}) // s.n_docs AS mean_len_micro,
+       l.n_langs,
+       ((s.n_docs * s.n_docs - l.sum_sq) * {_SCALE})
+         // (s.n_docs * s.n_docs) AS lang_gini_micro
+FROM per_source s JOIN lang_sq l USING (source)
+ORDER BY s.source
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the share (micro-units) of a doc's
+    distinct shingles whose global FIRST occurrence (min doc_id) is this
+    doc — the corpus-freshness curve dedup pipelines watch to decide
+    when a source is mined out. Inverted-index shape: shuffles on the
+    shingle key only."""
+    from data_lake_spark.operators.textdedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3).select("doc_id", "shingle")
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr(f"(n_novel * {_SCALE}) div n_shingles").alias("novelty_micro"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE shingle IS NOT NULL
+),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM sh s JOIN first f USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_novel,
+       (n_novel * {_SCALE}) // n_shingles AS novelty_micro
+FROM per_doc ORDER BY doc_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "dataset_card": QuerySpec(
+        q_dataset_card,
+        ORACLE_DATASET_CARD,
+        "per-source dataset card: docs/tokens/dups/mean-len + "
+        "integer-exact Gini language concentration",
+    ),
+    "ngram_novelty": QuerySpec(
+        q_ngram_novelty,
+        ORACLE_NGRAM_NOVELTY,
+        "per-doc 3-gram first-occurrence novelty share "
+        "(corpus-freshness curve)",
+    ),
+}

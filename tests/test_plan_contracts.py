@@ -141,6 +141,11 @@ _SHUFFLE_BUDGET = {
     # iterations are lineage-cut per round (the connected_components
     # pattern); the visible final stage is teleport + damped-sum only
     "pagerank_docs": 0,
+    # per-(source,lang) agg + per-source agg with exact distinct (2) +
+    # the co-partitioned source join — dim-sized output, no window
+    "dataset_card": 4,
+    # inverted-index novelty: shingle agg, join back, per-doc agg
+    "ngram_novelty": 3,
 }
 
 

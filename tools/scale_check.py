@@ -53,6 +53,8 @@ QUERIES = [
     "bm25_topk",  # zero-shuffle BM25 scan: must be flat in corpus size
     "rrf_fusion",  # inverted-index lexical + broadcast-Q cosine fusion
     "central_keeper",  # CC + PageRank over the corpus-wide LSH edge set
+    "dataset_card",  # two-level agg + exact distinct: scan-dominated
+    "ngram_novelty",  # inverted-index first-occurrence join
     # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
     # cost doesn't grow with corpus multiplication, so no row here)
 ]
