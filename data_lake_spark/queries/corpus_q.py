@@ -44,17 +44,26 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_lang = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    lang_sq = per_lang.groupBy("source").agg(
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
-        F.count(F.lit(1)).cast("long").alias("n_langs"),
-    )
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("h").alias("n_uniq"),
     )
+    # Gini from FLOORED per-language micro-shares (s = n·10⁶ div N,
+    # gini = 10⁶ − Σs² div 10⁶): every intermediate stays ≤ N·10⁶, so
+    # the arithmetic never leaves int64 at any corpus size — the naive
+    # (N² − Σnᵢ²)·10⁶ form overflows past ~3M docs per source. The
+    # floored-share quantization is the documented definition, applied
+    # textually identically in the oracle.
+    shares = per_lang.join(
+        per_source.select("source", "n_docs"), "source"
+    ).select("source", F.expr(f"(n * {_SCALE}) div n_docs").alias("s"))
+    gini_parts = shares.groupBy("source").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sq_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
     return (
-        per_source.join(lang_sq, "source")
+        per_source.join(gini_parts, "source")
         .select(
             "source",
             "n_docs",
@@ -62,9 +71,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - F.col("n_uniq")).cast("long").alias("n_exact_dups"),
             F.expr(f"(n_tokens * {_SCALE}) div n_docs").alias("mean_len_micro"),
             "n_langs",
-            F.expr(
-                f"((n_docs * n_docs - sum_sq) * {_SCALE}) div (n_docs * n_docs)"
-            ).alias("lang_gini_micro"),
+            F.expr(f"{_SCALE} - (sq_sum div {_SCALE})").alias("lang_gini_micro"),
         )
         .orderBy("source")
     )
@@ -79,25 +86,28 @@ WITH d AS (
 per_lang AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
 ),
-lang_sq AS (
-  SELECT source, CAST(SUM(n * n) AS BIGINT) AS sum_sq,
-         CAST(COUNT(*) AS BIGINT) AS n_langs
-  FROM per_lang GROUP BY 1
-),
 per_source AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
          CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq
   FROM d GROUP BY 1
+),
+shares AS (
+  SELECT l.source, (l.n * {_SCALE}) // p.n_docs AS s
+  FROM per_lang l JOIN per_source p USING (source)
+),
+gini_parts AS (
+  SELECT source, CAST(SUM(s * s) AS BIGINT) AS sq_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM shares GROUP BY 1
 )
-SELECT s.source, s.n_docs, s.n_tokens,
-       CAST(s.n_docs - s.n_uniq AS BIGINT) AS n_exact_dups,
-       (s.n_tokens * {_SCALE}) // s.n_docs AS mean_len_micro,
-       l.n_langs,
-       ((s.n_docs * s.n_docs - l.sum_sq) * {_SCALE})
-         // (s.n_docs * s.n_docs) AS lang_gini_micro
-FROM per_source s JOIN lang_sq l USING (source)
-ORDER BY s.source
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(p.n_docs - p.n_uniq AS BIGINT) AS n_exact_dups,
+       (p.n_tokens * {_SCALE}) // p.n_docs AS mean_len_micro,
+       g.n_langs,
+       {_SCALE} - (g.sq_sum // {_SCALE}) AS lang_gini_micro
+FROM per_source p JOIN gini_parts g USING (source)
+ORDER BY p.source
 """
 
 

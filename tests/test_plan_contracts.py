@@ -142,8 +142,8 @@ _SHUFFLE_BUDGET = {
     # pattern); the visible final stage is teleport + damped-sum only
     "pagerank_docs": 0,
     # per-(source,lang) agg + per-source agg with exact distinct (2) +
-    # the co-partitioned source join — dim-sized output, no window
-    "dataset_card": 4,
+    # the floored-share Gini agg and two dim-sized source joins
+    "dataset_card": 5,
     # inverted-index novelty: shingle agg, join back, per-doc agg
     "ngram_novelty": 3,
 }
