@@ -183,8 +183,11 @@ def pagerank(
     term, matching the simple "no redistribution" PageRank variant —
     document the choice rather than hide it.
 
-    nodes: one column ``node_col`` (include isolated nodes). Returns
-    (node, rank_units) with SUM(rank) ≈ PAGERANK_ONE (minus floor dust).
+    nodes: one column ``node_col`` (include isolated nodes). Edges are
+    taken as-is: PARALLEL edges count toward out-degree and contribute
+    once each (pre-`.distinct()` the frame if multi-edges should not
+    weight the link). Returns (node, rank_units) with SUM(rank) ≈
+    PAGERANK_ONE (minus floor dust).
     """
     nodes = nodes.select(F.col(node_col).alias("node"))
     # N and the teleport constant are driver scalars — two longs, not data

@@ -39,14 +39,22 @@ from data_lake_spark.catalog import load_table
 from data_lake_spark.operators.partitioning import shuffle_parallelism
 from data_lake_spark.queries import QuerySpec
 
-# BM25 constants k1=1.2, b=0.75 cleared of fractions (×10·avgdl·N): the
-# per-term normalizer tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) becomes the
-# all-integer 22·tf·T·SCALE div (10·tf·T + 3·T + 9·dl·N) with T = total
-# corpus tokens, N = docs. idf (N−df+0.5)/(df+0.5) clears to
-# (2N−2df+1)·SCALE div (2df+1). Floor-per-term then integer SUM — the
-# same deterministic-quantize-then-sum recipe as functions/exact.py,
-# and transcendental-free (engines disagree in the last ULP of ln; they
-# cannot disagree about integer div — the llm3.py vocab-pruning rule).
+# BM25 constants k1=1.2, b=0.75 cleared of fractions (×10·avgdl): with
+# A = floored average doc length (t_tokens div n_docs — the floor is
+# the documented quantization), the per-term normalizer
+# tf·(k1+1) / (tf + k1·(1−b+b·dl/A)) becomes the all-integer
+# 22·tf·A·SCALE div (10·tf·A + 3·A + 9·dl). idf (N−df+0.5)/(df+0.5)
+# clears to (2N−2df+1)·SCALE div (2df+1). Floor-per-term then integer
+# SUM — the deterministic-quantize-then-sum recipe of
+# functions/exact.py, and transcendental-free (engines disagree in the
+# last ULP of ln; they cannot disagree about integer div — the llm3.py
+# vocab-pruning rule).
+#
+# Overflow headroom: A-form keeps the normalizer ≤ 22·dl·A·10⁴ (corpus
+# TOTALS never enter per-row arithmetic — the earlier T-form multiplied
+# total corpus tokens ×10⁴ and left int64 around 10¹³ tokens). The
+# remaining bound is idf·norm ≤ (2N+1)·10⁶/3 · 2.2·10⁴, safe past 10⁸
+# docs per corpus; for larger N drop _IDF_SCALE a decade per 10×.
 _IDF_SCALE = 1_000_000
 _NORM_SCALE = 10_000
 _TERMS = ("spark", "join", "window", "vector")
@@ -59,8 +67,8 @@ def _bm25_term_expr(t: str) -> str:
     differs, parameterized by the caller via ``{div}``)."""
     idf = f"((2*n_docs - 2*df_{t} + 1) * {_IDF_SCALE} {{div}} (2*df_{t} + 1))"
     norm = (
-        f"((22 * tf_{t} * t_tokens * {_NORM_SCALE}) "
-        f"{{div}} (10 * tf_{t} * t_tokens + 3 * t_tokens + 9 * dl * n_docs))"
+        f"((22 * tf_{t} * avgdl * {_NORM_SCALE}) "
+        f"{{div}} (10 * tf_{t} * avgdl + 3 * avgdl + 9 * dl))"
     )
     return f"(CASE WHEN tf_{t} > 0 THEN {idf} * {norm} ELSE 0 END)"
 
@@ -92,7 +100,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
             for t in _TERMS
         ],
-    )
+    ).withColumn("avgdl", F.expr("t_tokens div n_docs"))
     score = " + ".join(_bm25_term_expr(t).format(div="div") for t in _TERMS)
     n_terms = " + ".join(
         f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in _TERMS
@@ -135,6 +143,7 @@ WITH base AS (
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dl) AS BIGINT) AS t_tokens,
+         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl,
          {df_cols}
   FROM base
 ),
@@ -204,15 +213,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(toks_arr)).cast("long").alias("t_tokens"),
-    )
+    ).withColumn("avgdl", F.expr("t_tokens div n_docs"))
     qterms = (
         tf.filter(F.col("doc_id") < 3)
         .select(F.col("doc_id").alias("query_id"), "tok")
     )
     idf = f"((2*n_docs - 2*df + 1) * {_IDF_SCALE} div (2*df + 1))"
     norm = (
-        f"((22 * tf * t_tokens * {_NORM_SCALE}) "
-        f"div (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs))"
+        f"((22 * tf * avgdl * {_NORM_SCALE}) "
+        f"div (10 * tf * avgdl + 3 * avgdl + 9 * dl))"
     )
     lex_scores = (
         tf.join(F.broadcast(qterms), "tok")
@@ -303,7 +312,9 @@ tf AS (
 dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT)) AS BIGINT) AS t_tokens
+         CAST(SUM(CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT)) AS BIGINT) AS t_tokens,
+         CAST(SUM(CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT)) AS BIGINT)
+           // CAST(COUNT(*) AS BIGINT) AS avgdl
   FROM documents
 ),
 qterms AS (
@@ -313,8 +324,8 @@ lex_scores AS (
   SELECT q.query_id, t.doc_id AS cand_id,
          CAST(SUM(
            ((2*n_docs - 2*df + 1) * {_IDF_SCALE} // (2*df + 1)) *
-           ((22 * tf * t_tokens * {_NORM_SCALE})
-            // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs))
+           ((22 * tf * avgdl * {_NORM_SCALE})
+            // (10 * tf * avgdl + 3 * avgdl + 9 * dl))
          ) AS BIGINT) AS score
   FROM tf t
   JOIN qterms q ON t.tok = q.tok AND t.doc_id != q.query_id

@@ -244,6 +244,10 @@ def version_diff(
     order-independent), and the pre/post update images emitted by a
     map-only inline explode, not a second join or a second scan.
 
+    ``keys`` must be non-null (standard join-key equality: a NULL key
+    never matches, so a null-keyed row would surface as delete+insert
+    rather than update — normalize keys upstream, P10-style).
+
     Applying the feed to the old snapshot reproduces the new one
     exactly (delete the delete/update_preimage keys, insert the
     insert/update_postimage rows) — the reconciliation property
