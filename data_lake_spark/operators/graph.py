@@ -17,9 +17,10 @@ Adaptive, the same way Spark chooses broadcast vs shuffle joins:
   min-aggregate — fully distributed; the driver only checks the
   convergence counter. Rounds needed = graph diameter, which for
   near-dup clusters is tiny (dup groups are dense); for adversarial
-  long-chain graphs switch to the large-star/small-star alternation
-  (Kiveris et al., "Connected Components in MapReduce", SoCC'14), which
-  converges in O(log n) rounds with the same per-round plan shape.
+  long-chain graphs :func:`connected_components_star` implements the
+  large-star/small-star alternation (Kiveris et al., "Connected
+  Components in MapReduce", SoCC'14), which converges in O(log n)
+  rounds with the same per-round plan shape.
 
 Lineage is cut with localCheckpoint each round so the plan doesn't grow
 exponentially across iterations.
@@ -99,8 +100,9 @@ def connected_components(
     their own singleton clusters). edges: ``src_col``/``dst_col``,
     interpreted undirected. Returns (node, cluster_id). Raises if the
     iterative path does not converge within ``max_iter`` (raise the cap
-    or switch algorithms). ``driver_max_edges=0`` forces the distributed
-    path (used by tests to prove the two paths agree).
+    or use :func:`connected_components_star`, whose round count is
+    O(log n) instead of the diameter). ``driver_max_edges=0`` forces the
+    distributed path (used by tests to prove the two paths agree).
     """
     # materialize the edge list once: the size probe needs it, and the
     # union below reads it twice (both directions)
@@ -228,3 +230,104 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the long-chain-safe alternative the min-label
+    propagation in :func:`connected_components` documents: label
+    propagation needs DIAMETER rounds (a 10k-node chain = 10k shuffles);
+    the star alternation contracts the graph toward stars and converges
+    in O(log n) rounds regardless of diameter, each round the same
+    join+aggregate plan shape.
+
+    large-star: every node hooks its LARGER neighbors onto the minimum
+    of its neighborhood (incl. itself); small-star: canonicalize each
+    edge under its larger endpoint and hook the smaller neighbors (and
+    itself) onto that minimum. Both passes strictly never raise any
+    node's smallest reachable label, and the fixpoint is a forest of
+    stars rooted at component minima — identical labels to
+    connected_components (the equivalence test proves it on cliques,
+    chains, and random graphs).
+
+    Deterministic (min over ids), lineage-cut per round; convergence is
+    detected by an order-insensitive edge-set checksum (one aggregate
+    per round, the functions/checksum.py recipe) instead of a
+    subtract/count pass."""
+    from data_lake_spark.functions.checksum import table_checksum
+
+    out = nodes.select(F.col(node_col).alias("node"))
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = _sym(df)
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # canonicalize: group under the LARGER endpoint
+        canon = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))  # v < u always
+        hooked = (
+            canon.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfed = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            hooked.union(selfed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        sig = table_checksum(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # fixpoint edges are (member, root) stars; roots + isolated nodes
+    # label themselves. The min-agg is defensive: at the fixpoint each
+    # member carries exactly one root edge, and min() keeps the label
+    # well-defined even if that invariant ever loosened.
+    labels = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    return (
+        out.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+        )
+    )
