@@ -198,3 +198,68 @@ def incremental_event_rollup(
         )
     wm_df = spark.createDataFrame([(int(rows["wm"]),)], "ts_ns long")
     return commit_tables({"rollup": new, "watermark": wm_df}, gold_root)
+
+
+def pretrain_prepare(
+    spark: SparkSession,
+    sf_dir: str,
+    dst: str,
+    tokens_per_shard: int = 2048,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_jaccard: float = 0.5,
+) -> dict:
+    """The whole corpus→training-shards preparation as ONE call —
+    the integration surface a pretraining user actually runs, composing
+    the individually-tested stages end-to-end:
+
+    documents → quality gate (token-length bounds, the curation_funnel
+    stage-1 rule) → near-dup removal (operators/textdedup.dedup_corpus:
+    LSH candidates → exact-Jaccard verify → connected components →
+    min-id keeper) → token-budgeted shard export with distributed
+    manifest + _SUMMARY commit point (export.export_training_shards,
+    grouped by language).
+
+    Returns the retention funnel every production pipeline publishes
+    ({n_raw, n_gated, n_kept, n_candidate_pairs, n_verified_edges,
+    export: {...}}) — counts monotone by construction, export totals
+    equal to the dedup survivors (tests/test_pretrain_prepare.py).
+
+    Scale posture is inherited, not re-argued: every stage is an
+    equi-join or map-side-combinable aggregate (see each operator's
+    docstring); the one additional materialization here is the gated
+    frame, read by both the dedup and the export."""
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.export import export_training_shards
+    from data_lake_spark.operators.textdedup import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    n_raw = docs.count()
+    gated = docs.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ).localCheckpoint(eager=False)  # dedup and export both read it
+
+    kept, dd = dedup_corpus(gated, min_jaccard=min_jaccard)
+    export = export_training_shards(
+        kept,
+        dst,
+        tokens_per_shard=tokens_per_shard,
+        order_cols=["doc_id"],
+        group_cols=["lang"],
+    )
+    return {
+        "n_raw": n_raw,
+        "n_gated": dd["n_docs"],
+        "n_candidate_pairs": dd["n_candidate_pairs"],
+        "n_verified_edges": dd["n_verified_edges"],
+        "n_kept": dd["n_kept"],
+        "export": export,
+    }
