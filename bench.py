@@ -128,6 +128,8 @@ HEADLINE = [
     "dataset_card",
     # per-doc 3-gram first-occurrence novelty (corpus-freshness curve)
     "ngram_novelty",
+    # in-engine BPE training: 8 vocabulary-table merge rounds
+    "bpe_merges",
 ]
 
 

@@ -109,8 +109,8 @@ def full_registry() -> dict[str, QuerySpec]:
 #
 # ROUND 5 TODO: rotate onto (a) the queries added during round 4 — so far:
 # lsh_recall bm25_topk rrf_fusion pagerank_docs central_keeper dataset_card
-# ngram_novelty — they MUST be in the r05 window (keep this list current as
-# queries land), then
+# ngram_novelty bpe_merges — they MUST be in the r05 window (keep this list
+# current as queries land), then
 # (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
 # sliding_rollup funnel cohort_retention json_props scd2_history top_paths
 # date_spine_fill unpivot_metrics session_native api_earnings api_needle

@@ -183,3 +183,89 @@ REGISTRY: dict[str, QuerySpec] = {
         "(corpus-freshness curve)",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges — in-engine tokenizer training, oracle-replayed in SQL
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 BPE merge rules learned from the corpus
+    (operators/bpe.bpe_learn — one corpus pass for word counts, then
+    vocabulary-table-only rounds). Output: (rank, a, b, merged).
+
+    The oracle replays the identical procedure in SQL: symbols ride a
+    ``'|' + join(sym, '||') + '|'`` string, and applying merge (a, b)
+    is ``REPLACE(sym, '|a||b|', '|ab|')`` — adjacent matches never
+    share a consumed character (each pattern takes one bar from each
+    double-bar gap), so SQL's left-to-right non-overlapping REPLACE is
+    exactly the fold's leftmost-first semantics. Corpus words contain
+    no '|', so the encoding is unambiguous."""
+    from data_lake_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, a string, b string, merged string"
+    ).orderBy("rank")
+
+
+def _bpe_round_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+t{i} AS MATERIALIZED (
+  SELECT n, tok,
+         LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM (
+    SELECT word, n,
+           UNNEST(STRING_SPLIT(SUBSTR(sym, 2, LEN(sym) - 2), '||')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(SUBSTR(sym, 2, LEN(sym) - 2), '||'), 1) AS pos
+    FROM {prev}
+  )
+),
+p{i} AS (
+  SELECT tok AS a, nxt AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM t{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT a, b FROM p{i} WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1
+),
+r{i} AS MATERIALIZED (
+  SELECT word, n,
+         CASE WHEN (SELECT COUNT(*) FROM b{i}) = 1
+              THEN REPLACE(sym,
+                           '|' || (SELECT a FROM b{i}) || '||' || (SELECT b FROM b{i}) || '|',
+                           '|' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || '|')
+              ELSE sym END AS sym
+  FROM {prev}
+)"""
+
+
+ORACLE_BPE_MERGES = f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word, n,
+         '|' || ARRAY_TO_STRING(LIST_APPEND(STRING_SPLIT(word, ''), '</w>'), '||') || '|' AS sym
+  FROM wc
+),{",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))}
+SELECT CAST(rank AS BIGINT) AS rank, a, b, a || b AS merged FROM (
+  {" UNION ALL ".join(f"SELECT {i} AS rank, a, b FROM b{i}" for i in range(1, _BPE_ROUNDS + 1))}
+)
+ORDER BY rank
+"""
+
+
+REGISTRY["bpe_merges"] = QuerySpec(
+    q_bpe_merges,
+    ORACLE_BPE_MERGES,
+    "first 8 BPE merge rules learned in-engine, SQL-replayed oracle "
+    "(REPLACE-as-fold encoding)",
+)

@@ -55,6 +55,7 @@ QUERIES = [
     "central_keeper",  # CC + PageRank over the corpus-wide LSH edge set
     "dataset_card",  # two-level agg + exact distinct: scan-dominated
     "ngram_novelty",  # inverted-index first-occurrence join
+    "bpe_merges",  # 1 corpus pass, then vocabulary-table-only rounds
     # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
     # cost doesn't grow with corpus multiplication, so no row here)
 ]
