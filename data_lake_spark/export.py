@@ -68,16 +68,28 @@ def export_training_shards(
     order_cols = list(order_cols)
     content_cols = list(docs.columns)
 
+    # retract the commit point FIRST: a re-export into an existing dst
+    # must never leave the previous _SUMMARY.json standing over a
+    # half-overwritten data/ — a reader that finds the summary is
+    # promised complete data+manifest (the versioned.py rule: publish
+    # is the LAST step, so un-publish is the first)
+    summary_path = os.path.join(dst, "_SUMMARY.json")
+    if os.path.exists(summary_path):
+        os.remove(summary_path)
+
     # empty group_cols = ONE global shard stream: a single-reducer
     # window, fine for bounded exports; pass group_cols (lang, source)
-    # to parallelize the running sum at corpus scale
+    # to parallelize the running sum at corpus scale.
+    # localCheckpoint: the data write, the manifest write, and the
+    # summary aggregate would otherwise each re-run the packing window
+    # AND its whole upstream (in pretrain_prepare: the dedup join).
     assigned = pack_sequences(
         docs,
         budget=tokens_per_shard,
         group_cols=group_cols,
         order_cols=order_cols,
         token_col=token_col,
-    ).withColumnRenamed("seq_id", "shard_id")
+    ).withColumnRenamed("seq_id", "shard_id").localCheckpoint(eager=False)
 
     part_cols = group_cols + ["shard_id"]
     assigned.select(*content_cols, "shard_id").write.mode(
@@ -85,7 +97,7 @@ def export_training_shards(
     ).partitionBy(*part_cols).parquet(os.path.join(dst, "data"))
 
     manifest = (
-        assigned.withColumn("__h", row_hash(docs, content_cols))
+        assigned.withColumn("__h", row_hash(assigned, content_cols))
         .groupBy(*part_cols)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -101,6 +113,7 @@ def export_training_shards(
             F.bit_xor("__h").alias("hash_xor"),
         )
     )
+    manifest = manifest.localCheckpoint(eager=False)  # written AND folded
     manifest.write.mode("overwrite").json(os.path.join(dst, "manifest"))
 
     # grand totals + a digest folded over the per-shard digests: one
@@ -116,13 +129,18 @@ def export_training_shards(
         "tokens_per_shard": tokens_per_shard,
         "group_cols": group_cols,
         "order_cols": order_cols,
-        "n_shards": tot.n_shards,
-        "n_docs": tot.n_docs,
-        "n_tokens": tot.n_tokens,
+        "n_shards": int(tot.n_shards),
+        # SUM over zero manifest rows is NULL — an empty export reports
+        # proper zeros, consistent with n_shards
+        "n_docs": int(tot.n_docs or 0),
+        "n_tokens": int(tot.n_tokens or 0),
         "grand_hash_sum": int(tot.s or 0) % (1 << 64),
         "grand_hash_xor": int(tot.x or 0) & ((1 << 64) - 1),
     }
-    # commit point: written only after data + manifest both succeeded
-    with open(os.path.join(dst, "_SUMMARY.json"), "w") as fh:
+    # commit point: published LAST, atomically, only after data +
+    # manifest both succeeded (tmp + rename, the versioned.py pointer)
+    tmp = summary_path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump(summary, fh)
+    os.replace(tmp, summary_path)
     return summary

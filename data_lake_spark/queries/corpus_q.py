@@ -69,7 +69,14 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             (F.col("n_docs") - F.col("n_uniq")).cast("long").alias("n_exact_dups"),
-            F.expr(f"(n_tokens * {_SCALE}) div n_docs").alias("mean_len_micro"),
+            # quotient/remainder split: n_tokens·10⁶ would leave int64
+            # at ~9.2e12 tokens per source (the corpus-totals-in-
+            # arithmetic trap again); this form's intermediates stay
+            # ≤ max(n_tokens, n_docs·10⁶) and floor identically
+            F.expr(
+                f"(n_tokens div n_docs) * {_SCALE}"
+                f" + ((n_tokens % n_docs) * {_SCALE}) div n_docs"
+            ).alias("mean_len_micro"),
             "n_langs",
             F.expr(f"{_SCALE} - (sq_sum div {_SCALE})").alias("lang_gini_micro"),
         )
@@ -103,7 +110,8 @@ gini_parts AS (
 )
 SELECT p.source, p.n_docs, p.n_tokens,
        CAST(p.n_docs - p.n_uniq AS BIGINT) AS n_exact_dups,
-       (p.n_tokens * {_SCALE}) // p.n_docs AS mean_len_micro,
+       (p.n_tokens // p.n_docs) * {_SCALE}
+         + ((p.n_tokens % p.n_docs) * {_SCALE}) // p.n_docs AS mean_len_micro,
        g.n_langs,
        {_SCALE} - (g.sq_sum // {_SCALE}) AS lang_gini_micro
 FROM per_source p JOIN gini_parts g USING (source)

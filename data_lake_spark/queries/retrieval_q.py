@@ -61,16 +61,27 @@ _TERMS = ("spark", "join", "window", "vector")
 _RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack 2009)
 
 
-def _bm25_term_expr(t: str) -> str:
-    """Integer BM25 term score as a SQL expression string — identical
-    text runs under Spark SQL and DuckDB (only unsigned `div`/`//`
-    differs, parameterized by the caller via ``{div}``)."""
-    idf = f"((2*n_docs - 2*df_{t} + 1) * {_IDF_SCALE} {{div}} (2*df_{t} + 1))"
+def _bm25_core(tf_col: str, df_col: str) -> str:
+    """The ONE textual source of the integer BM25 term score —
+    identical text runs under Spark SQL and DuckDB (only unsigned
+    `div`/`//` differs, parameterized via ``{div}``). bm25_topk and
+    rrf_fusion's lexical side both render from here, so a formula
+    change (e.g. the idf rescale the header comment anticipates) can
+    never leave the two rankings disagreeing."""
+    idf = f"((2*n_docs - 2*{df_col} + 1) * {_IDF_SCALE} {{div}} (2*{df_col} + 1))"
     norm = (
-        f"((22 * tf_{t} * avgdl * {_NORM_SCALE}) "
-        f"{{div}} (10 * tf_{t} * avgdl + 3 * avgdl + 9 * dl))"
+        f"((22 * {tf_col} * avgdl * {_NORM_SCALE}) "
+        f"{{div}} (10 * {tf_col} * avgdl + 3 * avgdl + 9 * dl))"
     )
-    return f"(CASE WHEN tf_{t} > 0 THEN {idf} * {norm} ELSE 0 END)"
+    return f"{idf} * {norm}"
+
+
+def _bm25_term_expr(t: str) -> str:
+    """Per-literal-term wrapper: zero for absent terms (tf = 0)."""
+    return (
+        f"(CASE WHEN tf_{t} > 0 "
+        f"THEN {_bm25_core(f'tf_{t}', f'df_{t}')} ELSE 0 END)"
+    )
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,18 +229,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.filter(F.col("doc_id") < 3)
         .select(F.col("doc_id").alias("query_id"), "tok")
     )
-    idf = f"((2*n_docs - 2*df + 1) * {_IDF_SCALE} div (2*df + 1))"
-    norm = (
-        f"((22 * tf * avgdl * {_NORM_SCALE}) "
-        f"div (10 * tf * avgdl + 3 * avgdl + 9 * dl))"
-    )
     lex_scores = (
         tf.join(F.broadcast(qterms), "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(dfreq), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", F.col("doc_id").alias("cand_id"))
-        .agg(F.sum(F.expr(f"{idf} * {norm}")).cast("long").alias("score"))
+        .agg(
+            F.sum(F.expr(_bm25_core("tf", "df").format(div="div")))
+            .cast("long")
+            .alias("score")
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("cand_id")
@@ -323,9 +333,7 @@ qterms AS (
 lex_scores AS (
   SELECT q.query_id, t.doc_id AS cand_id,
          CAST(SUM(
-           ((2*n_docs - 2*df + 1) * {_IDF_SCALE} // (2*df + 1)) *
-           ((22 * tf * avgdl * {_NORM_SCALE})
-            // (10 * tf * avgdl + 3 * avgdl + 9 * dl))
+           {_bm25_core("tf", "df").format(div="//")}
          ) AS BIGINT) AS score
   FROM tf t
   JOIN qterms q ON t.tok = q.tok AND t.doc_id != q.query_id

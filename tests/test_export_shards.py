@@ -110,3 +110,17 @@ def test_export_is_deterministic_across_partitionings(spark, tmp_path, exported)
         order_cols=["doc_id"], group_cols=["lang"],
     )
     assert summary2 == summary
+
+
+def test_reexport_into_same_dst_is_clean(spark, exported):
+    """A re-export into an existing dst retracts the previous
+    _SUMMARY.json before touching data (no stale commit marker over a
+    half-written artifact) and lands the identical summary."""
+    docs, dst, summary = exported
+    summary2 = export_training_shards(
+        docs, dst, tokens_per_shard=BUDGET,
+        order_cols=["doc_id"], group_cols=["lang"],
+    )
+    assert summary2 == summary
+    with open(os.path.join(dst, "_SUMMARY.json")) as fh:
+        assert json.load(fh) == summary

@@ -59,3 +59,5 @@ def test_quality_gate_actually_gates(spark, tmp_path):
     )
     assert stats["n_gated"] == 0 == stats["n_kept"]
     assert stats["export"]["n_shards"] == 0
+    # empty export reports proper zeros, not SQL-NULL Nones
+    assert stats["export"]["n_docs"] == 0 and stats["export"]["n_tokens"] == 0
