@@ -98,11 +98,14 @@ def connected_components(
 
     nodes: one column ``node_col`` (include isolated nodes — they become
     their own singleton clusters). edges: ``src_col``/``dst_col``,
-    interpreted undirected. Returns (node, cluster_id). Raises if the
-    iterative path does not converge within ``max_iter`` (raise the cap
-    or use :func:`connected_components_star`, whose round count is
-    O(log n) instead of the diameter). ``driver_max_edges=0`` forces the
-    distributed path (used by tests to prove the two paths agree).
+    interpreted undirected. Returns (node, cluster_id). If the
+    iterative path has not converged within ``max_iter`` rounds (a
+    graph whose diameter exceeds the cap — an adversarial chain, not a
+    dup graph), it escalates to :func:`connected_components_star`,
+    whose round count is O(log n) instead of the diameter — same label
+    contract, so the escalation is invisible to callers.
+    ``driver_max_edges=0`` forces the distributed path (used by tests
+    to prove the paths agree).
     """
     # materialize the edge list once: the size probe needs it, and the
     # union below reads it twice (both directions)
@@ -143,9 +146,12 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if not n_changed:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "raise max_iter or use large-star/small-star for long-chain graphs"
+    # diameter > max_iter (an adversarial chain, not a dup graph):
+    # escalate to the O(log n) star alternation instead of failing —
+    # same (node, cluster_id = component min) contract, so callers
+    # never see the difference
+    return connected_components_star(
+        nodes, edges, node_col=node_col, src_col=src_col, dst_col=dst_col
     )
 
 

@@ -78,3 +78,19 @@ def test_empty_edges_all_singletons(spark):
     edges = spark.createDataFrame([], "a long, b long")
     out = connected_components_star(nodes, edges)
     assert _labels(out) == {i: i for i in range(5)}
+
+
+def test_label_propagation_escalates_to_star_on_long_chain(spark):
+    # force the distributed min-label path with a cap far below the
+    # chain's diameter: instead of failing, connected_components must
+    # escalate to the star alternation and still return exact labels
+    n = 400
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = connected_components(
+        nodes, edges, max_iter=5, driver_max_edges=0
+    )
+    got = _labels(out)
+    assert got == {i: 0 for i in range(n)}
