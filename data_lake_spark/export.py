@@ -92,9 +92,16 @@ def export_training_shards(
     ).withColumnRenamed("seq_id", "shard_id").localCheckpoint(eager=False)
 
     part_cols = group_cols + ["shard_id"]
+    # pin static overwrite ON THE WRITE: under a session-level
+    # partitionOverwriteMode=dynamic, a re-export that produces fewer
+    # shards would leave the old extra shard_id dirs standing under
+    # dst/data while _SUMMARY.json re-publishes "complete" — the commit
+    # point must not depend on ambient session config
     assigned.select(*content_cols, "shard_id").write.mode(
         "overwrite"
-    ).partitionBy(*part_cols).parquet(os.path.join(dst, "data"))
+    ).option("partitionOverwriteMode", "static").partitionBy(
+        *part_cols
+    ).parquet(os.path.join(dst, "data"))
 
     manifest = (
         assigned.withColumn("__h", row_hash(assigned, content_cols))

@@ -205,8 +205,16 @@ def compact_partitions(
         )
         (
             df.withColumn("__rowkey", rowkey)
+            # reduce BEFORE adding the duplicate counter: __rowkey spans
+            # the full int64 range, and ANSI mode (Spark 4 default) turns
+            # a rowkey within dup_idx of Long.MAX into ARITHMETIC_OVERFLOW
+            # that kills the whole compaction job; pmod-then-add is
+            # overflow-free and keeps the same deterministic salt multiset
             .withColumn(
-                "__salt", F.pmod(F.col("__rowkey") + dup_idx, F.lit(n))
+                "__salt",
+                F.pmod(
+                    F.pmod(F.col("__rowkey"), F.lit(n)) + dup_idx, F.lit(n)
+                ),
             )
             .repartition(n, F.col("__salt"))
             .drop("__rowkey", "__salt")
@@ -235,8 +243,13 @@ def compact_partitions(
         .withColumn("__rowkey", rowkey)
         .withColumn(
             "__salt",
+            # same overflow-free pmod-then-add as the unpartitioned branch
             F.pmod(
-                F.col("__rowkey") + dup_idx,
+                F.pmod(
+                    F.col("__rowkey"),
+                    F.coalesce(F.col("__n_target"), F.lit(1)),
+                )
+                + dup_idx,
                 F.coalesce(F.col("__n_target"), F.lit(1)),
             ),
         )

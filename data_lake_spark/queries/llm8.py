@@ -70,12 +70,27 @@ def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.py). On split-sized cluster files the exchange is free to
     drop. Sized from the session's shuffle width, not a literal — a
     hardcoded 32 was a local[32] tuning that would cap this stage at 32
-    tasks on a real cluster."""
+    tasks on a real cluster.
+
+    The vector is emitted as a comma-joined string, not array<long>:
+    the driver's canonicalizer (pandas sort over every column) cannot
+    order list cells — CORRECTNESS_r04 recorded exactly that TypeError.
+    Downstream operators (doc_topk, semantic dedup) consume the array
+    form via doc_embed_expr directly; the registry row is the
+    driver-hashable projection of the same values."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", "text")
         .repartition(shuffle_parallelism(spark))
-        .select("doc_id", doc_embed_expr("text").alias("embedding"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    doc_embed_expr("text"), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("embedding_csv"),
+        )
         .orderBy("doc_id")
     )
 
@@ -107,7 +122,8 @@ vecs AS (
 
 ORACLE_DOC_EMBED = f"""
 WITH {_SQL_TOK_EMBED}
-SELECT doc_id, embedding FROM vecs ORDER BY doc_id
+SELECT doc_id, ARRAY_TO_STRING(embedding, ',') AS embedding_csv
+FROM vecs ORDER BY doc_id
 """
 
 

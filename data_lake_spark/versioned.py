@@ -246,7 +246,13 @@ def version_diff(
 
     ``keys`` must be non-null (standard join-key equality: a NULL key
     never matches, so a null-keyed row would surface as delete+insert
-    rather than update — normalize keys upstream, P10-style).
+    rather than update — normalize keys upstream, P10-style) AND unique
+    per snapshot: duplicate-keyed rows would fan out M×N in the
+    full-outer join, and :func:`apply_changes` could not reproduce the
+    target. Uniqueness is ENFORCED in-plan — a count-over-keys window
+    on each side (which reuses the join's own hash partitioning, so no
+    extra shuffle) feeds ``raise_error``, so a malformed snapshot fails
+    the diff action loudly instead of shipping a silently wrong feed.
 
     Applying the feed to the old snapshot reproduces the new one
     exactly (delete the delete/update_preimage keys, insert the
@@ -271,14 +277,32 @@ def version_diff(
         # makes every matched key "unchanged", leaving insert/delete only
         return row_hash(df, val_cols) if val_cols else F.lit(0).cast("long")
 
+    from pyspark.sql import Window
+
+    def _guarded_h(df: DataFrame, which: str):
+        # duplicate-key tripwire folded into the hash column: the window
+        # partitions by the join keys, so its exchange is the one the
+        # full-outer join needs anyway — the guard costs a per-partition
+        # sort, never an extra shuffle or a separate validation job
+        dup = F.count(F.lit(1)).over(Window.partitionBy(*keys)) > 1
+        msg = F.concat(
+            F.lit(f"version_diff: duplicate key in {which} snapshot: "),
+            F.concat_ws(
+                ", ", *[F.col(k).cast("string") for k in keys]
+            ),
+        )
+        return F.when(dup, F.raise_error(msg).cast("long")).otherwise(
+            _h(df)
+        )
+
     a = pre.select(
         *keys,
-        _h(pre).alias("__h_pre"),
+        _guarded_h(pre, "pre").alias("__h_pre"),
         F.struct(*cols).alias("__pre"),
     )
     b = post.select(
         *keys,
-        _h(post).alias("__h_post"),
+        _guarded_h(post, "post").alias("__h_post"),
         F.struct(*cols).alias("__post"),
     )
     j = a.join(b, keys, "full_outer")

@@ -73,10 +73,27 @@ _BNLJ_OK = {
 
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_no_cartesian_anywhere(spark, sf_dir, name):
-    plan = _plan(spark, sf_dir, name)
+    # one build per registry query, two census checks on it:
+    df = _REG[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     if name not in _BNLJ_OK and name != "cosine_topk":
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # driver-compat guard: the correctness harness canonicalizes results
+    # with a pandas sort over every column, which cannot order list/dict
+    # cells — an array-typed output column poisons the round's row (this
+    # is exactly how doc_embed went red in CORRECTNESS_r04). Oracle-paired
+    # queries must emit scalar columns only; flatten vectors to CSV
+    # strings or exploded (id, dim, value) rows instead.
+    if _REG[name].oracle is not None:
+        for f in df.schema.fields:
+            assert f.dataType.typeName() not in ("array", "map", "struct"), (
+                name,
+                f.name,
+                f.dataType.simpleString(),
+            )
 
 
 @pytest.mark.parametrize(

@@ -160,3 +160,22 @@ def test_maintain_with_empty_feed_is_identity(spark, tmp_path):
     feed = version_diff(spark, root, ["id"], v_from=1, v_to=2)
     maintained = maintain_aggregate(state, feed, ["name"], "amount")
     assert table_checksum(maintained) == table_checksum(state)
+
+
+def test_duplicate_key_snapshot_raises(spark, tmp_path):
+    # duplicate-keyed rows would fan out M×N in the full-outer join and
+    # make apply_changes unable to reproduce the target — the in-plan
+    # raise_error guard must surface the malformed snapshot loudly
+    root = str(tmp_path / "dup")
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "id long, name string"
+    )
+    write_version(good, root)
+    write_version(dup, root)
+    with pytest.raises(Exception, match="duplicate key in post snapshot"):
+        version_diff(spark, root, ["id"], v_from=1, v_to=2).collect()
+    with pytest.raises(Exception, match="duplicate key in pre snapshot"):
+        version_diff(spark, root, ["id"], v_from=2, v_to=1).collect()
