@@ -97,79 +97,84 @@ def full_registry() -> dict[str, QuerySpec]:
 # The driver oracle-checks the first 50 registry entries per round. Window
 # history: r01 = first 50 in module order; r02 = the 45 then-unchecked + 2
 # fresh sketches + 3 sentinels; r03 = the 19 never-checked late-r02 additions
-# + 28 r01 regression canaries + 3 r02 sentinels. All 150 rows across
-# r01∪r02∪r03 are green (zero hash mismatches in three rounds).
+# + 28 r01 regression canaries + 3 r02 sentinels; r04 = the 8 round-3
+# additions + 17 r01-stale + 25 oldest r02-only. r04 scored 49/50 green —
+# the one red was doc_embed, whose array<long> column broke the driver's
+# pandas canonicalizer (values were oracle-correct; output is now a CSV
+# string and the plan census forbids non-scalar oracle-paired output).
 #
-# Round 4 (this list): (a) the 8 queries ADDED during round 3 that have never
-# had a driver row (ivf_stored, ivf_pq_stored, semantic_dedup,
-# semantic_dedup_capped, ann_recall, classifier_train, doc_embed, doc_topk),
-# (b) the 17 queries whose only green row is r01 — two rounds stale, and
-# (c) the first 25 of the 47 r02-only queries, in r02 order (oldest verdict
-# first). 8 + 17 + 25 = exactly 50.
+# Round 5 (this list): (a) doc_embed re-check (the r04 red) + the 8 queries
+# ADDED during round 4 that have never had a driver row (lsh_recall,
+# bm25_topk, rrf_fusion, pagerank_docs, central_keeper, dataset_card,
+# ngram_novelty, bpe_merges), then (b) queries ADDED during round 5 — keep
+# this block current as they land, they get their first row THIS round, then
+# (c) the 22 r02-only queries not re-checked in r04, then (d) the r03-only
+# block (first-checked in r03), oldest verdict first, to fill 50.
 #
-# ROUND 5 TODO: rotate onto (a) the queries added during round 4 — so far:
-# lsh_recall bm25_topk rrf_fusion pagerank_docs central_keeper dataset_card
-# ngram_novelty bpe_merges — they MUST be in the r05 window (keep this list
-# current as queries land), then
-# (b) the 22 r02-only queries NOT re-checked here: windowed_rollup asof_join
-# sliding_rollup funnel cohort_retention json_props scd2_history top_paths
-# date_spine_fill unpivot_metrics session_native api_earnings api_needle
-# api_avg_profitability api_total_profit api_profit_avg api_dow
-# api_detailed_ranking approx_distinct quantile_sketch nested_flatten
-# exact_dedup, then (c) the r03-only block (the 19 first-checked in r03),
-# oldest verdict first, to fill 50.
+# ROUND 6 TODO: rotate onto (a) any round-6 additions as they land, (b)
+# whatever block-(d) tail round 5 displaced below rank 50 (check this list
+# against CORRECTNESS_r05.json), then (c) the 28 r01-canaries whose last
+# green row is r03 (earnings_by_day left_join_dim or_key_join
+# full_outer_platforms literal_dim_report weekly_agg multi_agg_attrs
+# avg_of_sums dow_distribution ratio_profitability rank_models
+# top5_distribution pagination earnings_series_pivot dedup_keep_latest
+# rollup_report topk_per_group revenue_by_region grouping_sets_report
+# trailing_7d profile_orders ntile_deciles percentile_report text_stats
+# shingle_pairs minhash_lsh gap_fill_interp ...), oldest first, to fill 50.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-3 additions, never driver-checked (8) — MUST be in this window
-    "ivf_stored",
-    "ivf_pq_stored",
-    "semantic_dedup",
-    "semantic_dedup_capped",
-    "ann_recall",
-    "classifier_train",
+    # (a) r04 red re-check + round-4 additions, never driver-checked (9)
     "doc_embed",
-    "doc_topk",
-    # r01-only stale queries (17) — last green row is two rounds old
-    "proj_filter_compute",
-    "or_filter_dim",
-    "point_lookup",
-    "global_sum",
-    "date_parts",
-    "json_payload",
-    "string_funcs",
-    "array_funcs",
-    "set_ops_halves",
-    "cube_report",
-    "semi_join_active",
-    "anti_join_inactive",
-    "running_total",
-    "hash_sample",
-    "train_split",
-    "mom_change",
-    "lang_id",
-    # r02-only block, oldest verdict first (25 of 47)
-    "simhash",
-    "cosine_topk",
-    "winnow_fingerprint",
-    "ann_lsh",
-    "ivf_assign",
-    "ivf_search",
-    "dedup_clusters",
-    "ann_multiprobe",
-    "bpe_tokens",
-    "embedding_neardup",
-    "multimodal_decode",
-    "frame_sample",
-    "length_band_join",
-    "quality_quantile_filter",
-    "vocab_stats",
-    "seq_pack",
-    "pii_redact",
-    "tfidf_topterms",
-    "kmeans_refine",
-    "classifier_filter",
-    "chunk_docs",
-    "stratified_sample",
-    "embedding_quantize",
-    "quality_report",
-    "session_stats",
+    "lsh_recall",
+    "bm25_topk",
+    "rrf_fusion",
+    "pagerank_docs",
+    "central_keeper",
+    "dataset_card",
+    "ngram_novelty",
+    "bpe_merges",
+    # (b) round-5 additions — first driver row this round (keep current)
+    # (c) r02-only block not re-checked in r04 (22)
+    "windowed_rollup",
+    "asof_join",
+    "sliding_rollup",
+    "funnel",
+    "cohort_retention",
+    "json_props",
+    "scd2_history",
+    "top_paths",
+    "date_spine_fill",
+    "unpivot_metrics",
+    "session_native",
+    "api_earnings",
+    "api_needle",
+    "api_avg_profitability",
+    "api_total_profit",
+    "api_profit_avg",
+    "api_dow",
+    "api_detailed_ranking",
+    "approx_distinct",
+    "quantile_sketch",
+    "nested_flatten",
+    "exact_dedup",
+    # (d) r03-only block, oldest verdict first (19) — round-5 additions
+    # displace this tail into the ROUND 6 TODO
+    "pq_encode",
+    "pq_search",
+    "pq_rerank",
+    "ivf_pq",
+    "heavy_hitters",
+    "theta_distinct",
+    "kll_quantile",
+    "skew_report",
+    "line_dedup",
+    "source_cap",
+    "partial_overlap",
+    "curation_funnel",
+    "athena_earnings_day",
+    "athena_dow_dist",
+    "athena_weekly",
+    "athena_needle_period",
+    "gap_fill_interp",
+    "weighted_sample",
+    "salted_join_agg",
 ]
