@@ -130,6 +130,14 @@ HEADLINE = [
     "ngram_novelty",
     # in-engine BPE training: 8 vocabulary-table merge rounds
     "bpe_merges",
+    # blocked-Levenshtein entity resolution (block equi-join + verify)
+    "fuzzy_match",
+    # 2-D Pareto frontier with no pair space (group-max + running max)
+    "pareto_front",
+    # grouped OLS trend fit from exact integer sums
+    "trend_slopes",
+    # int8 scalar-quantized cosine top-k (the SQ rung of the ladder)
+    "sq_search",
 ]
 
 

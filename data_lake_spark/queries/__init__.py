@@ -30,6 +30,7 @@ def full_registry() -> dict[str, QuerySpec]:
         corpus_q,
         curation,
         curation2,
+        entity_q,
         llm,
         llm2,
         llm3,
@@ -38,6 +39,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
         quality_q,
         relational,
         relational2,
@@ -73,7 +75,9 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm6.REGISTRY)
     reg.update(llm7.REGISTRY)
     reg.update(llm8.REGISTRY)
+    reg.update(llm9.REGISTRY)
     reg.update(quality_q.REGISTRY)
+    reg.update(entity_q.REGISTRY)
     reg.update(temporal.REGISTRY)
     reg.update(temporal2.REGISTRY)
     reg.update(temporal3.REGISTRY)
@@ -133,6 +137,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_novelty",
     "bpe_merges",
     # (b) round-5 additions — first driver row this round (keep current)
+    "fuzzy_match",
+    "pareto_front",
+    "trend_slopes",
+    "sq_search",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -173,6 +181,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",
+    # displaced below rank 50 by the 4 round-5 additions (ROUND 6 TODO
+    # block (b)): athena_needle_period gap_fill_interp weighted_sample
+    # salted_join_agg
     "athena_needle_period",
     "gap_fill_interp",
     "weighted_sample",

@@ -277,3 +277,85 @@ REGISTRY["bpe_merges"] = QuerySpec(
     "first 8 BPE merge rules learned in-engine, SQL-replayed oracle "
     "(REPLACE-as-fold encoding)",
 )
+
+
+# ---------------------------------------------------------------------------
+# pareto_front — 2-D skyline without a pair space
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents on the (length, vocabulary-richness) Pareto frontier:
+    no other document is >= on BOTH n_chars and distinct-token count
+    with at least one strict. The curation use: frontier docs are the
+    non-redundant "best of both" exemplars when two quality axes trade
+    off.
+
+    The textbook formulation is a dominance self-join — an O(N²) pair
+    space. This plans it as pure aggregation + window algebra instead:
+    group by x to get per-x max y (corpus-size shuffle ON A KEY, no
+    pairs), an EXCLUSIVE running max over the x-descending group frame
+    (rows between unbounded preceding and 1 preceding — at most
+    |distinct x| rows in the window, a dim-sized sort), then one
+    broadcast join back. A point survives iff it holds its x-group's
+    max y AND beats every max y at strictly larger x. Works at any
+    corpus size: the only per-row work is the group-by and the final
+    dim-join filter."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_vocab"),
+    )
+    g = docs.groupBy("n_chars").agg(F.max("n_vocab").alias("ymax"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = g.withColumn("best_above", F.max("ymax").over(w))
+    return (
+        docs.join(F.broadcast(m), "n_chars")
+        .filter(
+            (F.col("n_vocab") == F.col("ymax"))
+            & (
+                F.col("best_above").isNull()
+                | (F.col("n_vocab") > F.col("best_above"))
+            )
+        )
+        .select("doc_id", "n_chars", "n_vocab")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+
+
+ORACLE_PARETO_FRONT = """
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+           AS n_vocab
+  FROM documents
+),
+g AS (SELECT n_chars, MAX(n_vocab) AS ymax FROM pts GROUP BY 1),
+m AS (
+  SELECT n_chars, ymax,
+         MAX(ymax) OVER (ORDER BY n_chars DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS best_above
+  FROM g
+)
+SELECT p.doc_id, p.n_chars, p.n_vocab
+FROM pts p JOIN m USING (n_chars)
+WHERE p.n_vocab = m.ymax
+  AND (m.best_above IS NULL OR p.n_vocab > m.best_above)
+ORDER BY p.n_chars DESC, p.doc_id
+"""
+
+
+REGISTRY["pareto_front"] = QuerySpec(
+    q_pareto_front,
+    ORACLE_PARETO_FRONT,
+    "2-D Pareto frontier (length vs vocabulary) via group-max + "
+    "exclusive running max — skyline with no pair space",
+)

@@ -1,0 +1,156 @@
+"""Scalar-quantized (int8) similarity search — the missing middle rung
+of the compression ladder: exact float cosine (cosine_topk) → int8 SQ
+(this) → PQ/IVF-PQ (operators/pq.py). SQ is what production vector
+stores ship first: 4× less scan bandwidth than float32 with near-exact
+recall, no codebook to train, and the scoring loop is pure integer
+multiply-adds.
+
+Quantization reuses llm5.q_embedding_quantize's audited recipe — per
+vector symmetric scale s = max|x|, qᵢ = floor(xᵢ/s·127 + 0.5) — so the
+codes here are exactly the codes that query audits. Scoring is the
+quantized cosine: integer dot / (√int-self-dot · √int-self-dot). All
+sums are int64 (64 dims × 127² terms ≈ 10⁶ ≪ 2⁶³), so scores are
+bit-identical across engines and partitionings; the only floating ops
+are one sqrt and one divide, both IEEE-deterministic.
+
+Plan shape at 100 TB: identical to cosine_topk — broadcast the (tiny)
+quantized query set, stream the quantized corpus, per-partition top-k
+then merge. The win SQ buys is that the streamed side is int8: 4× less
+I/O and cache traffic on the scan that dominates the exact rung.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_K = 10
+_N_QUERIES = 5
+
+
+def sq_codes_expr(vec_col: str = "embedding") -> Column:
+    """array<long> int8 codes of a float-vector column: symmetric
+    per-vector max-|x| scale, round-half-up via the floor(+0.5) recipe
+    (deterministic in both engines, unlike ROUND's half-even vs
+    half-up ambiguity). Zero vectors quantize to zero codes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    return F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x / scale * 127 + 0.5).cast("long")
+        ),
+    )
+
+
+def _idot(a: str, b: str) -> Column:
+    """Exact int64 dot product of two code arrays."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def q_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of the first 5 vectors under int8-quantized
+    cosine. Broadcast-queries / stream-corpus, per-query row_number
+    top-k — the cosine_topk shape on 4×-compressed codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select("vec_id", sq_codes_expr("embedding").alias("qv"))
+    q = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv")
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
+    ).withColumn("cc", _idot("cv", "cv"))
+    pairs = (
+        F.broadcast(q.withColumn("qq", _idot("qv", "qv")))
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.when((F.col("qq") == 0) | (F.col("cc") == 0), F.lit(0.0))
+        .otherwise(
+            _idot("qv", "cv").cast("double")
+            / (
+                F.sqrt(F.col("qq").cast("double"))
+                * F.sqrt(F.col("cc").cast("double"))
+            )
+        )
+        .alias("sq_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K)
+        .orderBy("query_id", "rk")
+    )
+
+
+_SQL_SQ_CODES = """
+sc AS (
+  SELECT vec_id, MAX(ABS(x)) AS scale FROM (
+    SELECT vec_id,
+           UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS x
+    FROM embeddings
+  ) GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id,
+         LIST_TRANSFORM(e.embedding,
+           x -> CASE WHEN sc.scale = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(FLOOR(CAST(x AS DOUBLE) / sc.scale * 127
+                                     + 0.5) AS BIGINT) END) AS qv
+  FROM embeddings e JOIN sc USING (vec_id)
+)"""
+
+
+ORACLE_SQ_SEARCH = f"""
+WITH {_SQL_SQ_CODES},
+q AS (SELECT vec_id AS query_id, qv FROM codes WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, qv AS cv FROM codes),
+pe AS (
+  SELECT query_id, cand_id, UNNEST(qv) AS qe, UNNEST(cv) AS ce
+  FROM q CROSS JOIN c WHERE query_id != cand_id
+),
+ps AS (
+  SELECT query_id, cand_id,
+         CAST(SUM(qe * ce) AS BIGINT) AS dot,
+         CAST(SUM(qe * qe) AS BIGINT) AS qq,
+         CAST(SUM(ce * ce) AS BIGINT) AS cc
+  FROM pe GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, cand_id,
+         CASE WHEN qq = 0 OR cc = 0 THEN 0.0
+              ELSE CAST(dot AS DOUBLE)
+                   / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE)))
+         END AS sq_cosine
+  FROM ps
+)
+SELECT query_id, cand_id, sq_cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sq_cosine DESC, cand_id)
+            AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= {_K}
+ORDER BY query_id, rk
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "sq_search": QuerySpec(
+        q_sq_search,
+        ORACLE_SQ_SEARCH,
+        "int8 scalar-quantized cosine top-k (broadcast queries, stream "
+        "4x-compressed codes)",
+    ),
+}

@@ -124,3 +124,106 @@ REGISTRY: dict[str, QuerySpec] = {
         "date-spine gap fill with linear interpolation between observed days",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# trend_slopes — grouped OLS regression, closed-form over exact sums
+# ---------------------------------------------------------------------------
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment revenue trend: the least-squares slope (and
+    intercept) of monthly revenue against a month index, fitted
+    IN-ENGINE from the closed-form normal equations — no driver-side
+    math, no iterative solver.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the per-segment
+    monthly points. Everything up to the final division is INTEGER:
+    x = months since 1992-01 (≤ ~84), y = monthly revenue in whole
+    cents (the functions/exact.py floor recipe), so the sums are exact
+    and order-independent — the fit is bit-identical across engines
+    and cluster sizes. int64 headroom: at SF 1, Σy ≈ 4.5e12 cents per
+    segment, n·Σxy ≤ 84·84·4.5e12 ≈ 3.2e16 ≪ 2⁶³; the closed form
+    stays overflow-free under ANSI mode past SF 100.
+
+    Plan: broadcast the customer dim into the fact scan, ONE shuffle
+    for the (segment, month) rollup, then a segment-count aggregation —
+    map-side-combinable all the way; only 5 fitted rows leave."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("c_mktsegment", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    fit = monthly.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n_months").cast("double")
+    return fit.select(
+        "c_mktsegment",
+        "n_months",
+        slope.alias("slope_cents_mo"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_TREND_SLOPES = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST((YEAR(o_orderdate) - 1992) * 12
+              + MONTH(o_orderdate) - 1 AS BIGINT) AS x,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+monthly AS (
+  SELECT c.c_mktsegment, o.x, CAST(SUM(o.cents) AS BIGINT) AS y
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT c_mktsegment, n_months,
+       CAST(n_months * sxy - sx * sy AS DOUBLE)
+         / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents_mo,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+           / CAST(n_months * sxx - sx * sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+         / CAST(n_months AS DOUBLE) AS intercept_cents
+FROM fit ORDER BY c_mktsegment
+"""
+
+
+REGISTRY["trend_slopes"] = QuerySpec(
+    q_trend_slopes,
+    ORACLE_TREND_SLOPES,
+    "per-segment monthly-revenue OLS slope/intercept from closed-form "
+    "normal equations over exact integer sums",
+)

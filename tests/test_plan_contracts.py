@@ -65,6 +65,9 @@ _BNLJ_OK = {
     # one-row corpus-stats frame (N, total tokens, per-term df) attached
     # via broadcast crossJoin — the scalar-subquery shape again
     "bm25_topk",
+    # int8-SQ top-k: broadcast-queries / stream-corpus, the cosine_topk
+    # labeled crossJoin shape over quantized codes
+    "sq_search",
     # same one-row stats frame on the lexical side + the cosine side's
     # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
     "rrf_fusion",
@@ -163,6 +166,17 @@ _SHUFFLE_BUDGET = {
     "dataset_card": 5,
     # inverted-index novelty: shingle agg, join back, per-doc agg
     "ngram_novelty": 3,
+    # block-key equi-join + levenshtein verify; the block frame
+    # broadcasts at test SF (a lost broadcast shows up here)
+    "fuzzy_match": 0,
+    # skyline: one group-by-x shuffle; the frontier window runs over the
+    # dim-sized group frame and joins back by broadcast
+    "pareto_front": 1,
+    # (segment, month) rollup + segment fit — two map-side-combinable
+    # aggregations; the customer dim broadcasts into the fact scan
+    "trend_slopes": 2,
+    # quantized-cosine top-k: broadcast crossJoin + one per-query window
+    "sq_search": 1,
 }
 
 
