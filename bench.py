@@ -132,6 +132,10 @@ HEADLINE = [
     "bpe_merges",
     # blocked-Levenshtein entity resolution (block equi-join + verify)
     "fuzzy_match",
+    # ER blocking cost/recall ladder (candidates paid vs matches caught)
+    "er_recall",
+    # per-group winsorization at exact percentiles, pre/post totals
+    "winsorize",
     # 2-D Pareto frontier with no pair space (group-max + running max)
     "pareto_front",
     # grouped OLS trend fit from exact integer sums

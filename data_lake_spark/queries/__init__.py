@@ -138,9 +138,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_merges",
     # (b) round-5 additions — first driver row this round (keep current)
     "fuzzy_match",
+    "er_recall",
     "pareto_front",
     "trend_slopes",
     "sq_search",
+    "winsorize",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -179,11 +181,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "partial_overlap",
     "curation_funnel",
     "athena_earnings_day",
+    # displaced below rank 50 by the 6 round-5 additions (ROUND 6 TODO
+    # block (b)): athena_dow_dist athena_weekly athena_needle_period
+    # gap_fill_interp weighted_sample salted_join_agg
     "athena_dow_dist",
     "athena_weekly",
-    # displaced below rank 50 by the 4 round-5 additions (ROUND 6 TODO
-    # block (b)): athena_needle_period gap_fill_interp weighted_sample
-    # salted_join_agg
     "athena_needle_period",
     "gap_fill_interp",
     "weighted_sample",

@@ -109,3 +109,127 @@ REGISTRY: dict[str, QuerySpec] = {
         "resolved against the clean registry (block join + verify)",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# er_recall — the blocking cost/recall trade-off, measured in-engine
+# ---------------------------------------------------------------------------
+
+_WIDTHS = (2, 4, 8)
+
+
+def q_er_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER analog of ann_recall / lsh_recall: per blocking-prefix
+    width, how many candidate pairs the block join PAYS vs how many
+    true matches it still CATCHES. The dirty side here deletes a
+    character anywhere in the title (pos = doc_id % 40 + 1), so a
+    deletion inside the first w characters breaks the width-w block
+    key and the true match is unreachable — wider prefixes cost fewer
+    candidates but miss more typos. recall = refs whose own clean row
+    survives blocking at edit distance ≤ 2, over all refs; candidates
+    come from the per-key count product (Σ |dirty_k|·|clean_k|) with
+    no pair materialization."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _TITLE_LEN).alias("title")
+    )
+    clean = docs.select(F.col("doc_id").alias("clean_id"), "title")
+    dirty = docs.select(
+        F.col("doc_id").alias("ref_id"),
+        delete_char(
+            F.col("title"), (F.col("doc_id") % 40 + 1).cast("int")
+        ).alias("title"),
+    )
+    n_refs = dirty.agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+    rungs = []
+    for w in _WIDTHS:
+        dk = dirty.withColumn("blk", F.substring("title", 1, w))
+        ck = clean.withColumn("blk", F.substring("title", 1, w))
+        cand = (
+            dk.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .join(
+                ck.groupBy("blk").agg(F.count(F.lit(1)).alias("nc")),
+                "blk",
+            )
+            .agg(
+                F.sum(F.col("nd") * F.col("nc"))
+                .cast("long")
+                .alias("n_candidates")
+            )
+        )
+        matched = (
+            dk.select("ref_id", F.col("title").alias("dt"), "blk")
+            .join(
+                ck.select(F.col("clean_id"), F.col("title").alias("ct"), "blk"),
+                "blk",
+            )
+            .filter(
+                (F.col("ref_id") == F.col("clean_id"))
+                & (F.levenshtein("dt", "ct") <= _MAX_DIST)
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        )
+        rungs.append(
+            F.broadcast(n_refs)
+            .crossJoin(F.broadcast(cand))
+            .crossJoin(matched)
+            .select(
+                F.lit(w).cast("long").alias("block_width"),
+                "n_refs",
+                "n_candidates",
+                "n_matched",
+                (
+                    F.col("n_matched").cast("double")
+                    / F.col("n_refs").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = rungs[0]
+    for r in rungs[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("block_width")
+
+
+def _er_rung_sql(w: int) -> str:
+    return f"""
+SELECT CAST({w} AS BIGINT) AS block_width,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dirty) AS n_refs,
+       (SELECT CAST(SUM(nd * nc) AS BIGINT) FROM (
+          SELECT d.blk, COUNT(*) AS nd FROM (
+            SELECT SUBSTR(title, 1, {w}) AS blk FROM dirty) d GROUP BY 1
+        ) dd JOIN (
+          SELECT c.blk, COUNT(*) AS nc FROM (
+            SELECT SUBSTR(title, 1, {w}) AS blk FROM clean) c GROUP BY 1
+        ) cc USING (blk)) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM dirty d JOIN clean c
+          ON SUBSTR(d.title, 1, {w}) = SUBSTR(c.title, 1, {w})
+         AND d.ref_id = c.clean_id
+        WHERE LEVENSHTEIN(d.title, c.title) <= {_MAX_DIST}) AS n_matched
+"""
+
+
+ORACLE_ER_RECALL = f"""
+WITH t AS (
+  SELECT doc_id, SUBSTR(text, 1, {_TITLE_LEN}) AS title FROM documents
+),
+clean AS (SELECT doc_id AS clean_id, title FROM t),
+dirty AS (
+  SELECT doc_id AS ref_id,
+         SUBSTR(title, 1, doc_id % 40)
+           || SUBSTR(title, doc_id % 40 + 2, LEN(title)) AS title
+  FROM t
+)
+SELECT block_width, n_refs, n_candidates, n_matched,
+       CAST(n_matched AS DOUBLE) / CAST(n_refs AS DOUBLE) AS recall
+FROM ({" UNION ALL ".join(_er_rung_sql(w) for w in _WIDTHS)})
+ORDER BY block_width
+"""
+
+
+REGISTRY["er_recall"] = QuerySpec(
+    q_er_recall,
+    ORACLE_ER_RECALL,
+    "blocking-width cost/recall ladder: candidate pairs paid vs true "
+    "matches caught at prefix widths 2/4/8",
+)

@@ -314,3 +314,78 @@ REGISTRY: dict[str, QuerySpec] = {
         "exact median/p90 percentiles per order priority",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# winsorize — robust-stats outlier clamping at exact per-group percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization audit: order prices clamped to the
+    group's exact [p05, p95], with pre/post exact totals and the clamp
+    counts — the robust preprocessing step that keeps a fat-tailed
+    metric from letting a few outliers own the mean.
+
+    Plan: ONE grouped percentile aggregation over the fact (the
+    percentile_report shape — map-side partials, 5 groups out), the
+    5-row bounds frame broadcast back into a second scan, then a final
+    map-side-combinable aggregate of the clamped values. Bounds are
+    bit-identical to DuckDB QUANTILE_CONT (the established
+    F.percentile parity); totals use the exact floor-micros sums, so
+    the whole audit is engine- and partitioning-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        orders.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_hi"),
+            sum_exact("o_totalprice").alias("total_raw"),
+            sum_exact(clamped).alias("total_winsorized"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_WINSORIZE = f"""
+WITH bounds AS (
+  SELECT o_orderpriority,
+         QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+         QUANTILE_CONT(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       MIN(b.lo) AS p05,
+       MIN(b.hi) AS p95,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_hi,
+       {oracle_sum_exact("o.o_totalprice")} AS total_raw,
+       {oracle_sum_exact("LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)")}
+         AS total_winsorized
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY["winsorize"] = QuerySpec(
+    q_winsorize,
+    ORACLE_WINSORIZE,
+    "per-group winsorization at exact p05/p95 with clamp counts and "
+    "exact pre/post totals",
+)

@@ -68,6 +68,10 @@ _BNLJ_OK = {
     # int8-SQ top-k: broadcast-queries / stream-corpus, the cosine_topk
     # labeled crossJoin shape over quantized codes
     "sq_search",
+    # three one-row scalar frames per rung (refs / candidate-count /
+    # matched-count) assembled via broadcast crossJoin — the lsh_recall
+    # measurement-harness shape
+    "er_recall",
     # same one-row stats frame on the lexical side + the cosine side's
     # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
     "rrf_fusion",
@@ -177,6 +181,12 @@ _SHUFFLE_BUDGET = {
     "trend_slopes": 2,
     # quantized-cosine top-k: broadcast crossJoin + one per-query window
     "sq_search": 1,
+    # one grouped-percentile agg (5-row bounds frame broadcast back)
+    # + the final clamped aggregate
+    "winsorize": 2,
+    # per rung: two block-key count aggs (the candidate-cost product);
+    # the matched-count join broadcasts and the scalars assemble BNLJ
+    "er_recall": 6,
 }
 
 

@@ -56,8 +56,17 @@ QUERIES = [
     "dataset_card",  # two-level agg + exact distinct: scan-dominated
     "ngram_novelty",  # inverted-index first-occurrence join
     "bpe_merges",  # 1 corpus pass, then vocabulary-table-only rounds
+    # pairwise-within-block like semantic_dedup: the multiplied corpus
+    # keeps its title-prefix block KEYS fixed, so block membership grows
+    # K and verify pairs K² BY CONSTRUCTION — real corpora widen the
+    # blocking key instead (prefix + length + lang); read its row like
+    # the semantic_dedup negative control, not like a production path
+    "fuzzy_match",
+    "pareto_front",  # group-max + dim-sized window: must stay ≈ flat
+    "sq_search",  # int8 codes scan, fixed query set: linear, small slope
     # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
-    # cost doesn't grow with corpus multiplication, so no row here)
+    # cost doesn't grow with corpus multiplication, so no row here;
+    # trend_slopes reads orders, which the multiplier doesn't touch)
 ]
 
 
