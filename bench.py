@@ -142,6 +142,8 @@ HEADLINE = [
     "trend_slopes",
     # int8 scalar-quantized cosine top-k (the SQ rung of the ladder)
     "sq_search",
+    # chunked interval-overlap join (sessions x incident windows)
+    "interval_overlap",
 ]
 
 

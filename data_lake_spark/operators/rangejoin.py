@@ -44,3 +44,59 @@ def band_join(
     joined = lb.join(rb, "__bucket").drop("__bucket")
     diff = F.abs(F.col(left_val) - F.col(right_val))
     return joined.filter(diff < F.lit(eps) if how_strict else diff <= F.lit(eps))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    chunk: int,
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED integer intervals overlap:
+    ``left_start <= right_end AND right_start <= left_end``. Column
+    sets must be disjoint; bounds must be integral (epoch seconds /
+    nanos — double bounds lose exactness past 2^53).
+
+    The chunked interval join Spark lacks natively: each interval is
+    exploded onto the fixed-width time chunks it touches (bounded
+    fan-out of len/chunk + 1 rows), the pair space becomes a plain
+    hash equi-join on the chunk id, and each overlapping pair is
+    emitted EXACTLY ONCE with zero dedup shuffle — only the chunk
+    containing max(start_l, start_r) keeps the pair (that instant
+    lies inside both intervals, so both sides exploded its chunk).
+    Scale knobs: chunk width trades fan-out against per-chunk join
+    fan-in; hot chunks (a global incident window everyone overlaps)
+    salt exactly like any skewed equi-join key."""
+    lc = left.withColumn(
+        "__chk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{left_start} div {chunk}"),
+                F.expr(f"{left_end} div {chunk}"),
+            )
+        ),
+    )
+    rc = right.withColumn(
+        "__chk",
+        F.explode(
+            F.sequence(
+                F.expr(f"{right_start} div {chunk}"),
+                F.expr(f"{right_end} div {chunk}"),
+            )
+        ),
+    )
+    return (
+        lc.join(rc, "__chk")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .filter(
+            F.col("__chk")
+            == F.expr(f"greatest({left_start}, {right_start}) div {chunk}")
+        )
+        .drop("__chk")
+    )

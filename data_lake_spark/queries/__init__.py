@@ -143,6 +143,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "trend_slopes",
     "sq_search",
     "winsorize",
+    "interval_overlap",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -180,10 +181,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
+    # displaced below rank 50 by the 7 round-5 additions (ROUND 6 TODO
+    # block (b)): athena_earnings_day athena_dow_dist athena_weekly
+    # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
     "athena_earnings_day",
-    # displaced below rank 50 by the 6 round-5 additions (ROUND 6 TODO
-    # block (b)): athena_dow_dist athena_weekly athena_needle_period
-    # gap_fill_interp weighted_sample salted_join_agg
     "athena_dow_dist",
     "athena_weekly",
     "athena_needle_period",

@@ -227,3 +227,105 @@ REGISTRY["trend_slopes"] = QuerySpec(
     "per-segment monthly-revenue OLS slope/intercept from closed-form "
     "normal equations over exact integer sums",
 )
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap — chunked interval join: sessions × incident windows
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+_INC_LEN_S = 1800
+_CHUNK_S = 3600
+_INC_SAMPLE = 20  # every 20th error event opens an incident window
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap which incident windows — the classic
+    interval-overlap join, planned with operators/rangejoin.interval_join
+    (explode onto 1-hour chunks → hash equi-join → exact-once canonical
+    chunk; Spark has no native interval join and the naive form is a
+    pair-space nested loop). Sessions are the 30-min-gap sessionization
+    (the session_stats shape); incidents are 30-min windows opened by a
+    deterministic sample of error events. Overlap seconds are exact
+    integer arithmetic end to end."""
+    from data_lake_spark.operators.rangejoin import interval_join
+    from data_lake_spark.streaming.incremental import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts"),
+    )
+    sessions = (
+        sessionize(ev, gap_minutes=_GAP_MIN)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    incidents = ev.filter(
+        (F.col("event_type") == "error")
+        & (F.col("event_id") % _INC_SAMPLE == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + _INC_LEN_S).alias("i_end"),
+    )
+    return (
+        interval_join(
+            sessions, incidents, "s_start", "s_end", "i_start", "i_end",
+            chunk=_CHUNK_S,
+        )
+        .select(
+            "incident_id",
+            "user_id",
+            "session_seq",
+            (
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).alias("overlap_s"),
+        )
+        .orderBy("incident_id", "user_id", "session_seq")
+    )
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000000 AS ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > {_GAP_MIN * 60} THEN 1 ELSE 0 END
+           AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY 1, 2
+),
+incidents AS (
+  SELECT event_id AS incident_id, ts AS i_start, ts + {_INC_LEN_S} AS i_end
+  FROM e
+  WHERE event_type = 'error' AND event_id % {_INC_SAMPLE} = 0
+)
+SELECT i.incident_id, s.user_id, s.session_seq,
+       LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start) AS overlap_s
+FROM sessions s JOIN incidents i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+ORDER BY i.incident_id, s.user_id, s.session_seq
+"""
+
+
+REGISTRY["interval_overlap"] = QuerySpec(
+    q_interval_overlap,
+    ORACLE_INTERVAL_OVERLAP,
+    "chunked interval-overlap join: 30-min-gap sessions x incident "
+    "windows, exact-once via the canonical-chunk trick",
+)

@@ -187,6 +187,9 @@ _SHUFFLE_BUDGET = {
     # per rung: two block-key count aggs (the candidate-cost product);
     # the matched-count join broadcasts and the scalars assemble BNLJ
     "er_recall": 6,
+    # sessionize window + session agg reuse ONE user_id exchange; the
+    # chunk equi-join's small incident side broadcasts at test SF
+    "interval_overlap": 1,
 }
 
 
