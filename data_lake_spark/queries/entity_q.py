@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.operators.entity import blocked_fuzzy_join, delete_char
+from data_lake_spark.operators.partitioning import shuffle_parallelism
 from data_lake_spark.queries import QuerySpec
 
 _TITLE_LEN = 40
@@ -50,12 +51,21 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("title"),
         F.substring("title", 1, _BLOCK_LEN).alias("blk"),
     )
-    dirty = docs.select(
-        F.col("doc_id").alias("ref_id"),
-        delete_char(
-            F.col("title"), (F.col("doc_id") % 24 + 9).cast("int")
-        ).alias("title"),
-    ).withColumn("blk", F.substring("title", 1, _BLOCK_LEN))
+    dirty = (
+        docs.select(
+            F.col("doc_id").alias("ref_id"),
+            delete_char(
+                F.col("title"), (F.col("doc_id") % 24 + 9).cast("int")
+            ).alias("title"),
+        )
+        # the clean side broadcasts, so verify parallelism = probe-side
+        # partitions — and this corpus ships as ONE parquet row group
+        # (see session.py), pinning the levenshtein stage to a single
+        # task without this narrow round-robin spread (the doc_embed
+        # pattern; sized from the session, never a literal)
+        .repartition(shuffle_parallelism(spark))
+        .withColumn("blk", F.substring("title", 1, _BLOCK_LEN))
+    )
     pairs = blocked_fuzzy_join(
         dirty.select("ref_id", "title", "blk"),
         clean.select(
@@ -139,55 +149,61 @@ def q_er_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("title"), (F.col("doc_id") % 40 + 1).cast("int")
         ).alias("title"),
     )
+    # same single-row-group spread as q_fuzzy_match: the verify join
+    # broadcasts the clean side, so probe partitions set the
+    # levenshtein parallelism
+    dirty = dirty.repartition(shuffle_parallelism(spark))
     n_refs = dirty.agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
-    rungs = []
-    for w in _WIDTHS:
-        dk = dirty.withColumn("blk", F.substring("title", 1, w))
-        ck = clean.withColumn("blk", F.substring("title", 1, w))
-        cand = (
-            dk.groupBy("blk")
-            .agg(F.count(F.lit(1)).alias("nd"))
-            .join(
-                ck.groupBy("blk").agg(F.count(F.lit(1)).alias("nc")),
-                "blk",
-            )
-            .agg(
-                F.sum(F.col("nd") * F.col("nc"))
-                .cast("long")
-                .alias("n_candidates")
-            )
+
+    # ONE pass for all rungs: explode each row onto its (width, prefix)
+    # block keys, join on the composite key, aggregate per width —
+    # 3 serial join+agg rungs collapse into one join and two aggs
+    widths = F.array(*[F.lit(w) for w in _WIDTHS])
+
+    def keyed(df):
+        return df.select(
+            "*",
+            F.explode(widths).alias("w"),
+        ).withColumn("blk", F.substring("title", 1, F.col("w")))
+
+    dk, ck = keyed(dirty), keyed(clean)
+    cand = (
+        dk.groupBy("w", "blk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .join(ck.groupBy("w", "blk").agg(F.count(F.lit(1)).alias("nc")), ["w", "blk"])
+        .groupBy("w")
+        .agg(F.sum(F.col("nd") * F.col("nc")).cast("long").alias("n_candidates"))
+    )
+    matched = (
+        dk.select("ref_id", F.col("title").alias("dt"), "w", "blk")
+        .join(
+            F.broadcast(
+                ck.select(F.col("clean_id"), F.col("title").alias("ct"), "w", "blk")
+            ),
+            ["w", "blk"],
         )
-        matched = (
-            dk.select("ref_id", F.col("title").alias("dt"), "blk")
-            .join(
-                ck.select(F.col("clean_id"), F.col("title").alias("ct"), "blk"),
-                "blk",
-            )
-            .filter(
-                (F.col("ref_id") == F.col("clean_id"))
-                & (F.levenshtein("dt", "ct") <= _MAX_DIST)
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(
+            (F.col("ref_id") == F.col("clean_id"))
+            & (F.levenshtein("dt", "ct") <= _MAX_DIST)
         )
-        rungs.append(
-            F.broadcast(n_refs)
-            .crossJoin(F.broadcast(cand))
-            .crossJoin(matched)
-            .select(
-                F.lit(w).cast("long").alias("block_width"),
-                "n_refs",
-                "n_candidates",
-                "n_matched",
-                (
-                    F.col("n_matched").cast("double")
-                    / F.col("n_refs").cast("double")
-                ).alias("recall"),
-            )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        cand.join(matched, "w")
+        .crossJoin(F.broadcast(n_refs))
+        .select(
+            F.col("w").cast("long").alias("block_width"),
+            "n_refs",
+            "n_candidates",
+            "n_matched",
+            (
+                F.col("n_matched").cast("double")
+                / F.col("n_refs").cast("double")
+            ).alias("recall"),
         )
-    out = rungs[0]
-    for r in rungs[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("block_width")
+        .orderBy("block_width")
+    )
 
 
 def _er_rung_sql(w: int) -> str:

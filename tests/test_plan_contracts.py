@@ -68,9 +68,8 @@ _BNLJ_OK = {
     # int8-SQ top-k: broadcast-queries / stream-corpus, the cosine_topk
     # labeled crossJoin shape over quantized codes
     "sq_search",
-    # three one-row scalar frames per rung (refs / candidate-count /
-    # matched-count) assembled via broadcast crossJoin — the lsh_recall
-    # measurement-harness shape
+    # the one-row n_refs scalar frame attaches via broadcast crossJoin —
+    # the lsh_recall measurement-harness shape
     "er_recall",
     # same one-row stats frame on the lexical side + the cosine side's
     # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
@@ -184,9 +183,10 @@ _SHUFFLE_BUDGET = {
     # one grouped-percentile agg (5-row bounds frame broadcast back)
     # + the final clamped aggregate
     "winsorize": 2,
-    # per rung: two block-key count aggs (the candidate-cost product);
-    # the matched-count join broadcasts and the scalars assemble BNLJ
-    "er_recall": 6,
+    # all widths in one exploded pass: two (width, prefix) count aggs +
+    # their key join, one per-width matched agg after the broadcast
+    # verify join, and the final width join
+    "er_recall": 4,
     # sessionize window + session agg reuse ONE user_id exchange; the
     # chunk equi-join's small incident side broadcasts at test SF
     "interval_overlap": 1,
