@@ -144,6 +144,8 @@ HEADLINE = [
     "sq_search",
     # chunked interval-overlap join (sessions x incident windows)
     "interval_overlap",
+    # per-language OLS via grouped-map applyInPandas (Arrow fit path)
+    "lang_fit",
 ]
 
 

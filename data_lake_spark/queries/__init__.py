@@ -144,6 +144,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sq_search",
     "winsorize",
     "interval_overlap",
+    "lang_fit",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -181,9 +182,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 7 round-5 additions (ROUND 6 TODO
-    # block (b)): athena_earnings_day athena_dow_dist athena_weekly
-    # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
+    # displaced below rank 50 by the 8 round-5 additions (ROUND 6 TODO
+    # block (b)): curation_funnel athena_earnings_day athena_dow_dist
+    # athena_weekly athena_needle_period gap_fill_interp weighted_sample
+    # salted_join_agg
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",

@@ -153,3 +153,103 @@ REGISTRY: dict[str, QuerySpec] = {
         "iterations, one aggregation pass each, bit-exact vs the oracle",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# lang_fit — per-group model fit through the grouped-map Arrow path
+# ---------------------------------------------------------------------------
+
+
+def q_lang_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit (token count against document length)
+    executed as a grouped-map ``applyInPandas`` — the batch Arrow path
+    for custom per-group model fits, under the same cross-engine
+    oracle contract as everything else.
+
+    Why this exists: classifier_train / trend_slopes prove that
+    SUM-DECOMPOSABLE fits belong in aggregations (map-side combine,
+    nothing materializes a group). But fits that genuinely need the
+    group's rows in memory — isotonic PAVA, quantile regression, any
+    sklearn call — run through grouped-map applyInPandas, and THIS
+    query pins that path's contract with a fit whose answer is also
+    SQL-replayable: Arrow batch → pandas → exact integer sums (Python
+    ints, no int64 wraparound) → the same two IEEE divisions as the
+    oracle. Determinism note in the pattern: anything order-dependent
+    inside the pandas fn must sort or reduce exactly (here: integer
+    sums are order-free by construction).
+
+    Scale shape: one shuffle on the group key; each task holds ONE
+    group's rows (the documented applyInPandas memory bound — groups
+    must fit an executor; skewed groups get salted two-phase treatment
+    or the aggregation path)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Python-int sums: exact at any group size (numpy int64 would
+        # wrap silently past 2^63 — the audit trend_slopes does
+        # analytically, done structurally here)
+        n = int(len(pdf))
+        sx = int(pdf.x.sum())
+        sy = int(pdf.y.sum())
+        sxy = int((pdf.x * pdf.y).sum())
+        sxx = int((pdf.x * pdf.x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame(
+            {
+                "lang": [pdf.lang.iloc[0]],
+                "n_docs": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(
+            fit, schema="lang string, n_docs long, slope double, intercept double"
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_FIT = """
+WITH pts AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, n AS n_docs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s ORDER BY lang
+"""
+
+
+REGISTRY["lang_fit"] = QuerySpec(
+    q_lang_fit,
+    ORACLE_LANG_FIT,
+    "per-language OLS fit via grouped-map applyInPandas (the Arrow "
+    "custom-fit path, SQL-replayed oracle)",
+)

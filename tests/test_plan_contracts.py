@@ -190,6 +190,8 @@ _SHUFFLE_BUDGET = {
     # sessionize window + session agg reuse ONE user_id exchange; the
     # chunk equi-join's small incident side broadcasts at test SF
     "interval_overlap": 1,
+    # grouped-map applyInPandas: exactly the one group-key exchange
+    "lang_fit": 1,
 }
 
 
