@@ -130,8 +130,10 @@ HEADLINE = [
     "ngram_novelty",
     # in-engine BPE training: 8 vocabulary-table merge rounds
     "bpe_merges",
-    # blocked-Levenshtein entity resolution (block equi-join + verify)
+    # blocked-Levenshtein entity resolution (block equi-join + verify);
+    # the capped twin bounds verify cost linearly (the production form)
     "fuzzy_match",
+    "fuzzy_match_capped",
     # ER blocking cost/recall ladder (candidates paid vs matches caught)
     "er_recall",
     # per-group winsorization at exact percentiles, pre/post totals

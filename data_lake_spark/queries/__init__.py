@@ -138,6 +138,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_merges",
     # (b) round-5 additions — first driver row this round (keep current)
     "fuzzy_match",
+    "fuzzy_match_capped",
     "er_recall",
     "pareto_front",
     "trend_slopes",
@@ -182,10 +183,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 8 round-5 additions (ROUND 6 TODO
-    # block (b)): curation_funnel athena_earnings_day athena_dow_dist
-    # athena_weekly athena_needle_period gap_fill_interp weighted_sample
-    # salted_join_agg
+    # displaced below rank 50 by the 9 round-5 additions (ROUND 6 TODO
+    # block (b)): partial_overlap curation_funnel athena_earnings_day
+    # athena_dow_dist athena_weekly athena_needle_period gap_fill_interp
+    # weighted_sample salted_join_agg
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",

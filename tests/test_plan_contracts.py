@@ -172,6 +172,8 @@ _SHUFFLE_BUDGET = {
     # block-key equi-join + levenshtein verify; the block frame
     # broadcasts at test SF (a lost broadcast shows up here)
     "fuzzy_match": 0,
+    # + the candidate-cap row_number window's block-key exchange
+    "fuzzy_match_capped": 1,
     # skyline: one group-by-x shuffle; the frontier window runs over the
     # dim-sized group frame and joins back by broadcast
     "pareto_front": 1,

@@ -58,10 +58,10 @@ QUERIES = [
     "bpe_merges",  # 1 corpus pass, then vocabulary-table-only rounds
     # pairwise-within-block like semantic_dedup: the multiplied corpus
     # keeps its title-prefix block KEYS fixed, so block membership grows
-    # K and verify pairs K² BY CONSTRUCTION — real corpora widen the
-    # blocking key instead (prefix + length + lang); read its row like
-    # the semantic_dedup negative control, not like a production path
+    # K and verify pairs K² BY CONSTRUCTION — the measured negative
+    # control next to its capped production twin
     "fuzzy_match",
+    "fuzzy_match_capped",  # per-block candidate cap: linear verify cost
     "pareto_front",  # group-max + dim-sized window: must stay ≈ flat
     "sq_search",  # int8 codes scan, fixed query set: linear, small slope
     # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
@@ -213,6 +213,15 @@ def main() -> None:
                 "scales cluster count with corpus size. semantic_dedup_capped\n"
                 "(sub-split cells, ≤~64 members) is the production form and\n"
                 "must stay ≈ flat.\n\n"
+                "fuzzy_match shares the uncapped-pairwise regime: the\n"
+                "multiplied corpus keeps its title-prefix block KEYS fixed\n"
+                "(copies differ only by a suffix token), so block membership\n"
+                "grows K and within-block verify pairs K² BY CONSTRUCTION —\n"
+                "the second negative control. fuzzy_match_capped is the\n"
+                "production twin: a per-block candidate cap (first 64 clean\n"
+                "rows) bounds verify cost at O(|dirty|·cap), linear at any\n"
+                "corpus size; er_recall MEASURES the other knob (block-key\n"
+                "width) as a cost/recall ladder.\n\n"
                 "doc_embed / doc_topk / rrf_fusion are honest CPU-linear\n"
                 "map work (md5 token hashing over every document) — their\n"
                 "ratio tracks corpus size with ratio/K well under 1, and the\n"
