@@ -35,13 +35,10 @@ def blocked_fuzzy_join(
     inputs must carry ``text_col`` and ``block_col``; all other columns
     pass through (clean side suffixed ``_clean``). Returns the matched
     pairs with the distance as ``edit_dist``."""
-    d = dirty.select(
-        *[F.col(c).alias(c) for c in dirty.columns],
-    )
     c = clean.select(
         *[F.col(cc).alias(f"{cc}_clean") for cc in clean.columns],
     )
-    j = d.join(
+    j = dirty.join(
         c, F.col(block_col) == F.col(f"{block_col}_clean"), "inner"
     ).withColumn(
         "edit_dist",

@@ -115,16 +115,21 @@ def full_registry() -> dict[str, QuerySpec]:
 # (c) the 22 r02-only queries not re-checked in r04, then (d) the r03-only
 # block (first-checked in r03), oldest verdict first, to fill 50.
 #
-# ROUND 6 TODO: rotate onto (a) any round-6 additions as they land, (b)
-# whatever block-(d) tail round 5 displaced below rank 50 (check this list
-# against CORRECTNESS_r05.json), then (c) the 28 r01-canaries whose last
-# green row is r03 (earnings_by_day left_join_dim or_key_join
-# full_outer_platforms literal_dim_report weekly_agg multi_agg_attrs
-# avg_of_sums dow_distribution ratio_profitability rank_models
-# top5_distribution pagination earnings_series_pivot dedup_keep_latest
-# rollup_report topk_per_group revenue_by_region grouping_sets_report
-# trailing_7d profile_orders ntile_deciles percentile_report text_stats
-# shingle_pairs minhash_lsh gap_fill_interp ...), oldest first, to fill 50.
+# ROUND 6 TODO (lists computed from CORRECTNESS_r03∩r04 — exact, no
+# placeholders): rotate onto (a) any round-6 additions as they land, (b)
+# the 9 r03-green rows round 5 displaced below rank 50: partial_overlap
+# curation_funnel athena_earnings_day athena_dow_dist athena_weekly
+# athena_needle_period gap_fill_interp weighted_sample salted_join_agg,
+# then (c) the remaining 31 queries whose last green row is r03 (two
+# rounds stale by r06): api_models_distribution avg_of_sums
+# bigram_lm_score decontam dedup_keep_latest dow_distribution
+# earnings_by_day earnings_series_pivot full_outer_platforms
+# grouping_sets_report left_join_dim literal_dim_report minhash_lsh
+# mixture_weights multi_agg_attrs ntile_deciles or_key_join pagination
+# percentile_report profile_orders rank_models ratio_profitability
+# repetition_stats revenue_by_region rollup_report shingle_pairs
+# text_stats top5_distribution topk_per_group trailing_7d weekly_agg.
+# (b)+(c) = 40; additions + oldest r04-green sentinels fill to 50.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) r04 red re-check + round-4 additions, never driver-checked (9)
     "doc_embed",

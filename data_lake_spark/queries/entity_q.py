@@ -190,7 +190,13 @@ def q_er_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
     return (
-        cand.join(matched, "w")
+        # LEFT join + coalesce: a width where blocking catches NOTHING
+        # must still report its row with n_matched = 0 (the oracle's
+        # scalar-subquery rungs always emit one row per width — an
+        # inner join here would silently drop the width and hash-
+        # diverge on a corpus where every deletion breaks a prefix)
+        cand.join(matched, "w", "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0).cast("long")))
         .crossJoin(F.broadcast(n_refs))
         .select(
             F.col("w").cast("long").alias("block_width"),

@@ -175,10 +175,20 @@ def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope = num.cast("double") / den.cast("double")
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n_months").cast("double")
+    # den = 0 ⇔ fewer than two distinct months in the group: no defined
+    # slope — guard explicitly, because ANSI mode (Spark 4 default)
+    # turns double division by zero into a hard DIVIDE_BY_ZERO error
+    # that would kill the whole query, not an IEEE Inf
+    raw_slope = num.cast("double") / den.cast("double")
+    slope = F.when(den != 0, raw_slope)
+    intercept = F.when(
+        den != 0,
+        (
+            F.col("sy").cast("double")
+            - raw_slope * F.col("sx").cast("double")
+        )
+        / F.col("n_months").cast("double"),
+    )
     return fit.select(
         "c_mktsegment",
         "n_months",
@@ -210,13 +220,17 @@ fit AS (
   FROM monthly GROUP BY 1
 )
 SELECT c_mktsegment, n_months,
-       CAST(n_months * sxy - sx * sy AS DOUBLE)
-         / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_cents_mo,
-       (CAST(sy AS DOUBLE)
-        - (CAST(n_months * sxy - sx * sy AS DOUBLE)
-           / CAST(n_months * sxx - sx * sx AS DOUBLE))
-          * CAST(sx AS DOUBLE))
-         / CAST(n_months AS DOUBLE) AS intercept_cents
+       CASE WHEN n_months * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n_months * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_months * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_mo,
+       CASE WHEN n_months * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(n_months * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_months * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_months AS DOUBLE)
+       END AS intercept_cents
 FROM fit ORDER BY c_mktsegment
 """
 

@@ -201,8 +201,14 @@ def q_lang_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx = int((pdf.x * pdf.x).sum())
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
-        slope = float(num) / float(den)
-        intercept = (float(sy) - slope * float(sx)) / float(n)
+        if den == 0:
+            # degenerate group (one doc, or all docs the same length):
+            # no defined slope — emit NULLs instead of letting
+            # ZeroDivisionError kill the executor task
+            slope = intercept = None
+        else:
+            slope = float(num) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
         return pd.DataFrame(
             {
                 "lang": [pdf.lang.iloc[0]],
@@ -237,12 +243,15 @@ s AS (
   FROM pts GROUP BY 1
 )
 SELECT lang, n AS n_docs,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-       (CAST(sy AS DOUBLE)
-        - (CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-         / CAST(n AS DOUBLE) AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END AS intercept
 FROM s ORDER BY lang
 """
 

@@ -75,3 +75,32 @@ def test_delete_char_positions(spark):
     assert out.mid == "abdef"
     assert out.last == "abcde"
     assert out.past_end == "abcdef"  # identity beyond the string
+
+
+def test_lang_fit_degenerate_group_yields_null_not_crash(spark, tmp_path):
+    # one doc in a lang / all docs same length -> den = 0: the pandas
+    # fit must emit NULL slope/intercept, not ZeroDivisionError
+    from data_lake_spark.queries.train_q import ORACLE_LANG_FIT, q_lang_fit
+    from tests.compare import compare
+
+    import pandas as pd
+
+    rows = [
+        (0, "a b c", "xx", "s", 5),      # single doc in lang xx
+        (1, "d e", "yy", "s", 3),        # two docs, SAME n_chars
+        (2, "f g h i", "yy", "s", 3),
+        (3, "j k", "zz", "s", 2),        # healthy group
+        (4, "l m n o p q", "zz", "s", 11),
+    ]
+    sf = str(tmp_path / "degen")
+    (tmp_path / "degen").mkdir()
+    # single parquet FILE (not a Spark part-dir): both catalog.load_table
+    # and the DuckDB oracle's read_parquet read the same path
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{sf}/documents.parquet")
+    out = {r.lang: (r.slope, r.intercept) for r in q_lang_fit(spark, sf).collect()}
+    assert out["xx"] == (None, None)
+    assert out["yy"] == (None, None)
+    assert out["zz"][0] is not None
+    compare(q_lang_fit(spark, sf), ORACLE_LANG_FIT, sf)

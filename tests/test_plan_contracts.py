@@ -17,11 +17,14 @@ from data_lake_spark.queries import full_registry
 _REG = full_registry()
 
 
-def _plan(spark, sf_dir, name: str) -> str:
-    df = _REG[name].fn(spark, sf_dir)
+def _explain(spark, df, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return _explain(spark, _REG[name].fn(spark, sf_dir))
 
 
 # literal-dim LEFT JOINs against one-row aggregates legitimately plan a
@@ -81,9 +84,7 @@ _BNLJ_OK = {
 def test_no_cartesian_anywhere(spark, sf_dir, name):
     # one build per registry query, two census checks on it:
     df = _REG[name].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    plan = _explain(spark, df)
     assert "CartesianProduct" not in plan
     if name not in _BNLJ_OK and name != "cosine_topk":
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -203,12 +204,7 @@ def test_shuffle_budget(spark, sf_dir, name):
     # hashpartitioning(...)"), matching tools/plan_report.py's counting;
     # the final orderBy's rangepartitioning exchange is not counted —
     # it exists only for driver-comparable output ordering
-    df = _REG[name].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
-        )
-    )
+    plan = _explain(spark, _REG[name].fn(spark, sf_dir), "simple")
     n = plan.count("Exchange hashpartitioning")
     assert n <= _SHUFFLE_BUDGET[name], (name, n, plan)
 
@@ -271,11 +267,7 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
             .groupBy("l_returnflag")
             .count()
         )
-        txt = j._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+        txt = _explain(spark, j)
         assert "might_contain" in txt, txt
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", old)
