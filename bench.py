@@ -148,6 +148,10 @@ HEADLINE = [
     "interval_overlap",
     # per-language OLS via grouped-map applyInPandas (Arrow fit path)
     "lang_fit",
+    # trailing-7d distinct: daily HLL partials merged per window
+    "sliding_distinct",
+    # robust trailing-window revenue anomaly days (median/IQR)
+    "anomaly_days",
 ]
 
 

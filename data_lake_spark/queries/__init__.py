@@ -55,6 +55,7 @@ def full_registry() -> dict[str, QuerySpec]:
         temporal3,
         temporal4,
         train_q,
+        tsmon_q,
     )
 
     reg: dict[str, QuerySpec] = {}
@@ -83,6 +84,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(temporal3.REGISTRY)
     reg.update(temporal4.REGISTRY)
     reg.update(train_q.REGISTRY)
+    reg.update(tsmon_q.REGISTRY)
     reg.update(api_queries.REGISTRY)
     reg.update(sqlcompat_q.REGISTRY)
     reg.update(retrieval_q.REGISTRY)
@@ -151,6 +153,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "winsorize",
     "interval_overlap",
     "lang_fit",
+    "sliding_distinct",
+    "anomaly_days",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -188,10 +192,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 9 round-5 additions (ROUND 6 TODO
-    # block (b)): partial_overlap curation_funnel athena_earnings_day
-    # athena_dow_dist athena_weekly athena_needle_period gap_fill_interp
-    # weighted_sample salted_join_agg
+    # displaced below rank 50 by the 11 round-5 additions (ROUND 6 TODO
+    # block (b)): line_dedup source_cap partial_overlap curation_funnel
+    # athena_earnings_day athena_dow_dist athena_weekly
+    # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",

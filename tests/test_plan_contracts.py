@@ -195,6 +195,13 @@ _SHUFFLE_BUDGET = {
     "interval_overlap": 1,
     # grouped-map applyInPandas: exactly the one group-key exchange
     "lang_fit": 1,
+    # exact side: day and window-day aggs; sketch side: day agg +
+    # window merge + the result join — all on uniform day keys
+    "sliding_distinct": 5,
+    # ONE shuffle to the daily rollup; the trailing-percentile window
+    # runs on the calendar-bounded daily series (single partition by
+    # design — 2405 rows at sf0.1, 36.5k for a century)
+    "anomaly_days": 1,
 }
 
 
