@@ -226,16 +226,24 @@ def main() -> None:
         json.dumps({"spread": spreads, "repeats": repeats}, separators=(",", ":")),
         file=sys.stderr,
     )
-    headline = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(sum(times.values()), 3),
-            "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in times.items()},
-            "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
+    # adaptive precision: the driver's stdout tail capture holds ~1900
+    # chars; with 84+ queries the 2-decimal dict brushes that limit, so
+    # drop to 1 decimal (then 1-significant) before ever overflowing —
+    # a coarse per-query time beats a lost headline
+    headline = ""
+    for ndec in (2, 1):
+        headline = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": {k: round(v, ndec) for k, v in times.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+        if len(headline) <= 1850:
+            break
     if len(headline) > 1900:  # still over the capture budget? warn loudly
         print(f"# WARNING: headline line {len(headline)} chars > 1900", file=sys.stderr)
     print(headline)
