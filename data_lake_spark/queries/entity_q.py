@@ -174,18 +174,27 @@ def q_er_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.sum(F.col("nd") * F.col("nc")).cast("long").alias("n_candidates"))
     )
+    # the id equality is part of the JOIN KEY, not a post-filter: this
+    # join only decides whether each ref's OWN clean row survived
+    # blocking, so its output is ≤ |dirty|·|widths| rows — linear at
+    # any corpus size. (Filtering ref_id == clean_id after a blk-only
+    # join would materialize the full candidate product the
+    # n_candidates metric deliberately only COUNTS.)
+    dm = dk.select("ref_id", F.col("title").alias("dt"), "w", "blk")
+    cm = ck.select(
+        F.col("clean_id"),
+        F.col("title").alias("ct"),
+        F.col("w").alias("cw"),
+        F.col("blk").alias("cblk"),
+    )
     matched = (
-        dk.select("ref_id", F.col("title").alias("dt"), "w", "blk")
-        .join(
-            F.broadcast(
-                ck.select(F.col("clean_id"), F.col("title").alias("ct"), "w", "blk")
-            ),
-            ["w", "blk"],
+        dm.join(
+            cm,
+            (dm.w == cm.cw)
+            & (dm.blk == cm.cblk)
+            & (dm.ref_id == cm.clean_id),
         )
-        .filter(
-            (F.col("ref_id") == F.col("clean_id"))
-            & (F.levenshtein("dt", "ct") <= _MAX_DIST)
-        )
+        .filter(F.levenshtein("dt", "ct") <= _MAX_DIST)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )

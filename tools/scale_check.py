@@ -64,9 +64,14 @@ QUERIES = [
     "fuzzy_match_capped",  # per-block candidate cap: linear verify cost
     "pareto_front",  # group-max + dim-sized window: must stay ≈ flat
     "sq_search",  # int8 codes scan, fixed query set: linear, small slope
+    "er_recall",  # count-product candidates + capped-by-blocks verify
+    "lang_fit",  # grouped-map applyInPandas: one exchange, linear scan
+    "interval_overlap",  # chunked interval join; sessions scale in count
+    "sliding_distinct",  # daily HLL partials: window merge cost is flat
     # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
     # cost doesn't grow with corpus multiplication, so no row here;
-    # trend_slopes reads orders, which the multiplier doesn't touch)
+    # trend_slopes / winsorize / anomaly_days read orders, which the
+    # multiplier doesn't touch)
 ]
 
 
