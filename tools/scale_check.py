@@ -227,6 +227,14 @@ def main() -> None:
                 "rows) bounds verify cost at O(|dirty|·cap), linear at any\n"
                 "corpus size; er_recall MEASURES the other knob (block-key\n"
                 "width) as a cost/recall ladder.\n\n"
+                "interval_overlap grows super-linearly here for the same\n"
+                "constructed reason: the event multiplier packs K× events\n"
+                "(and K× incident windows, and K× concurrently-active\n"
+                "sessions) into the SAME time span, so overlap PAIRS grow\n"
+                "K² — its OUTPUT at 8× is ~64× the rows. Real event growth\n"
+                "extends the time axis and the chunked join stays linear;\n"
+                "the plan itself is a hash equi-join on time chunks with\n"
+                "bounded fan-out (hot chunks salt like any skewed key).\n\n"
                 "doc_embed / doc_topk / rrf_fusion are honest CPU-linear\n"
                 "map work (md5 token hashing over every document) — their\n"
                 "ratio tracks corpus size with ratio/K well under 1, and the\n"
