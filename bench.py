@@ -152,6 +152,8 @@ HEADLINE = [
     "sliding_distinct",
     # robust trailing-window revenue anomaly days (median/IQR)
     "anomaly_days",
+    # encode under the corpus-learned BPE (vocabulary-join apply side)
+    "bpe_encode",
 ]
 
 

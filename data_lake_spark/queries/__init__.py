@@ -155,6 +155,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "lang_fit",
     "sliding_distinct",
     "anomaly_days",
+    "bpe_encode",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -192,9 +193,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 11 round-5 additions (ROUND 6 TODO
-    # block (b)): line_dedup source_cap partial_overlap curation_funnel
-    # athena_earnings_day athena_dow_dist athena_weekly
+    # displaced below rank 50 by the 12 round-5 additions (ROUND 6 TODO
+    # block (b)): skew_report line_dedup source_cap partial_overlap
+    # curation_funnel athena_earnings_day athena_dow_dist athena_weekly
     # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
     "athena_earnings_day",
     "athena_dow_dist",

@@ -359,3 +359,79 @@ REGISTRY["pareto_front"] = QuerySpec(
     "2-D Pareto frontier (length vs vocabulary) via group-max + "
     "exclusive running max — skyline with no pair space",
 )
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode — the APPLY side of the learned tokenizer (train → encode)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the tokenizer LEARNED from this
+    corpus (the first 8 BPE merges of bpe_merges) — closing the
+    train → apply loop: bpe_learn's final (word, symbols) vocabulary
+    IS the encoder, so encoding a document is one equi-join from its
+    words to the vocabulary and a sum of symbol counts — no per-word
+    re-derivation, no UDF. At 100 TB the vocabulary stays dim-sized
+    (distinct words), so the join broadcasts; the corpus side is one
+    explode + one doc-key aggregation.
+
+    Output: per doc, whitespace word count and the BPE token count
+    (symbols include the </w> markers — the fertility the seq-pack /
+    token-budget stages consume)."""
+    from data_lake_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+    enc = vocab.select(
+        "word", F.size("symbols").cast("long").alias("n_sym")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word, n,
+         '|' || ARRAY_TO_STRING(LIST_APPEND(STRING_SPLIT(word, ''), '</w>'), '||') || '|' AS sym
+  FROM wc
+),{",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))},
+enc AS (
+  SELECT word,
+         CAST(LEN(STRING_SPLIT(SUBSTR(sym, 2, LEN(sym) - 2), '||'))
+              AS BIGINT) AS n_sym
+  FROM r{_BPE_ROUNDS}
+),
+dw AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(enc.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN enc USING (word)
+WHERE dw.word != ''
+GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY["bpe_encode"] = QuerySpec(
+    q_bpe_encode,
+    ORACLE_BPE_ENCODE,
+    "per-doc token counts under the corpus-learned BPE tokenizer "
+    "(vocabulary-join encode — the train→apply loop closed)",
+)

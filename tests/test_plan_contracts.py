@@ -202,6 +202,9 @@ _SHUFFLE_BUDGET = {
     # runs on the calendar-bounded daily series (single partition by
     # design — 2405 rows at sf0.1, 36.5k for a century)
     "anomaly_days": 1,
+    # the learned-vocabulary encoder broadcasts; one doc-key aggregation
+    # (bpe_learn's training rounds run BEFORE the plan under test)
+    "bpe_encode": 1,
 }
 
 
