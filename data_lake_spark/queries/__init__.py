@@ -193,9 +193,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 12 round-5 additions (ROUND 6 TODO
-    # block (b)): skew_report line_dedup source_cap partial_overlap
-    # curation_funnel athena_earnings_day athena_dow_dist athena_weekly
+    # displaced below rank 50 by the 12 round-5 additions — all twelve
+    # are r03-stale, so they lead ROUND 6 TODO block (b): skew_report
+    # line_dedup source_cap partial_overlap curation_funnel
+    # athena_earnings_day athena_dow_dist athena_weekly
     # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
     "athena_earnings_day",
     "athena_dow_dist",
