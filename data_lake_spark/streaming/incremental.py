@@ -553,3 +553,72 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def start_distinct_sketch_ingest(
+    event_stream: DataFrame,
+    sketch_root: str,
+    checkpoint: str,
+    day_ns: int = 86_400 * 10**9,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Live distinct-count state maintenance: each micro-batch folds its
+    events into per-day HLL sketch PARTIALS (``hll_sketch_agg`` — one
+    map-side-combinable aggregate, kilobytes out per day) appended to a
+    day-partitioned parquet store. Any window distinct-count is then a
+    metadata-pruned read of that window's day directories plus
+    ``hll_union_agg`` over a handful of partial rows — the event stream
+    itself is never re-scanned (the batch face of queries/tsmon_q.
+    q_sliding_distinct's sketch side).
+
+    Idempotence: each batch writes its own ``batch_id=<n>`` directory
+    with overwrite — a crash-replayed micro-batch republishes identical
+    partials instead of double-counting (the start_lsh_dedup_ingest
+    pattern). Partials are MERGEABLE, so a day spanning many batches is
+    correct by union; no reader dedup is needed (unlike the IVF index's
+    latest-batch rule) because HLL union is idempotent in the ELEMENTS
+    — re-ingesting the same user on the same day cannot inflate the
+    estimate.
+
+    Reader: :func:`read_distinct_sketches`."""
+    from pyspark.sql import functions as F
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partials = (
+            batch_df.select(
+                F.expr(f"{ts_col} div {day_ns}").alias("d"),
+                F.col(key_col),
+            )
+            .groupBy("d")
+            .agg(F.hll_sketch_agg(key_col).alias("sk"))
+        )
+        partials.write.mode("overwrite").partitionBy("d").parquet(
+            f"{sketch_root}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_distinct_sketches(
+    spark: SparkSession, sketch_root: str
+) -> DataFrame:
+    """(d, sk) — one merged HLL partial per day from every ingested
+    batch. Day filters prune to ``d=`` partition directories before any
+    row is read; a trailing-window distinct is hll_sketch_estimate over
+    hll_union_agg of the window's days (see tsmon_q for the exact
+    window shape)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_root)
+        .groupBy("d")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+    )
