@@ -149,3 +149,30 @@ def test_window_read_prunes_to_day_dirs(spark, tmp_path):
         ).distinct().collect()
     }
     assert files and all(f"/d={lo}/" in f for f in files)
+
+
+def test_day_indexed_queries_session_tz_independent(spark):
+    # sliding_distinct's day index is integer ns-division on the
+    # NTZ-normalized ts; anomaly_days' is wall-clock DATE arithmetic on
+    # TIMESTAMP_NTZ o_orderdate — neither may shift with the session tz
+    # (the catalog._normalize contract the driver's own session relies on)
+    from data_lake_spark.queries.tsmon_q import (
+        q_anomaly_days,
+        q_sliding_distinct,
+    )
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+
+    def snap():
+        a = sorted(map(tuple, q_sliding_distinct(spark, SF).collect()))
+        b = sorted(map(tuple, q_anomaly_days(spark, SF).collect()))
+        return a, b
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = snap()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = snap()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == tokyo
