@@ -154,6 +154,10 @@ HEADLINE = [
     "anomaly_days",
     # encode under the corpus-learned BPE (vocabulary-join apply side)
     "bpe_encode",
+    # deterministic contrastive negatives (hash-ordered per-anchor top-k)
+    "negative_pairs",
+    # length curriculum: quartile bands + two-phase global row number
+    "curriculum_order",
 ]
 
 

@@ -156,6 +156,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "sliding_distinct",
     "anomaly_days",
     "bpe_encode",
+    "negative_pairs",
+    "curriculum_order",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -193,11 +195,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 12 round-5 additions — all twelve
-    # are r03-stale, so they lead ROUND 6 TODO block (b): skew_report
-    # line_dedup source_cap partial_overlap curation_funnel
+    # displaced below rank 50 by the 14 round-5 additions — all fourteen
+    # are r03-stale, so they lead ROUND 6 TODO block (b): kll_quantile
+    # skew_report line_dedup source_cap partial_overlap curation_funnel
     # athena_earnings_day athena_dow_dist athena_weekly
     # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
+    # theta_distinct
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",

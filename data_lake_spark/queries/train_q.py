@@ -262,3 +262,181 @@ REGISTRY["lang_fit"] = QuerySpec(
     "per-language OLS fit via grouped-map applyInPandas (the Arrow "
     "custom-fit path, SQL-replayed oracle)",
 )
+
+
+# ---------------------------------------------------------------------------
+# negative_pairs — deterministic contrastive negative mining
+# ---------------------------------------------------------------------------
+
+_N_ANCHORS = 8
+_K_NEG = 4
+_NEG_BLK = 4
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k deterministic random negatives per anchor document — the
+    contrastive-training pair miner. "Random" is a hash ordering
+    (md5 of anchor:candidate), so the sample is reproducible across
+    engines, partitionings and reruns (the hash_sample principle
+    applied to PAIRS); candidates sharing the anchor's 4-char title
+    prefix are excluded — the cheap blocking proxy for "suspected
+    positive", keeping near-duplicates out of the negative set.
+
+    Plan: broadcast the (tiny) anchor set, stream the corpus once,
+    one per-anchor top-k window — the cosine_topk shape with a hash
+    in place of a distance."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _NEG_BLK).alias("blk")
+    )
+    anchors = docs.filter(F.col("doc_id") < _N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("blk").alias("a_blk")
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"), F.col("blk").alias("c_blk")
+    )
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("h"), F.col("cand_id")
+    )
+    return (
+        F.broadcast(anchors)
+        .crossJoin(cands)
+        .filter(
+            (F.col("anchor_id") != F.col("cand_id"))
+            & (F.col("a_blk") != F.col("c_blk"))
+        )
+        .withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _K_NEG)
+        .select("anchor_id", "cand_id", "rk")
+        .orderBy("anchor_id", "rk")
+    )
+
+
+ORACLE_NEGATIVE_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, SUBSTR(text, 1, {_NEG_BLK}) AS blk FROM documents
+),
+a AS (SELECT doc_id AS anchor_id, blk AS a_blk FROM d
+      WHERE doc_id < {_N_ANCHORS}),
+c AS (SELECT doc_id AS cand_id, blk AS c_blk FROM d),
+p AS (
+  SELECT anchor_id, cand_id,
+         MD5(CAST(anchor_id AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR))
+           AS h
+  FROM a CROSS JOIN c
+  WHERE anchor_id != cand_id AND a_blk != c_blk
+)
+SELECT anchor_id, cand_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h, cand_id)
+            AS BIGINT) AS rk
+FROM p
+QUALIFY rk <= {_K_NEG}
+ORDER BY anchor_id, rk
+"""
+
+
+REGISTRY["negative_pairs"] = QuerySpec(
+    q_negative_pairs,
+    ORACLE_NEGATIVE_PAIRS,
+    "deterministic contrastive negatives: hash-ordered top-k per "
+    "anchor, block-prefix positives excluded",
+)
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order — length curriculum with in-band deterministic shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A global training order: documents banded by length quartile
+    (the classic short→long curriculum; boundaries are exact
+    percentiles, F.percentile ≡ QUANTILE_CONT) and SHUFFLED
+    deterministically within each band by an md5 key — curriculum
+    stages progress, but within a stage the model sees no length
+    gradient. The global index comes from operators/ranking.
+    global_row_number — the two-phase distributed ROW_NUMBER (range
+    repartition + per-partition rank + broadcast offsets), never a
+    single-reducer window over the corpus."""
+    from data_lake_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bounds = docs.agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("b1"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("b2"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("b3"),
+    )
+    banded = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") <= F.col("b1"), 1)
+            .when(F.col("n_tokens") <= F.col("b2"), 2)
+            .when(F.col("n_tokens") <= F.col("b3"), 3)
+            .otherwise(4)
+            .cast("long")
+            .alias("band"),
+        )
+        .withColumn("shuf", F.md5(F.col("doc_id").cast("string")))
+    )
+    out = global_row_number(
+        banded,
+        [F.col("band"), F.col("shuf"), F.col("doc_id")],
+        out_col="curriculum_idx",
+    )
+    return (
+        out.select(
+            "doc_id",
+            "band",
+            F.col("curriculum_idx").cast("long").alias("curriculum_idx"),
+        )
+        .orderBy("curriculum_idx")
+    )
+
+
+ORACLE_CURRICULUM_ORDER = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT QUANTILE_CONT(n_tokens, 0.25) AS b1,
+         QUANTILE_CONT(n_tokens, 0.5) AS b2,
+         QUANTILE_CONT(n_tokens, 0.75) AS b3
+  FROM d
+),
+banded AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens <= b.b1 THEN 1
+              WHEN n_tokens <= b.b2 THEN 2
+              WHEN n_tokens <= b.b3 THEN 3
+              ELSE 4 END AS band,
+         MD5(CAST(doc_id AS VARCHAR)) AS shuf
+  FROM d CROSS JOIN b
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, shuf, doc_id) AS BIGINT)
+         AS curriculum_idx
+FROM banded ORDER BY curriculum_idx
+"""
+
+
+REGISTRY["curriculum_order"] = QuerySpec(
+    q_curriculum_order,
+    ORACLE_CURRICULUM_ORDER,
+    "short→long length curriculum: exact-quartile bands, deterministic "
+    "in-band shuffle, two-phase distributed global row number",
+)

@@ -74,6 +74,9 @@ _BNLJ_OK = {
     # the one-row n_refs scalar frame attaches via broadcast crossJoin —
     # the lsh_recall measurement-harness shape
     "er_recall",
+    # broadcast anchor set crossJoined into the corpus scan (hash-as-
+    # distance variant of the cosine_topk shape)
+    "negative_pairs",
     # same one-row stats frame on the lexical side + the cosine side's
     # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
     "rrf_fusion",
@@ -205,6 +208,11 @@ _SHUFFLE_BUDGET = {
     # the learned-vocabulary encoder broadcasts; one doc-key aggregation
     # (bpe_learn's training rounds run BEFORE the plan under test)
     "bpe_encode": 1,
+    # per-anchor top-k window on the broadcast-crossJoin pair stream
+    "negative_pairs": 1,
+    # two-phase global row number: RANGE repartition only, no hash
+    # exchange (the bounds frame broadcasts)
+    "curriculum_order": 0,
 }
 
 
