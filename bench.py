@@ -158,6 +158,12 @@ HEADLINE = [
     "negative_pairs",
     # length curriculum: quartile bands + two-phase global row number
     "curriculum_order",
+    # Deequ-style constraint suite: one agg pass per fact table + FK joins
+    "dq_checks",
+    # token-budget epoch scheduler (micro-epoch long division)
+    "epoch_plan",
+    # per-doc triangles/clustering on the near-dup graph (node-iterator)
+    "triangle_count",
 ]
 
 

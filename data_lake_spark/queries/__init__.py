@@ -30,6 +30,7 @@ def full_registry() -> dict[str, QuerySpec]:
         corpus_q,
         curation,
         curation2,
+        dq_q,
         entity_q,
         llm,
         llm2,
@@ -66,6 +67,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(relational5.REGISTRY)
     reg.update(curation.REGISTRY)
     reg.update(curation2.REGISTRY)
+    reg.update(dq_q.REGISTRY)
     reg.update(sketches.REGISTRY)
     reg.update(sketches2.REGISTRY)
     reg.update(llm.REGISTRY)
@@ -119,10 +121,10 @@ def full_registry() -> dict[str, QuerySpec]:
 #
 # ROUND 6 TODO (lists computed from CORRECTNESS_r03∩r04 — exact, no
 # placeholders): rotate onto (a) any round-6 additions as they land, (b)
-# the 9 r03-green rows round 5 displaced below rank 50: partial_overlap
-# curation_funnel athena_earnings_day athena_dow_dist athena_weekly
-# athena_needle_period gap_fill_interp weighted_sample salted_join_agg,
-# then (c) the remaining 31 queries whose last green row is r03 (two
+# the 17 r03-green rows round 5 displaced below rank 50 (the 14 listed
+# at the (d) block below, plus pq_rerank ivf_pq heavy_hitters displaced
+# when dq_checks/epoch_plan/triangle_count landed late in round 5),
+# then (c) the remaining queries whose last green row is r03 (two
 # rounds stale by r06): api_models_distribution avg_of_sums
 # bigram_lm_score decontam dedup_keep_latest dow_distribution
 # earnings_by_day earnings_series_pivot full_outer_platforms
@@ -158,6 +160,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_encode",
     "negative_pairs",
     "curriculum_order",
+    "dq_checks",
+    "epoch_plan",
+    "triangle_count",
     # (c) r02-only block not re-checked in r04 (22)
     "windowed_rollup",
     "asof_join",
@@ -182,7 +187,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "nested_flatten",
     "exact_dedup",
     # (d) r03-only block, oldest verdict first (19) — round-5 additions
-    # displace this tail into the ROUND 6 TODO
+    # displace this tail into the ROUND 6 TODO. With the 17 round-5
+    # additions above, ranks 49-50 are pq_encode + pq_search; the other
+    # 17 (d) rows are displaced below rank 50 — all r03-stale, so they
+    # lead ROUND 6 TODO block (b): pq_rerank ivf_pq heavy_hitters
+    # theta_distinct kll_quantile skew_report line_dedup source_cap
+    # partial_overlap curation_funnel athena_earnings_day athena_dow_dist
+    # athena_weekly athena_needle_period gap_fill_interp weighted_sample
+    # salted_join_agg
     "pq_encode",
     "pq_search",
     "pq_rerank",
@@ -195,12 +207,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "source_cap",
     "partial_overlap",
     "curation_funnel",
-    # displaced below rank 50 by the 14 round-5 additions — all fourteen
-    # are r03-stale, so they lead ROUND 6 TODO block (b): kll_quantile
-    # skew_report line_dedup source_cap partial_overlap curation_funnel
-    # athena_earnings_day athena_dow_dist athena_weekly
-    # athena_needle_period gap_fill_interp weighted_sample salted_join_agg
-    # theta_distinct
     "athena_earnings_day",
     "athena_dow_dist",
     "athena_weekly",

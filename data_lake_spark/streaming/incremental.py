@@ -622,3 +622,81 @@ def read_distinct_sketches(
         .groupBy("d")
         .agg(F.hll_union_agg("sk").alias("sk"))
     )
+
+
+def start_validated_ingest(
+    stream: DataFrame,
+    clean_root: str,
+    quarantine_root: str,
+    checkpoint: str,
+    checks: list[tuple[str, Column]],
+) -> StreamingQuery:
+    """Streaming data-quality gate with a dead-letter path — the live
+    face of queries/dq_q.q_dq_checks: every micro-batch row is routed
+    EXACTLY ONCE to the clean zone or to quarantine, quarantine rows
+    carrying the comma-joined names of every check they failed (the
+    triage key an ops queue consumes). The reference applies the same
+    rules only at silver-conform time (a full-batch rewrite); here bad
+    rows are isolated within one micro-batch of arrival and the clean
+    zone is always constraint-true.
+
+    ``checks`` is [(name, predicate Column)]. A row PASSES a check only
+    when the predicate is TRUE — a NULL verdict (e.g. ``value > 0``
+    over a NULL value) fails it, the Deequ convention, so incomplete
+    rows cannot tunnel through a range check into the clean zone.
+
+    Idempotence: both sides write per-batch ``batch_id=<n>`` overwrite
+    directories (the start_lsh_dedup_ingest pattern) — a crash-replayed
+    micro-batch republishes identical files rather than duplicating
+    rows. Readers: :func:`read_ingest_zone` (either root), which also
+    exposes ``batch_id`` for audit.
+
+    Scale: routing is ONE map-only projection per micro-batch (the
+    reason string folds every predicate in whole-stage codegen — no
+    shuffle, no UDF); each side's write is partition-parallel. State is
+    zero — this gate never holds rows across batches."""
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        reasons = F.concat_ws(
+            ",",
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in checks
+            ],
+        )
+        routed = batch_df.withColumn("__dq_reasons", reasons)
+        routed.filter(F.col("__dq_reasons") == "").drop(
+            "__dq_reasons"
+        ).write.mode("overwrite").parquet(
+            f"{clean_root}/batch_id={int(batch_id)}"
+        )
+        routed.filter(F.col("__dq_reasons") != "").withColumnRenamed(
+            "__dq_reasons", "dq_reasons"
+        ).write.mode("overwrite").parquet(
+            f"{quarantine_root}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_ingest_zone(spark: SparkSession, root: str) -> DataFrame:
+    """Read a validated-ingest zone (clean or quarantine) with the
+    per-batch ``batch_id`` surfaced for audit. Empty zones (a run whose
+    every row routed to the other side) read as an empty frame rather
+    than a path error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.option("basePath", root)
+            .parquet(f"{root}/batch_id=*")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], "batch_id long")

@@ -213,6 +213,18 @@ _SHUFFLE_BUDGET = {
     # two-phase global row number: RANGE repartition only, no hash
     # exchange (the bounds frame broadcasts)
     "curriculum_order": 0,
+    # one single-row aggregate per fact table (orders carries the one
+    # distinct-count; lineitem likewise) + two FK left joins against
+    # distinct parent keys — the check rows themselves are literal
+    # selects over one-row frames, no exchange of their own
+    "dq_checks": 4,
+    # exactly the groupBy(source); the corpus total rides a window over
+    # the source-sized frame and the plan itself is map-only after it
+    "epoch_plan": 1,
+    # node-iterator triangles over the eagerly-materialized edge frame:
+    # wedge self-join (2) + closing join (2) + per-node triangle agg (1)
+    # + degree agg (1) + the node left-joins share one exchange
+    "triangle_count": 7,
 }
 
 
