@@ -164,6 +164,14 @@ HEADLINE = [
     "epoch_plan",
     # per-doc triangles/clustering on the near-dup graph (node-iterator)
     "triangle_count",
+    # PR/F1 curve from one binned corpus pass + suffix sums
+    "classifier_eval",
+    # quality-vs-quantity retention curve (same histogram shape)
+    "quality_tradeoff",
+    # per-source distinctive terms by integer-exact lift
+    "source_lift",
+    # per-label centroid cosine matrix (class-collision prior)
+    "label_affinity",
 ]
 
 

@@ -435,3 +435,138 @@ REGISTRY["bpe_encode"] = QuerySpec(
     "per-doc token counts under the corpus-learned BPE tokenizer "
     "(vocabulary-join encode — the train→apply loop closed)",
 )
+
+
+# ---------------------------------------------------------------------------
+# source_lift — per-source distinctive terms (the corpus-audit "what
+# makes this source different" table)
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_DF = 5
+_LIFT_TOPK = 5
+
+
+def q_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by integer-exact lift:
+    concentration (share of the term's occurrences that come from this
+    source, micro) over baseline (the source's share of all corpus
+    tokens, micro). lift > 10⁶ means the term over-indexes in the
+    source — the audit table that explains a source's character before
+    mixing it into a training set.
+
+    Exactness: both shares are FLOORED micro-shares via the
+    quotient/remainder split (int64-safe at any corpus size, the
+    dataset_card rule), and the lift is their micro-ratio — ties break
+    on the term string, so both engines emit identical rows. Terms
+    below min_df 5 are dropped (the standard rare-term floor; it also
+    keeps concentration meaningful). A source smaller than 10⁻⁶ of the
+    corpus floors its baseline to 0 and reports NULL lift rather than
+    dividing by zero (documented degenerate case).
+
+    Plan: explode → ONE groupBy(source, term); the term totals reduce
+    FROM that frame (map-side combinable, shuffles on term only), the
+    source totals and corpus total ride dim-sized frames; top-5 per
+    source is a window over the source partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cst = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    ct = cst.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ts = cst.groupBy("source").agg(F.sum("c_st").cast("long").alias("t_s"))
+    w_all = Window.partitionBy(F.lit(0))
+    ts = ts.withColumn("t_all", F.sum("t_s").over(w_all))
+    scored = (
+        cst.join(ct.filter(F.col("c_t") >= _LIFT_MIN_DF), "term")
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            "term",
+            "c_st",
+            "c_t",
+            F.expr(
+                f"(c_st div c_t) * {_SCALE}"
+                f" + ((c_st % c_t) * {_SCALE}) div c_t"
+            ).alias("conc_micro"),
+            F.expr(
+                f"(t_s div t_all) * {_SCALE}"
+                f" + ((t_s % t_all) * {_SCALE}) div t_all"
+            ).alias("base_micro"),
+        )
+        .withColumn(
+            "lift_micro",
+            F.when(
+                F.col("base_micro") > 0,
+                F.expr(f"(conc_micro * {_SCALE}) div base_micro"),
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _LIFT_TOPK)
+        .select(
+            "source", "rk", "term", "c_st", "c_t",
+            "conc_micro", "base_micro", "lift_micro",
+        )
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_SOURCE_LIFT = f"""
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+),
+cst AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM toks WHERE term != '' GROUP BY 1, 2
+),
+ct AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+ts AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s,
+         CAST(SUM(SUM(c_st)) OVER () AS BIGINT) AS t_all
+  FROM cst GROUP BY 1
+),
+scored AS (
+  SELECT cst.source, cst.term, cst.c_st, ct.c_t,
+         (c_st // c_t) * {_SCALE} + ((c_st % c_t) * {_SCALE}) // c_t
+           AS conc_micro,
+         (t_s // t_all) * {_SCALE} + ((t_s % t_all) * {_SCALE}) // t_all
+           AS base_micro
+  FROM cst
+  JOIN ct ON cst.term = ct.term AND ct.c_t >= {_LIFT_MIN_DF}
+  JOIN ts ON cst.source = ts.source
+),
+ranked AS (
+  SELECT source, term, c_st, c_t, conc_micro, base_micro,
+         CASE WHEN base_micro > 0
+              THEN (conc_micro * {_SCALE}) // base_micro END AS lift_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CASE WHEN base_micro > 0
+                         THEN (conc_micro * {_SCALE}) // base_micro
+                    END DESC NULLS LAST, term
+         ) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, term, c_st, c_t,
+       CAST(conc_micro AS BIGINT) AS conc_micro,
+       CAST(base_micro AS BIGINT) AS base_micro,
+       CAST(lift_micro AS BIGINT) AS lift_micro
+FROM ranked WHERE rk <= {_LIFT_TOPK}
+ORDER BY source, rk
+"""
+
+
+REGISTRY["source_lift"] = QuerySpec(
+    q_source_lift,
+    ORACLE_SOURCE_LIFT,
+    "top-5 distinctive terms per source by integer-exact lift "
+    "(concentration over baseline, floored micro-shares)",
+)

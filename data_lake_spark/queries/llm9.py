@@ -154,3 +154,136 @@ REGISTRY: dict[str, QuerySpec] = {
         "4x-compressed codes)",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# label_affinity — embedding-space class-collision matrix
+# ---------------------------------------------------------------------------
+
+_AFF_SCALE = 1_000_000
+
+
+def q_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    class-collision prior of the embedding space: label pairs whose
+    centroids sit close are the ones a classifier trained on these
+    vectors will confuse and the ones semantic dedup will merge across.
+    Published next to dataset_card when an embedding table enters the
+    lake.
+
+    Exactness/overflow (the 100 TB audit): components quantize at
+    floor(x·10⁶) into exact int64 per-(label, dim) sums (map-side
+    combinable); the centroid is the FLOORED micro-mean — floor(s·1.0/n)
+    in binary64, identical in both engines even when s exceeds 2⁵³
+    (same int64, same IEEE rounding) — so every pairwise term is a
+    product of two ≤10⁶-scale ints: dot ≤ dims·10¹⁴, inside int64 at
+    ANY corpus size where raw-sum cosines would overflow by n². Cosine
+    is scale-invariant, so the mean-vs-sum choice only changes the
+    documented quantization, not the geometry. One sqrt + one divide at
+    the edge (the sq_search rule); a zero centroid reports NULL, not a
+    divide-by-zero.
+
+    Plan: posexplode → ONE groupBy(label, dim) (label-count × dims rows
+    out); the K×K pair space is then a self-EQUI-join of that dim-sized
+    frame on the dim key (each dim contributes its |labels|² products —
+    bounded by construction, a hash join, no nested-loop), reduced by
+    one (label_a, label_b) aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+                f" * {_AFF_SCALE}) AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    cent = (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.expr("CAST(FLOOR(s * 1.0 / n) AS BIGINT)").alias("m"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("n2")
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.when(
+                (F.col("n2a") > 0) & (F.col("n2b") > 0),
+                F.expr(
+                    f"CAST(FLOOR(dot * {_AFF_SCALE}.0 /"
+                    f" (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE))))"
+                    f" AS BIGINT)"
+                ),
+            ).alias("cos_micro"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+ORACLE_LABEL_AFFINITY = f"""
+WITH comp AS (
+  SELECT label,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+         UNNEST(LIST_TRANSFORM(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_AFF_SCALE}) AS BIGINT)))
+           AS q
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(FLOOR(SUM(q) * 1.0 / COUNT(*)) AS BIGINT) AS m
+  FROM comp GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.m * b.m) AS BIGINT) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT label, CAST(SUM(m * m) AS BIGINT) AS n2 FROM cent GROUP BY 1
+)
+SELECT p.label_a, p.label_b,
+       CASE WHEN na.n2 > 0 AND nb.n2 > 0
+            THEN CAST(FLOOR(p.dot * {_AFF_SCALE}.0 /
+                 (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))))
+                 AS BIGINT) END AS cos_micro
+FROM pairs p
+JOIN norms na ON na.label = p.label_a
+JOIN norms nb ON nb.label = p.label_b
+ORDER BY p.label_a, p.label_b
+"""
+
+
+REGISTRY["label_affinity"] = QuerySpec(
+    q_label_affinity,
+    ORACLE_LABEL_AFFINITY,
+    "pairwise cosine of per-label embedding centroids — the "
+    "class-collision matrix (floored micro-mean centroids, int64-safe)",
+)

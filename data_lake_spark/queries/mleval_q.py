@@ -1,0 +1,226 @@
+"""In-engine model evaluation: the PR/F1 threshold curve and the
+quality-vs-quantity retention curve — closing the classifier loop that
+train_q (fit) and llm4.classifier_filter (infer) open. A curation run
+publishes these two tables to pick its operating point; computing them
+in-engine means the 100 TB corpus is scanned ONCE into a ~17-row bin
+histogram and every threshold's confusion matrix falls out of suffix
+sums over that dim-sized frame (the histogram-based PR-curve shape —
+never one corpus pass per threshold).
+
+Exactness: the score is llm4's integer linear model verbatim
+(3·distinct_milli + 2·len_cap); bins are score div 250; every rate is
+a floored micro-share; denominators are guarded (a degenerate corpus
+with no positive labels reports 0, not a divide-by-zero job failure —
+the round-5 degenerate-input convention).
+
+Plan shapes: one map-only feature projection + one map-side-combinable
+groupBy(bin), then windows over the ≤17-row bin frame (the constant-
+partition window over a by-construction-bounded frame, the
+mixture_weights convention) and an ORDER BY for driver-stable output.
+1 shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+_SCALE = 1_000_000
+_BIN = 250  # score bin width; score range is ~0..4024 → ≤17 bins
+
+
+def _binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, n_pos, n_tok): the one corpus pass both curves read.
+    Label = doc is English (the train_q convention); score = the llm4
+    integer linear model."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).select(
+        "pos",
+        "n_tok",
+        F.expr(
+            "(3 * (1000 * n_uniq div n_tok) + 2 * least(n_tok, 512))"
+            f" div {_BIN}"
+        ).alias("bin"),
+    )
+    return feats.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at every occupied score-bin threshold, from
+    suffix sums over the bin histogram: predict-positive at threshold
+    t = bin·250 means score ≥ t, so tp/fp are running sums down the
+    score-descending bin frame and fn/tn are the complements against
+    the corpus totals. F1 rides its fraction-free rational form
+    2·tp·10⁶ div (2·tp + fp + fn) — no intermediate float."""
+    b = _binned(spark, sf_dir)
+    w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    cum = (
+        b.withColumn("tp", F.sum("n_pos").over(w_desc))
+        .withColumn("pp", F.sum("n").over(w_desc))
+        .withColumn("tot", F.sum("n").over(w_all))
+        .withColumn("tot_pos", F.sum("n_pos").over(w_all))
+    )
+    return cum.select(
+        (F.col("bin") * _BIN).cast("long").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("tot_pos") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("tot") - F.col("pp") - F.col("tot_pos") + F.col("tp"))
+        .cast("long")
+        .alias("tn"),
+        F.when(
+            F.col("pp") > 0, F.expr(f"(tp * {_SCALE}) div pp")
+        ).otherwise(F.lit(0)).cast("long").alias("precision_micro"),
+        F.when(
+            F.col("tot_pos") > 0,
+            F.expr(f"(tp * {_SCALE}) div tot_pos"),
+        ).otherwise(F.lit(0)).cast("long").alias("recall_micro"),
+        F.when(
+            (F.col("tp") + F.col("pp") + F.col("tot_pos")) > 0,
+            F.expr(f"(2 * tp * {_SCALE}) div (pp + tot_pos)"),
+        ).otherwise(F.lit(0)).cast("long").alias("f1_micro"),
+    ).orderBy("threshold")
+
+
+ORACLE_CLASSIFIER_EVAL = f"""
+WITH feats AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents
+),
+binned AS (
+  SELECT (3 * (1000 * n_uniq // n_tok) + 2 * LEAST(n_tok, 512)) // {_BIN} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM feats GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, n_pos,
+         SUM(n_pos) OVER (ORDER BY bin DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(n) OVER (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+         SUM(n) OVER () AS tot,
+         SUM(n_pos) OVER () AS tot_pos
+  FROM binned
+)
+SELECT CAST(bin * {_BIN} AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(pp - tp AS BIGINT) AS fp,
+       CAST(tot_pos - tp AS BIGINT) AS fn,
+       CAST(tot - pp - tot_pos + tp AS BIGINT) AS tn,
+       CAST(CASE WHEN pp > 0 THEN (tp * {_SCALE}) // pp ELSE 0 END AS BIGINT)
+         AS precision_micro,
+       CAST(CASE WHEN tot_pos > 0 THEN (tp * {_SCALE}) // tot_pos ELSE 0 END AS BIGINT)
+         AS recall_micro,
+       CAST(CASE WHEN (tp + pp + tot_pos) > 0
+                 THEN (2 * tp * {_SCALE}) // (pp + tot_pos) ELSE 0 END AS BIGINT)
+         AS f1_micro
+FROM cum ORDER BY threshold
+"""
+
+
+def q_quality_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-vs-quantity retention curve: at every occupied
+    score-bin threshold, how many documents and TOKENS survive the
+    quality bar, what share of the corpus that is, and how English-pure
+    the survivors are — the table a curation run consults to set the
+    classifier_filter threshold against its token budget. Same one-pass
+    bin histogram as classifier_eval, different suffix sums."""
+    b = _binned(spark, sf_dir)
+    w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    cum = (
+        b.withColumn("docs_kept", F.sum("n").over(w_desc))
+        .withColumn("pos_kept", F.sum("n_pos").over(w_desc))
+        .withColumn("toks_kept", F.sum("n_tok").over(w_desc))
+        .withColumn("tot_docs", F.sum("n").over(w_all))
+        .withColumn("tot_toks", F.sum("n_tok").over(w_all))
+    )
+    return cum.select(
+        (F.col("bin") * _BIN).cast("long").alias("threshold"),
+        F.col("docs_kept").cast("long").alias("docs_kept"),
+        F.col("toks_kept").cast("long").alias("toks_kept"),
+        F.expr(
+            f"(docs_kept div tot_docs) * {_SCALE}"
+            f" + ((docs_kept % tot_docs) * {_SCALE}) div tot_docs"
+        ).alias("doc_share_micro"),
+        F.expr(
+            f"(toks_kept div tot_toks) * {_SCALE}"
+            f" + ((toks_kept % tot_toks) * {_SCALE}) div tot_toks"
+        ).alias("tok_share_micro"),
+        F.expr(f"(pos_kept * {_SCALE}) div docs_kept").alias("en_share_micro"),
+    ).orderBy("threshold")
+
+
+ORACLE_QUALITY_TRADEOFF = f"""
+WITH feats AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents
+),
+binned AS (
+  SELECT (3 * (1000 * n_uniq // n_tok) + 2 * LEAST(n_tok, 512)) // {_BIN} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tok
+  FROM feats GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         SUM(n) OVER w AS docs_kept,
+         SUM(n_pos) OVER w AS pos_kept,
+         SUM(n_tok) OVER w AS toks_kept,
+         SUM(n) OVER () AS tot_docs,
+         SUM(n_tok) OVER () AS tot_toks
+  FROM binned
+  WINDOW w AS (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bin * {_BIN} AS BIGINT) AS threshold,
+       CAST(docs_kept AS BIGINT) AS docs_kept,
+       CAST(toks_kept AS BIGINT) AS toks_kept,
+       CAST((docs_kept // tot_docs) * {_SCALE}
+         + ((docs_kept % tot_docs) * {_SCALE}) // tot_docs AS BIGINT)
+         AS doc_share_micro,
+       CAST((toks_kept // tot_toks) * {_SCALE}
+         + ((toks_kept % tot_toks) * {_SCALE}) // tot_toks AS BIGINT)
+         AS tok_share_micro,
+       CAST((pos_kept * {_SCALE}) // docs_kept AS BIGINT) AS en_share_micro
+FROM cum ORDER BY threshold
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "classifier_eval": QuerySpec(
+        q_classifier_eval,
+        ORACLE_CLASSIFIER_EVAL,
+        "PR/F1 curve at every score threshold from ONE binned corpus "
+        "pass + suffix sums (histogram PR-curve shape)",
+    ),
+    "quality_tradeoff": QuerySpec(
+        q_quality_tradeoff,
+        ORACLE_QUALITY_TRADEOFF,
+        "quality-vs-quantity retention curve: docs/tokens surviving "
+        "each threshold + survivor purity, same one-pass histogram",
+    ),
+}

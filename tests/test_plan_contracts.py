@@ -225,6 +225,17 @@ _SHUFFLE_BUDGET = {
     # wedge self-join (2) + closing join (2) + per-node triangle agg (1)
     # + degree agg (1) + the node left-joins share one exchange
     "triangle_count": 7,
+    # one binned corpus aggregation each; the PR / retention curves are
+    # suffix sums over the ≤17-row bin frame (dim-sized windows)
+    "classifier_eval": 1,
+    "quality_tradeoff": 1,
+    # explode → groupBy(source,term); term totals + min-df reduce from
+    # that frame and join back on term; source totals broadcast; the
+    # top-5 window rides the (source,term) partitioning
+    "source_lift": 6,
+    # posexplode → (label,dim) agg; the K×K pair space is a self-equi-
+    # join on dim + one pair agg; norm joins broadcast
+    "label_affinity": 7,
 }
 
 

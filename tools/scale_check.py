@@ -68,10 +68,15 @@ QUERIES = [
     "lang_fit",  # grouped-map applyInPandas: one exchange, linear scan
     "interval_overlap",  # chunked interval join; sessions scale in count
     "sliding_distinct",  # daily HLL partials: window merge cost is flat
-    # (pagerank_docs is doc_id-window-bounded like shingle_pairs — its
-    # cost doesn't grow with corpus multiplication, so no row here;
-    # trend_slopes / winsorize / anomaly_days read orders, which the
-    # multiplier doesn't touch)
+    "epoch_plan",  # one groupBy(source) + dim-sized window: scan-linear
+    "classifier_eval",  # one binned agg + dim-window suffix sums
+    "quality_tradeoff",  # same histogram shape, different suffix sums
+    "source_lift",  # explode + term-key aggs: inverted-index linear
+    "label_affinity",  # (label,dim) agg + dim-key pair join: scan-linear
+    # (pagerank_docs and triangle_count are doc_id-window-bounded like
+    # shingle_pairs — their cost doesn't grow with corpus multiplication,
+    # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
+    # read orders/lineitem/customer, which the multiplier doesn't touch)
 ]
 
 
