@@ -172,7 +172,34 @@ HEADLINE = [
     "source_lift",
     # per-label centroid cosine matrix (class-collision prior)
     "label_affinity",
+    # cross-source segment-sharing provenance matrix
+    "mirror_matrix",
 ]
+
+# The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
+# dominate the JSON line (~19 chars each): at 94 headline entries even
+# the 1-decimal encoding measures ~1960 chars. These entries are OMITTED
+# from the parseable stdout dict only — they still run, still count in
+# "value", and their full 3-decimal times go to stderr with everything
+# else. Chosen because each is a sub-half-second map-or-one-shuffle plan
+# whose time has been flat across every round since r01/r02 (regression
+# cover comes from the shuffle-budget census, which pins their plans);
+# every round-5 addition stays in the stdout dict so BENCH_r05 records
+# its first number.
+STDOUT_OMIT = {
+    "train_split",
+    "cube_report",
+    "semi_join_active",
+    "quality_report",
+    "chunk_docs",
+    "embedding_quantize",
+    "date_spine_fill",
+    "classifier_filter",
+    "stratified_sample",
+    "seq_pack",
+    "mixture_weights",
+    "running_total",
+}
 
 
 def main() -> None:
@@ -246,18 +273,22 @@ def main() -> None:
         json.dumps({"spread": spreads, "repeats": repeats}, separators=(",", ":")),
         file=sys.stderr,
     )
-    # adaptive precision: the driver's stdout tail capture holds ~1900
-    # chars; with 84+ queries the 2-decimal dict brushes that limit, so
-    # drop to 1 decimal (then 1-significant) before ever overflowing —
-    # a coarse per-query time beats a lost headline
+    # adaptive precision + the documented STDOUT_OMIT set: the driver's
+    # stdout tail capture holds ~1900 chars and names dominate the line,
+    # so past ~85 entries precision alone can't save it — flat-for-four-
+    # rounds cheap plans drop out of the stdout dict (stderr keeps all)
     headline = ""
-    for ndec in (2, 1):
+    for ndec, omit in ((2, frozenset()), (2, STDOUT_OMIT), (1, STDOUT_OMIT)):
         headline = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": {k: round(v, ndec) for k, v in times.items()},
+                "queries": {
+                    k: round(v, ndec)
+                    for k, v in times.items()
+                    if k not in omit
+                },
                 "sf": sf_val,
             },
             separators=(",", ":"),

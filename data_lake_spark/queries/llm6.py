@@ -437,3 +437,111 @@ REGISTRY: dict[str, QuerySpec] = {
         "end-to-end curation chain with per-stage retention",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# mirror_matrix — cross-source duplication attribution
+# ---------------------------------------------------------------------------
+
+
+def q_mirror_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror which: for every FULL 10-word segment (the
+    llm6 boilerplate unit) shared across sources, one row per unordered
+    source pair — (source_a < source_b, n_shared segments, distinct
+    docs involved on each side). The provenance matrix a curation run
+    reads before source caps: a heavy pair means one feed syndicates or
+    templates the other, so their combined cap should be one source's
+    worth, not two. Segment-level (not whole-document md5) because real
+    mirrors edit headers/footers — exact-content sharing across sources
+    is empty at sf0.01 while segment sharing is dense at every SF.
+
+    Scale shape: segment families collapse to ONE row per
+    (segment-hash, source) with a DISTINCT doc count BEFORE any pairing
+    (groupBy on the hash key — the line_dedup shuffle), so the pair
+    space per hash is bounded by |sources|² (the source dim is small by
+    construction) and never by document multiplicity — a segment shared
+    by 10⁶ docs in two mirrors contributes exactly one pair row. The
+    pairing itself is a self-equi-join on the hash key. Partial tail
+    segments (< 10 words) are excluded: two-word tails collide
+    spuriously and would read as mirroring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).withColumn(
+        "n_full", (F.size("toks") / F.lit(_SEG_W)).cast("long")
+    )
+    # sequence(0, n_full-1) DESCENDS when n_full == 0 (the bpe_learn
+    # trap) — guard short docs to an empty segment list instead
+    segs = toks.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_full") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_full") - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * _SEG_W + 1, _SEG_W), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("seg"),
+    )
+    hs = (
+        segs.select("source", "doc_id", F.md5(F.col("seg")).alias("h"))
+        .groupBy("h", "source")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    a = hs.select(
+        "h", F.col("source").alias("source_a"), F.col("n_docs").alias("da")
+    )
+    b = hs.select(
+        "h", F.col("source").alias("source_b"), F.col("n_docs").alias("db")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("da").cast("long").alias("docs_a"),
+            F.sum("db").cast("long").alias("docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_MIRROR_MATRIX = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+  FROM documents
+),
+segs AS (
+  SELECT source, doc_id,
+         MD5(STRING_AGG(tok, ' ' ORDER BY pos)) AS h
+  FROM (SELECT source, doc_id, tok, pos,
+               (pos - 1) // {_SEG_W} AS seg_idx FROM toks)
+  GROUP BY source, doc_id, seg_idx
+  HAVING COUNT(*) = {_SEG_W}
+),
+hs AS (
+  SELECT h, source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM segs GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(SUM(a.n_docs) AS BIGINT) AS docs_a,
+       CAST(SUM(b.n_docs) AS BIGINT) AS docs_b
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+REGISTRY["mirror_matrix"] = QuerySpec(
+    q_mirror_matrix,
+    ORACLE_MIRROR_MATRIX,
+    "cross-source exact-dup attribution: unordered source pairs per "
+    "shared content hash (dup families collapsed before pairing)",
+)

@@ -236,6 +236,9 @@ _SHUFFLE_BUDGET = {
     # posexplode → (label,dim) agg; the K×K pair space is a self-equi-
     # join on dim + one pair agg; norm joins broadcast
     "label_affinity": 7,
+    # segment explode → (hash, source) distinct-doc agg, hash-key pair
+    # self-join, (source_a, source_b) agg
+    "mirror_matrix": 5,
 }
 
 

@@ -73,6 +73,8 @@ QUERIES = [
     "quality_tradeoff",  # same histogram shape, different suffix sums
     "source_lift",  # explode + term-key aggs: inverted-index linear
     "label_affinity",  # (label,dim) agg + dim-key pair join: scan-linear
+    "mirror_matrix",  # segment-hash agg + hash-key pair join (dup
+    # families collapsed before pairing: pair rows bounded by sources²)
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
