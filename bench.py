@@ -177,8 +177,8 @@ HEADLINE = [
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
-# dominate the JSON line (~19 chars each): at 94 headline entries even
-# the 1-decimal encoding measures ~1960 chars. These entries are OMITTED
+# dominate the JSON line (~19 chars each): at 95 headline entries even
+# the 1-decimal encoding measures ~1980 chars. These entries are OMITTED
 # from the parseable stdout dict only — they still run, still count in
 # "value", and their full 3-decimal times go to stderr with everything
 # else. Chosen because each is a sub-half-second map-or-one-shuffle plan

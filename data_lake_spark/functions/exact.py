@@ -65,3 +65,21 @@ def oracle_sum_micros(expr: str, scale: str = "1000000.0") -> str:
 
 def oracle_sum_exact(expr: str, scale: str = "1000000.0") -> str:
     return f"CAST({oracle_sum_micros(expr, scale)} AS DOUBLE) / {scale}"
+
+
+def micro_share_sql(num: str, den: str, scale: int = 1_000_000) -> str:
+    """Floored micro-share ``num·scale div den`` with int64 headroom:
+    the quotient/remainder split keeps every intermediate ≤
+    max(num, den·scale) where the naive ``num·scale`` leaves int64 past
+    ~9.2e12 rows/tokens (a 100 TB corpus holds more). Spark spelling
+    (``div``); oracles take :func:`oracle_micro_share_sql`, the same
+    text with ``//`` — both floor identically on nonnegative inputs."""
+    return (
+        f"(({num}) div ({den})) * {scale}"
+        f" + ((({num}) % ({den})) * {scale}) div ({den})"
+    )
+
+
+def oracle_micro_share_sql(num: str, den: str, scale: int = 1_000_000) -> str:
+    """DuckDB spelling of :func:`micro_share_sql` (``//`` for ``div``)."""
+    return micro_share_sql(num, den, scale).replace(" div ", " // ")

@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+)
 from data_lake_spark.queries import QuerySpec
 
 _SCALE = 1_000_000
@@ -488,14 +492,8 @@ def q_source_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "c_st",
             "c_t",
-            F.expr(
-                f"(c_st div c_t) * {_SCALE}"
-                f" + ((c_st % c_t) * {_SCALE}) div c_t"
-            ).alias("conc_micro"),
-            F.expr(
-                f"(t_s div t_all) * {_SCALE}"
-                f" + ((t_s % t_all) * {_SCALE}) div t_all"
-            ).alias("base_micro"),
+            F.expr(micro_share_sql("c_st", "c_t")).alias("conc_micro"),
+            F.expr(micro_share_sql("t_s", "t_all")).alias("base_micro"),
         )
         .withColumn(
             "lift_micro",
@@ -535,10 +533,8 @@ ts AS (
 ),
 scored AS (
   SELECT cst.source, cst.term, cst.c_st, ct.c_t,
-         (c_st // c_t) * {_SCALE} + ((c_st % c_t) * {_SCALE}) // c_t
-           AS conc_micro,
-         (t_s // t_all) * {_SCALE} + ((t_s % t_all) * {_SCALE}) // t_all
-           AS base_micro
+         {oracle_micro_share_sql("c_st", "c_t")} AS conc_micro,
+         {oracle_micro_share_sql("t_s", "t_all")} AS base_micro
   FROM cst
   JOIN ct ON cst.term = ct.term AND ct.c_t >= {_LIFT_MIN_DF}
   JOIN ts ON cst.source = ts.source

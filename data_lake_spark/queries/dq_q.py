@@ -39,20 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+)
 from data_lake_spark.queries import QuerySpec
 
 _SCALE = 1_000_000
 
 
 def _share(num: str, den: str) -> F.Column:
-    """Floored micro-share num·10⁶ div den with int64 headroom: the
-    quotient/remainder split keeps every intermediate ≤ max(num, den·10⁶)
-    (the dataset_card mean_len_micro rule) instead of num·10⁶, which
-    leaves int64 past ~9.2e12 rows."""
-    return F.expr(
-        f"({num} div {den}) * {_SCALE}"
-        f" + (({num} % {den}) * {_SCALE}) div {den}"
-    )
+    """Floored micro-share with int64 headroom — the shared
+    functions/exact.micro_share_sql recipe as a Column."""
+    return F.expr(micro_share_sql(num, den))
 
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,9 +73,16 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").isin("O", "F", "P").cast("long")
         ).alias("n_status"),
     )
+    # compound key distinct as a STRUCT: countDistinct(col1, col2)
+    # silently drops rows where either part is NULL, while the oracle's
+    # COUNT(DISTINCT (a, b)) counts NULL-bearing tuples — and dirty keys
+    # are exactly what a constraint suite must see; the struct is
+    # non-null even when its fields are, matching ROW semantics
     li = lineitem.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_orderkey", "l_linenumber").alias("n_key"),
+        F.countDistinct(
+            F.struct("l_orderkey", "l_linenumber")
+        ).alias("n_key"),
         F.sum((F.col("l_quantity") > 0).cast("long")).alias("n_qty"),
         F.sum(
             ((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)).cast(
@@ -175,33 +181,33 @@ o_ref AS (
 ),
 checks AS (
   SELECT 'orders' AS tbl, 'complete_o_custkey' AS "check",
-         (n_cust // n) * {_SCALE} + ((n_cust % n) * {_SCALE}) // n AS observed_micro,
+         {oracle_micro_share_sql("n_cust", "n")} AS observed_micro,
          n_cust = n AS ok FROM o
   UNION ALL
   SELECT 'orders', 'unique_o_orderkey',
-         (n_key // n) * {_SCALE} + ((n_key % n) * {_SCALE}) // n, n_key = n FROM o
+         {oracle_micro_share_sql("n_key", "n")}, n_key = n FROM o
   UNION ALL
   SELECT 'orders', 'range_o_totalprice_nonneg',
-         (n_price // n) * {_SCALE} + ((n_price % n) * {_SCALE}) // n, n_price = n FROM o
+         {oracle_micro_share_sql("n_price", "n")}, n_price = n FROM o
   UNION ALL
   SELECT 'orders', 'domain_o_orderstatus',
-         (n_status // n) * {_SCALE} + ((n_status % n) * {_SCALE}) // n, n_status = n FROM o
+         {oracle_micro_share_sql("n_status", "n")}, n_status = n FROM o
   UNION ALL
   SELECT 'lineitem', 'unique_l_orderkey_linenumber',
-         (n_key // n) * {_SCALE} + ((n_key % n) * {_SCALE}) // n, n_key = n FROM li
+         {oracle_micro_share_sql("n_key", "n")}, n_key = n FROM li
   UNION ALL
   SELECT 'lineitem', 'range_l_quantity_positive',
-         (n_qty // n) * {_SCALE} + ((n_qty % n) * {_SCALE}) // n, n_qty = n FROM li
+         {oracle_micro_share_sql("n_qty", "n")}, n_qty = n FROM li
   UNION ALL
   SELECT 'lineitem', 'range_l_discount_unit',
-         (n_disc // n) * {_SCALE} + ((n_disc % n) * {_SCALE}) // n, n_disc = n FROM li
+         {oracle_micro_share_sql("n_disc", "n")}, n_disc = n FROM li
   UNION ALL
   SELECT 'lineitem', 'fk_l_orderkey_in_orders',
-         (n_matched // n) * {_SCALE} + ((n_matched % n) * {_SCALE}) // n,
+         {oracle_micro_share_sql("n_matched", "n")},
          n_matched = n FROM li_ref
   UNION ALL
   SELECT 'orders', 'fk_o_custkey_in_customer',
-         (n_matched // n) * {_SCALE} + ((n_matched % n) * {_SCALE}) // n,
+         {oracle_micro_share_sql("n_matched", "n")},
          n_matched = n FROM o_ref
 )
 SELECT tbl, "check", CAST(observed_micro AS BIGINT) AS observed_micro,
@@ -268,6 +274,11 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wanted", F.expr(f"({_BUDGET_X} * total) div n_src")
     )
     epochs = _epochs_micro("wanted", "avail")
+    # capped compares EXACT integers (wanted vs 4·avail), not the
+    # floored micro-epochs: in the band 4·avail < wanted <
+    # 4·avail + avail/10⁶ the floor lands exactly on 4·10⁶ and a
+    # floor-based flag would report an uncapped plan whose grant was
+    # cut (capped must equal granted < wanted by definition)
     return planned.select(
         "source",
         "avail",
@@ -275,7 +286,10 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.expr(epochs), F.lit(_MAX_EPOCHS_MICRO).cast("long")
         ).alias("epochs_micro"),
-        (F.expr(epochs) > _MAX_EPOCHS_MICRO).alias("capped"),
+        (
+            F.col("wanted")
+            > F.col("avail") * (_MAX_EPOCHS_MICRO // _SCALE)
+        ).alias("capped"),
         F.least(
             F.col("wanted"), F.col("avail") * (_MAX_EPOCHS_MICRO // _SCALE)
         ).alias("granted"),
@@ -300,7 +314,7 @@ planned AS (
 )
 SELECT source, avail, CAST(wanted AS BIGINT) AS wanted,
        CAST(LEAST({_EPOCHS_SQL}, {_MAX_EPOCHS_MICRO}) AS BIGINT) AS epochs_micro,
-       ({_EPOCHS_SQL}) > {_MAX_EPOCHS_MICRO} AS capped,
+       wanted > avail * {_MAX_EPOCHS_MICRO // _SCALE} AS capped,
        CAST(LEAST(wanted, avail * {_MAX_EPOCHS_MICRO // _SCALE}) AS BIGINT) AS granted
 FROM planned ORDER BY source
 """

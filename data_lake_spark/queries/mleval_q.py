@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+)
 from data_lake_spark.queries import QuerySpec
 
 _SCALE = 1_000_000
@@ -159,14 +163,12 @@ def q_quality_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin") * _BIN).cast("long").alias("threshold"),
         F.col("docs_kept").cast("long").alias("docs_kept"),
         F.col("toks_kept").cast("long").alias("toks_kept"),
-        F.expr(
-            f"(docs_kept div tot_docs) * {_SCALE}"
-            f" + ((docs_kept % tot_docs) * {_SCALE}) div tot_docs"
-        ).alias("doc_share_micro"),
-        F.expr(
-            f"(toks_kept div tot_toks) * {_SCALE}"
-            f" + ((toks_kept % tot_toks) * {_SCALE}) div tot_toks"
-        ).alias("tok_share_micro"),
+        F.expr(micro_share_sql("docs_kept", "tot_docs")).alias(
+            "doc_share_micro"
+        ),
+        F.expr(micro_share_sql("toks_kept", "tot_toks")).alias(
+            "tok_share_micro"
+        ),
         F.expr(f"(pos_kept * {_SCALE}) div docs_kept").alias("en_share_micro"),
     ).orderBy("threshold")
 
@@ -199,11 +201,9 @@ cum AS (
 SELECT CAST(bin * {_BIN} AS BIGINT) AS threshold,
        CAST(docs_kept AS BIGINT) AS docs_kept,
        CAST(toks_kept AS BIGINT) AS toks_kept,
-       CAST((docs_kept // tot_docs) * {_SCALE}
-         + ((docs_kept % tot_docs) * {_SCALE}) // tot_docs AS BIGINT)
+       CAST({oracle_micro_share_sql("docs_kept", "tot_docs")} AS BIGINT)
          AS doc_share_micro,
-       CAST((toks_kept // tot_toks) * {_SCALE}
-         + ((toks_kept % tot_toks) * {_SCALE}) // tot_toks AS BIGINT)
+       CAST({oracle_micro_share_sql("toks_kept", "tot_toks")} AS BIGINT)
          AS tok_share_micro,
        CAST((pos_kept * {_SCALE}) // docs_kept AS BIGINT) AS en_share_micro
 FROM cum ORDER BY threshold

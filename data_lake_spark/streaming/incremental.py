@@ -657,8 +657,6 @@ def start_validated_ingest(
     zero — this gate never holds rows across batches."""
 
     def _route(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         reasons = F.concat_ws(
             ",",
             *[
@@ -666,17 +664,25 @@ def start_validated_ingest(
                 for name, pred in checks
             ],
         )
-        routed = batch_df.withColumn("__dq_reasons", reasons)
-        routed.filter(F.col("__dq_reasons") == "").drop(
-            "__dq_reasons"
-        ).write.mode("overwrite").parquet(
-            f"{clean_root}/batch_id={int(batch_id)}"
-        )
-        routed.filter(F.col("__dq_reasons") != "").withColumnRenamed(
-            "__dq_reasons", "dq_reasons"
-        ).write.mode("overwrite").parquet(
-            f"{quarantine_root}/batch_id={int(batch_id)}"
-        )
+        # persist: the routed frame feeds TWO sinks (the standard
+        # foreachBatch two-sink pattern) — without it the source rows
+        # and every predicate would be re-read/re-evaluated per sink
+        routed = batch_df.withColumn("__dq_reasons", reasons).persist()
+        try:
+            if routed.isEmpty():
+                return
+            routed.filter(F.col("__dq_reasons") == "").drop(
+                "__dq_reasons"
+            ).write.mode("overwrite").parquet(
+                f"{clean_root}/batch_id={int(batch_id)}"
+            )
+            routed.filter(F.col("__dq_reasons") != "").withColumnRenamed(
+                "__dq_reasons", "dq_reasons"
+            ).write.mode("overwrite").parquet(
+                f"{quarantine_root}/batch_id={int(batch_id)}"
+            )
+        finally:
+            routed.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_route)
@@ -686,11 +692,16 @@ def start_validated_ingest(
     )
 
 
-def read_ingest_zone(spark: SparkSession, root: str) -> DataFrame:
+def read_ingest_zone(
+    spark: SparkSession, root: str, schema: Optional[str] = None
+) -> DataFrame:
     """Read a validated-ingest zone (clean or quarantine) with the
     per-batch ``batch_id`` surfaced for audit. Empty zones (a run whose
     every row routed to the other side) read as an empty frame rather
-    than a path error."""
+    than a path error — pass ``schema`` (a DDL string of the INGEST
+    columns, without batch_id) if callers select data columns from a
+    possibly-empty zone; without it the fallback frame carries only
+    ``batch_id`` and a column reference would fail to resolve."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -699,4 +710,5 @@ def read_ingest_zone(spark: SparkSession, root: str) -> DataFrame:
             .parquet(f"{root}/batch_id=*")
         )
     except AnalysisException:
-        return spark.createDataFrame([], "batch_id long")
+        ddl = (schema + ", " if schema else "") + "batch_id long"
+        return spark.createDataFrame([], ddl)

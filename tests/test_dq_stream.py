@@ -152,3 +152,11 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
 def test_empty_zone_reads_as_empty_frame(spark, tmp_path):
     assert read_ingest_zone(spark, str(tmp_path / "nope")).count() == 0
+    # with a schema, data-column access on a missing zone resolves too
+    # (the triage pattern: select reasons from a possibly-empty side)
+    df = read_ingest_zone(
+        spark,
+        str(tmp_path / "nope2"),
+        schema="event_id long, dq_reasons string",
+    )
+    assert df.select("event_id", "dq_reasons").count() == 0
