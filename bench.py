@@ -174,6 +174,8 @@ HEADLINE = [
     "label_affinity",
     # cross-source segment-sharing provenance matrix
     "mirror_matrix",
+    # trailing 28-day Pearson r between priority-class revenue series
+    "rolling_corr",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

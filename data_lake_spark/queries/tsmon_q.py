@@ -192,3 +192,119 @@ REGISTRY: dict[str, QuerySpec] = {
         "over the exclusive 28-day frame",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# rolling_corr — trailing cross-series correlation
+# ---------------------------------------------------------------------------
+
+_CORR_W = 28  # trailing window, inclusive of the current day
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day Pearson correlation between the URGENT/HIGH-
+    priority daily revenue series and the rest — the coupling monitor:
+    the two series normally move together (both track overall demand),
+    so a window where r collapses means one order class decoupled (a
+    partner feed stalled, a priority-specific outage) before either
+    series alone looks anomalous.
+
+    Exactness/overflow (the 100 TB audit): each series is quantized to
+    whole DOLLARS per day — cents via floor(price·100), summed as exact
+    int64, then div 100 — so every windowed moment stays integer:
+    Σx, Σy, Σxy, Σx², Σy² over 28 days of ≤~10⁷-dollar days keep
+    n·Σxy ≤ ~10¹⁷, two orders inside int64 where a cents-scale series
+    overflows at SF 100. Pearson r then takes ONE float step at the
+    edge (the sq_search rule): num/den in binary64 from exact int64
+    moments — int→double, sqrt, multiply, divide, floor·10⁶ are all
+    IEEE-deterministic, so r_micro is bit-identical across engines. A
+    constant series (zero variance) reports NULL, not divide-by-zero.
+
+    Plan: one conditional groupBy(d) (map-side combinable), five window
+    sums over the calendar-bounded daily frame (one row per day — the
+    anomaly_days precedent), map-only arithmetic after. 1 shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hot"),
+    ).withColumn(
+        "cents", F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    )
+    daily = o.groupBy("d").agg(
+        F.expr("sum(CASE WHEN hot THEN cents ELSE 0 END) div 100").alias("x"),
+        F.expr("sum(CASE WHEN hot THEN 0 ELSE cents END) div 100").alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_CORR_W - 1), 0)
+    m = daily.select(
+        "d",
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.count("x").over(w).alias("n"),
+    ).filter(F.col("n") >= _CORR_W)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("d").alias("day_idx"),
+        "sx",
+        "sy",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.expr(
+                "CAST(FLOOR((n * sxy - sx * sy) * 1000000.0 /"
+                " (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+                " * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+            ),
+        ).alias("r_micro"),
+    ).orderBy("day_idx")
+
+
+ORACLE_ROLLING_CORR = f"""
+WITH o AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS hot
+  FROM orders
+),
+daily AS (
+  SELECT d,
+         SUM(CASE WHEN hot THEN cents ELSE 0 END) // 100 AS x,
+         SUM(CASE WHEN hot THEN 0 ELSE cents END) // 100 AS y
+  FROM o GROUP BY 1
+),
+m AS (
+  SELECT d,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         COUNT(x) OVER w AS n
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_CORR_W - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT d AS day_idx, sx, sy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(FLOOR((n * sxy - sx * sy) * 1000000.0 /
+                 (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+       END AS r_micro
+FROM m WHERE n >= {_CORR_W}
+ORDER BY day_idx
+"""
+
+
+REGISTRY["rolling_corr"] = QuerySpec(
+    q_rolling_corr,
+    ORACLE_ROLLING_CORR,
+    "trailing 28-day Pearson correlation between priority-class daily "
+    "revenue series (exact integer moments, one float step at the edge)",
+)

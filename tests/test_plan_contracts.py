@@ -239,6 +239,9 @@ _SHUFFLE_BUDGET = {
     # segment explode → (hash, source) distinct-doc agg, hash-key pair
     # self-join, (source_a, source_b) agg
     "mirror_matrix": 5,
+    # one conditional daily groupBy; the five moment windows ride the
+    # calendar-bounded daily frame (single partition by design)
+    "rolling_corr": 1,
 }
 
 
