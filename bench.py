@@ -176,6 +176,8 @@ HEADLINE = [
     "mirror_matrix",
     # trailing 28-day Pearson r between priority-class revenue series
     "rolling_corr",
+    # k-anonymity audit over quasi-identifiers (violations + rollup)
+    "k_anonymity",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
@@ -201,6 +203,9 @@ STDOUT_OMIT = {
     "seq_pack",
     "mixture_weights",
     "running_total",
+    "exact_dedup",
+    "vocab_stats",
+    "funnel",
 }
 
 

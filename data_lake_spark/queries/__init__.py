@@ -123,11 +123,12 @@ def full_registry() -> dict[str, QuerySpec]:
 #
 # ROUND 6 TODO (lists computed from CORRECTNESS_r03∩r04 — exact, no
 # placeholders): rotate onto (a) any round-6 additions as they land, (b)
-# the 23 rows round 5 displaced below rank 50 — approx_distinct,
-# quantile_sketch, nested_flatten and exact_dedup (r02-green last, the
-# oldest verdicts in the registry by r06: FIRST) plus the full 19-row
-# r03-green (d) block below (the 23 round-5 additions push all of (d)
-# and the last four (c) rows out of the 50-row window),
+# the 24 rows round 5 displaced below rank 50 — api_detailed_ranking,
+# approx_distinct, quantile_sketch, nested_flatten and exact_dedup
+# (r02-green last, the oldest verdicts in the registry by r06: FIRST)
+# plus the full 19-row r03-green (d) block below (the 24 round-5
+# additions push all of (d) and the last five (c) rows out of the
+# 50-row window),
 # then (c) the remaining queries whose last green row is r03 (two
 # rounds stale by r06): api_models_distribution avg_of_sums
 # bigram_lm_score decontam dedup_keep_latest dow_distribution
@@ -173,11 +174,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "label_affinity",
     "mirror_matrix",
     "rolling_corr",
-    # (c) r02-only block not re-checked in r04 (22; with 23 round-5
-    # additions above, rank 50 cuts this block after
-    # api_detailed_ranking — approx_distinct, quantile_sketch,
+    "k_anonymity",
+    # (c) r02-only block not re-checked in r04 (22; with 24 round-5
+    # additions above, rank 50 cuts this block after api_dow —
+    # api_detailed_ranking, approx_distinct, quantile_sketch,
     # nested_flatten and exact_dedup (r02-green last) are displaced and
-    # LEAD the ROUND 6 list as its four oldest rows)
+    # LEAD the ROUND 6 list as its five oldest rows)
     "windowed_rollup",
     "asof_join",
     "sliding_rollup",
@@ -201,17 +203,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "nested_flatten",
     "exact_dedup",
     # (d) r03-only block, oldest verdict first (19) — round-5 additions
-    # displace this tail into the ROUND 6 TODO. With the 23 round-5
+    # displace this tail into the ROUND 6 TODO. With the 24 round-5
     # additions above, rank 50 falls inside block (c): ALL 19 (d) rows
-    # plus (c)'s approx_distinct, quantile_sketch, nested_flatten and
-    # exact_dedup sit below rank 50. ROUND 6 TODO block (b) is
-    # therefore: approx_distinct + quantile_sketch + nested_flatten +
-    # exact_dedup (r02-stale, oldest — first), then pq_encode pq_search
-    # pq_rerank ivf_pq heavy_hitters theta_distinct kll_quantile
-    # skew_report line_dedup source_cap partial_overlap curation_funnel
-    # athena_earnings_day athena_dow_dist athena_weekly
-    # athena_needle_period gap_fill_interp weighted_sample
-    # salted_join_agg (all r03-stale)
+    # plus (c)'s api_detailed_ranking, approx_distinct, quantile_sketch,
+    # nested_flatten and exact_dedup sit below rank 50. ROUND 6 TODO
+    # block (b) is therefore: api_detailed_ranking + approx_distinct +
+    # quantile_sketch + nested_flatten + exact_dedup (r02-stale, oldest
+    # — first), then pq_encode pq_search pq_rerank ivf_pq heavy_hitters
+    # theta_distinct kll_quantile skew_report line_dedup source_cap
+    # partial_overlap curation_funnel athena_earnings_day
+    # athena_dow_dist athena_weekly athena_needle_period
+    # gap_fill_interp weighted_sample salted_join_agg (all r03-stale)
     "pq_encode",
     "pq_search",
     "pq_rerank",

@@ -334,3 +334,85 @@ REGISTRY: dict[str, QuerySpec] = {
         "micro-epoch long division, oversampling cap, granted tokens",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity — privacy-governance check over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    (c_nationkey, c_mktsegment) quasi-identifier pair (the public
+    Sweeney model: every row must be indistinguishable from at least
+    k−1 others on the columns an adversary can link externally).
+    Output: one row per VIOLATING equivalence class (size < 5) with its
+    size, plus rollup rows per nation summarizing rows-at-risk and the
+    smallest class — the table a release-review reads before exporting
+    any per-customer extract.
+
+    Plan: ONE groupBy over the quasi-identifier pair (map-side
+    combinable), then a nation-level re-aggregate of the CLASS frame
+    (dim-sized); the union of detail + rollup rows is dim-sized output.
+    At 100 TB this stays a single corpus shuffle on the QI key — the
+    class frame is bounded by the QI domain, not the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    viol = classes.filter(F.col("n") < _K_ANON).select(
+        F.lit("class").alias("level"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").alias("class_size"),
+        F.col("n").alias("rows_at_risk"),
+    )
+    rollup = classes.groupBy("c_nationkey").agg(
+        F.min("n").alias("min_class"),
+        F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("at_risk"),
+    ).select(
+        F.lit("nation").alias("level"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("min_class").cast("long").alias("class_size"),
+        F.col("at_risk").alias("rows_at_risk"),
+    )
+    return viol.unionAll(rollup).orderBy(
+        "level", "nationkey", "segment"
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+viol AS (
+  SELECT 'class' AS level, CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS segment, n AS class_size, n AS rows_at_risk
+  FROM classes WHERE n < {_K_ANON}
+),
+rollup AS (
+  SELECT 'nation' AS level, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(NULL AS VARCHAR) AS segment,
+         CAST(MIN(n) AS BIGINT) AS class_size,
+         CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+  FROM classes GROUP BY 2
+)
+SELECT * FROM (
+  SELECT * FROM viol UNION ALL SELECT * FROM rollup
+) ORDER BY level, nationkey, segment
+"""
+
+
+REGISTRY["k_anonymity"] = QuerySpec(
+    q_k_anonymity,
+    ORACLE_K_ANONYMITY,
+    "k-anonymity audit over (nation, segment) quasi-identifiers: "
+    "violating classes + per-nation rows-at-risk rollup",
+)

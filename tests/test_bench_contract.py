@@ -48,6 +48,6 @@ def test_omit_set_is_sane():
     fresh = {
         "dq_checks", "epoch_plan", "triangle_count", "classifier_eval",
         "quality_tradeoff", "source_lift", "label_affinity",
-        "mirror_matrix",
+        "mirror_matrix", "rolling_corr", "k_anonymity",
     }
     assert not (STDOUT_OMIT & fresh)

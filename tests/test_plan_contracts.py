@@ -242,6 +242,9 @@ _SHUFFLE_BUDGET = {
     # one conditional daily groupBy; the five moment windows ride the
     # calendar-bounded daily frame (single partition by design)
     "rolling_corr": 1,
+    # one QI-pair groupBy; the nation rollup re-aggregates the
+    # dim-sized class frame; union of detail + rollup is dim-sized
+    "k_anonymity": 3,
 }
 
 

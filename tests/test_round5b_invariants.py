@@ -114,3 +114,37 @@ def test_source_lift_ranking_contract(spark):
             assert r.c_t >= 5  # min-df floor applied
             assert r.c_st <= r.c_t
             assert 0 <= r.conc_micro <= _SCALE
+
+
+def test_rolling_corr_bounds_and_window_contract(spark):
+    rows = _REG["rolling_corr"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.r_micro is not None:
+            # |r| <= 1 up to the one floating divide's ulp + floor
+            assert -_SCALE - 2 <= r.r_micro <= _SCALE + 1
+        assert r.sx >= 0 and r.sy >= 0
+    # self-correlation sanity on a constructed identical pair: the
+    # moments algebra yields 1 up to the sqrt²-ulp + floor (the same
+    # tolerance the label_affinity self-cosine check uses)
+    import math
+
+    n, sx, sxy, sxx = 28, 280, 2940, 2940  # x = y = 1..7 repeated
+    num = n * sxy - sx * sx
+    r = math.floor(num * 1e6 / (math.sqrt(n * sxx - sx * sx) ** 2))
+    assert r >= 1_000_000 - 2
+
+
+def test_k_anonymity_levels_consistent(spark):
+    rows = _REG["k_anonymity"].fn(spark, SF).collect()
+    classes = [r for r in rows if r.level == "class"]
+    nations = {r.nationkey: r for r in rows if r.level == "nation"}
+    assert nations  # rollup always present
+    for c in classes:
+        assert c.class_size < 5  # only violations listed
+        assert c.rows_at_risk == c.class_size
+        # every violating class's nation rollup accounts for it
+        assert nations[c.nationkey].rows_at_risk >= c.class_size
+    for n in nations.values():
+        # min class at or below k implies at-risk rows, and vice versa
+        assert (n.class_size < 5) == (n.rows_at_risk > 0)

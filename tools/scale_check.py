@@ -78,8 +78,8 @@ QUERIES = [
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
-    # / rolling_corr read orders/lineitem/customer, which the multiplier
-    # doesn't touch)
+    # / rolling_corr / k_anonymity read orders/lineitem/customer, which
+    # the multiplier doesn't touch)
 ]
 
 
