@@ -178,35 +178,48 @@ HEADLINE = [
     "rolling_corr",
     # k-anonymity audit over quasi-identifiers (violations + rollup)
     "k_anonymity",
+    # ExactSubstr dedup (Lee et al.): rolling-hash inverted index +
+    # extend-and-merge spans, and the applied excise-and-reassemble
+    "exact_substr",
+    "exact_substr_clean",
+    # binned two-cohort drift monitor (integer-exact L1 + chi2 terms)
+    "dist_drift",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
-# dominate the JSON line (~19 chars each): at 95 headline entries even
-# the 1-decimal encoding measures ~1980 chars. These entries are OMITTED
-# from the parseable stdout dict only — they still run, still count in
-# "value", and their full 3-decimal times go to stderr with everything
-# else. Chosen because each is a sub-half-second map-or-one-shuffle plan
-# whose time has been flat across every round since r01/r02 (regression
-# cover comes from the shuffle-budget census, which pins their plans);
-# every round-5 addition stays in the stdout dict so BENCH_r05 records
-# its first number.
-STDOUT_OMIT = {
-    "train_split",
-    "cube_report",
-    "semi_join_active",
-    "quality_report",
-    "chunk_docs",
-    "embedding_quantize",
-    "date_spine_fill",
-    "classifier_filter",
-    "stratified_sample",
-    "seq_pack",
-    "mixture_weights",
-    "running_total",
-    "exact_dedup",
-    "vocab_stats",
-    "funnel",
-}
+# dominate the JSON line (~19 chars each): at 97 headline entries even a
+# 1-decimal name-keyed encoding overflows. Rounds 4–5 worked around it by
+# omitting flat queries from the stdout dict (STDOUT_OMIT), which shrank
+# the driver's per-query record every round. Round 6 switches to a DENSE
+# encoding instead: `queries` is keyed by the stringified POSITION of
+# each query in this HEADLINE list, and the index→name map is published
+# at `bench_index.json` in the repo root (regenerated by
+# `python bench.py --write-index`, CI-pinned by
+# tests/test_bench_contract.py). Worst-case entry width is
+# '"96":123.45,' = 12 chars, so ~140 queries fit where ~85 names did —
+# EVERY headline query carries a parsed time again. Full names +
+# 3-decimal times + spreads still go to stderr.
+INDEX_FILE = os.path.join(REPO, "bench_index.json")
+
+
+def write_index() -> None:
+    """Regenerate bench_index.json: the position→name map the judge joins
+    against the index-keyed `queries` dict in the stdout JSON line."""
+    with open(INDEX_FILE, "w") as f:
+        json.dump(
+            {
+                "comment": (
+                    "Maps the stringified keys of the `queries` dict in "
+                    "BENCH_r*.json (round >= 6) to query names: key i -> "
+                    "index[i]. Regenerate with `python bench.py "
+                    "--write-index`."
+                ),
+                "index": HEADLINE,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
 
 
 def main() -> None:
@@ -280,23 +293,23 @@ def main() -> None:
         json.dumps({"spread": spreads, "repeats": repeats}, separators=(",", ":")),
         file=sys.stderr,
     )
-    # adaptive precision + the documented STDOUT_OMIT set: the driver's
-    # stdout tail capture holds ~1900 chars and names dominate the line,
-    # so past ~85 entries precision alone can't save it — flat-for-four-
-    # rounds cheap plans drop out of the stdout dict (stderr keeps all)
+    # dense index-keyed encoding (see INDEX_FILE comment above): every
+    # headline query carries a parsed time; the 2-dec → 1-dec ladder is
+    # kept as a safety valve only (2-dec fits ~140 queries at worst-case
+    # 3-digit-integer widths)
     headline = ""
-    for ndec, omit in ((2, frozenset()), (2, STDOUT_OMIT), (1, STDOUT_OMIT)):
+    for ndec in (2, 1):
         headline = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": {
-                    k: round(v, ndec)
-                    for k, v in times.items()
-                    if k not in omit
+                    str(i): round(times[name], ndec)
+                    for i, name in enumerate(HEADLINE)
                 },
                 "sf": sf_val,
+                "idx": "bench_index.json",
             },
             separators=(",", ":"),
         )
@@ -308,4 +321,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--write-index" in sys.argv:
+        write_index()
+    else:
+        main()

@@ -68,15 +68,30 @@ def oracle_sum_exact(expr: str, scale: str = "1000000.0") -> str:
 
 
 def micro_share_sql(num: str, den: str, scale: int = 1_000_000) -> str:
-    """Floored micro-share ``num·scale div den`` with int64 headroom:
-    the quotient/remainder split keeps every intermediate ≤
-    max(num, den·scale) where the naive ``num·scale`` leaves int64 past
-    ~9.2e12 rows/tokens (a 100 TB corpus holds more). Spark spelling
-    (``div``); oracles take :func:`oracle_micro_share_sql`, the same
-    text with ``//`` — both floor identically on nonnegative inputs."""
+    """Floored micro-share ``floor(num·scale / den)`` with genuine int64
+    headroom at any corpus size. The naive ``num·scale`` overflows int64
+    past num ~9.2e12 (a 100 TB corpus holds ~2.5e13 tokens), and for
+    shares (num ≤ den) a single quotient/remainder split degenerates to
+    exactly that naive product, so the scale is applied as two long-
+    division digit steps of 10³ each (the ``_epochs_micro`` recipe in
+    dq_q.py):
+
+        floor(n·10⁶/d) = (n div d)·10⁶
+                       + ((n%d)·10³ div d)·10³
+                       + (((n%d)·10³ % d)·10³) div d
+
+    Every intermediate is ≤ max(num, den·10³) — safe while den ≤ ~9.2e15.
+    Spark spelling (``div``); oracles take :func:`oracle_micro_share_sql`,
+    the same text with ``//`` — both floor identically on nonnegative
+    inputs."""
+    if scale != 1_000_000:
+        raise ValueError("micro_share_sql digit split is fixed at scale=10^6")
+    r = f"(({num}) % ({den}))"
+    r2 = f"(({r} * 1000) % ({den}))"
     return (
         f"(({num}) div ({den})) * {scale}"
-        f" + ((({num}) % ({den})) * {scale}) div ({den})"
+        f" + (({r} * 1000) div ({den})) * 1000"
+        f" + ({r2} * 1000) div ({den})"
     )
 
 

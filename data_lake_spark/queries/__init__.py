@@ -41,6 +41,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
         mleval_q,
         quality_q,
         relational,
@@ -80,6 +81,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm7.REGISTRY)
     reg.update(llm8.REGISTRY)
     reg.update(llm9.REGISTRY)
+    reg.update(llm10.REGISTRY)
     reg.update(mleval_q.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(entity_q.REGISTRY)
@@ -113,107 +115,47 @@ def full_registry() -> dict[str, QuerySpec]:
 # pandas canonicalizer (values were oracle-correct; output is now a CSV
 # string and the plan census forbids non-scalar oracle-paired output).
 #
-# Round 5 (this list): (a) doc_embed re-check (the r04 red) + the 8 queries
-# ADDED during round 4 that have never had a driver row (lsh_recall,
-# bm25_topk, rrf_fusion, pagerank_docs, central_keeper, dataset_card,
-# ngram_novelty, bpe_merges), then (b) queries ADDED during round 5 — keep
-# this block current as they land, they get their first row THIS round, then
-# (c) the 22 r02-only queries not re-checked in r04, then (d) the r03-only
-# block (first-checked in r03), oldest verdict first, to fill 50.
+# Round 6 (this list; blocks computed from the actual CORRECTNESS_r01–r05
+# latest-green rounds, recomputed this session — r02-stale: 5, r03-stale:
+# 50, r04-stale: 49, r05-green: 50):
+# (a) round-6 additions — first driver row THIS round (keep current as
+#     they land);
+# (b) the five r02-stale rows (oldest verdicts in the registry — last
+#     green row three rounds back): api_detailed_ranking approx_distinct
+#     quantile_sketch nested_flatten exact_dedup;
+# (c) the 19-row r03-green (d)-block from the round-5 rotation
+#     (first-checked in r03, displaced below rank 50 by the 24 round-5
+#     additions): pq_encode … salted_join_agg;
+# (d) the remaining 31 r03-stale rows, alphabetical (deterministic
+#     rank-50 cut): each round-6 addition in (a) displaces one row off
+#     this tail into the ROUND 7 TODO.
 #
-# ROUND 6 TODO (lists computed from CORRECTNESS_r03∩r04 — exact, no
-# placeholders): rotate onto (a) any round-6 additions as they land, (b)
-# the 24 rows round 5 displaced below rank 50 — api_detailed_ranking,
-# approx_distinct, quantile_sketch, nested_flatten and exact_dedup
-# (r02-green last, the oldest verdicts in the registry by r06: FIRST)
-# plus the full 19-row r03-green (d) block below (the 24 round-5
-# additions push all of (d) and the last five (c) rows out of the
-# 50-row window),
-# then (c) the remaining queries whose last green row is r03 (two
-# rounds stale by r06): api_models_distribution avg_of_sums
-# bigram_lm_score decontam dedup_keep_latest dow_distribution
-# earnings_by_day earnings_series_pivot full_outer_platforms
-# grouping_sets_report left_join_dim literal_dim_report minhash_lsh
-# mixture_weights multi_agg_attrs ntile_deciles or_key_join pagination
+# ROUND 7 TODO (recompute from CORRECTNESS_r06 the same way — exact
+# lists, no memory): lead with whatever block-(d) tail rows fell below
+# rank 50 this round (alphabetically last first... i.e. the displaced
+# suffix of: api_models_distribution avg_of_sums bigram_lm_score
+# decontam dedup_keep_latest dow_distribution earnings_by_day
+# earnings_series_pivot full_outer_platforms grouping_sets_report
+# left_join_dim literal_dim_report minhash_lsh mixture_weights
+# multi_agg_attrs ntile_deciles or_key_join pagination
 # percentile_report profile_orders rank_models ratio_profitability
 # repetition_stats revenue_by_region rollup_report shingle_pairs
-# text_stats top5_distribution topk_per_group trailing_7d weekly_agg.
-# (b)+(c) = 40; additions + oldest r04-green sentinels fill to 50.
+# text_stats top5_distribution topk_per_group trailing_7d weekly_agg),
+# then the 49 r04-stale rows oldest-first; round-7 additions slot in at
+# the top as they land.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) r04 red re-check + round-4 additions, never driver-checked (9)
-    "doc_embed",
-    "lsh_recall",
-    "bm25_topk",
-    "rrf_fusion",
-    "pagerank_docs",
-    "central_keeper",
-    "dataset_card",
-    "ngram_novelty",
-    "bpe_merges",
-    # (b) round-5 additions — first driver row this round (keep current)
-    "fuzzy_match",
-    "fuzzy_match_capped",
-    "er_recall",
-    "pareto_front",
-    "trend_slopes",
-    "sq_search",
-    "winsorize",
-    "interval_overlap",
-    "lang_fit",
-    "sliding_distinct",
-    "anomaly_days",
-    "bpe_encode",
-    "negative_pairs",
-    "curriculum_order",
-    "dq_checks",
-    "epoch_plan",
-    "triangle_count",
-    "classifier_eval",
-    "quality_tradeoff",
-    "source_lift",
-    "label_affinity",
-    "mirror_matrix",
-    "rolling_corr",
-    "k_anonymity",
-    # (c) r02-only block not re-checked in r04 (22; with 24 round-5
-    # additions above, rank 50 cuts this block after api_dow —
-    # api_detailed_ranking, approx_distinct, quantile_sketch,
-    # nested_flatten and exact_dedup (r02-green last) are displaced and
-    # LEAD the ROUND 6 list as its five oldest rows)
-    "windowed_rollup",
-    "asof_join",
-    "sliding_rollup",
-    "funnel",
-    "cohort_retention",
-    "json_props",
-    "scd2_history",
-    "top_paths",
-    "date_spine_fill",
-    "unpivot_metrics",
-    "session_native",
-    "api_earnings",
-    "api_needle",
-    "api_avg_profitability",
-    "api_total_profit",
-    "api_profit_avg",
-    "api_dow",
+    # (a) round-6 additions — first driver row this round (keep current)
+    "exact_substr",
+    "exact_substr_clean",
+    "dist_drift",
+    # (b) r02-stale — the five oldest verdicts in the registry (3)
     "api_detailed_ranking",
     "approx_distinct",
     "quantile_sketch",
     "nested_flatten",
     "exact_dedup",
-    # (d) r03-only block, oldest verdict first (19) — round-5 additions
-    # displace this tail into the ROUND 6 TODO. With the 24 round-5
-    # additions above, rank 50 falls inside block (c): ALL 19 (d) rows
-    # plus (c)'s api_detailed_ranking, approx_distinct, quantile_sketch,
-    # nested_flatten and exact_dedup sit below rank 50. ROUND 6 TODO
-    # block (b) is therefore: api_detailed_ranking + approx_distinct +
-    # quantile_sketch + nested_flatten + exact_dedup (r02-stale, oldest
-    # — first), then pq_encode pq_search pq_rerank ivf_pq heavy_hitters
-    # theta_distinct kll_quantile skew_report line_dedup source_cap
-    # partial_overlap curation_funnel athena_earnings_day
-    # athena_dow_dist athena_weekly athena_needle_period
-    # gap_fill_interp weighted_sample salted_join_agg (all r03-stale)
+    # (c) the 19-row r03-green block first-checked in r03 (the round-5
+    # rotation's (d) block, displaced below rank 50 there)
     "pq_encode",
     "pq_search",
     "pq_rerank",
@@ -233,4 +175,37 @@ _DRIVER_WINDOW_PRIORITY = [
     "gap_fill_interp",
     "weighted_sample",
     "salted_join_agg",
+    # (d) remaining r03-stale rows, alphabetical — rank 50 cuts inside
+    # this block; the displaced tail leads the ROUND 7 TODO above
+    "api_models_distribution",
+    "avg_of_sums",
+    "bigram_lm_score",
+    "decontam",
+    "dedup_keep_latest",
+    "dow_distribution",
+    "earnings_by_day",
+    "earnings_series_pivot",
+    "full_outer_platforms",
+    "grouping_sets_report",
+    "left_join_dim",
+    "literal_dim_report",
+    "minhash_lsh",
+    "mixture_weights",
+    "multi_agg_attrs",
+    "ntile_deciles",
+    "or_key_join",
+    "pagination",
+    "percentile_report",
+    "profile_orders",
+    "rank_models",
+    "ratio_profitability",
+    "repetition_stats",
+    "revenue_by_region",
+    "rollup_report",
+    "shingle_pairs",
+    "text_stats",
+    "top5_distribution",
+    "topk_per_group",
+    "trailing_7d",
+    "weekly_agg",
 ]

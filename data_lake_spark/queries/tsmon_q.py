@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
-from data_lake_spark.functions.exact import oracle_sum_exact, sum_exact
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+    oracle_sum_exact,
+    sum_exact,
+)
 from data_lake_spark.queries import QuerySpec
 
 _DAY_NS = 86_400 * 10**9
@@ -199,6 +204,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # ---------------------------------------------------------------------------
 
 _CORR_W = 28  # trailing window, inclusive of the current day
+_CORR_MIN_OBS = 14  # min observed days in the window (pandas min_periods)
 
 
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +226,15 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-deterministic, so r_micro is bit-identical across engines. A
     constant series (zero variance) reports NULL, not divide-by-zero.
 
+    The trailing window is a RANGE frame on the day index (the
+    anomaly_days precedent), so it spans exactly 28 CALENDAR days even
+    when some days have no orders; ``n`` counts the observed days inside
+    that span; ``n`` feeds the moments as the true observation count
+    and the ``n >= 14`` gate (the pandas ``min_periods`` convention —
+    half the window) drops under-observed spans. A ROWS frame would
+    silently stretch past gaps to 28 *observed* days, contradicting
+    the calendar framing above.
+
     Plan: one conditional groupBy(d) (map-side combinable), five window
     sums over the calendar-bounded daily frame (one row per day — the
     anomaly_days precedent), map-only arithmetic after. 1 shuffle."""
@@ -238,7 +253,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(CASE WHEN hot THEN cents ELSE 0 END) div 100").alias("x"),
         F.expr("sum(CASE WHEN hot THEN 0 ELSE cents END) div 100").alias("y"),
     )
-    w = Window.orderBy("d").rowsBetween(-(_CORR_W - 1), 0)
+    w = Window.orderBy("d").rangeBetween(-(_CORR_W - 1), 0)
     m = daily.select(
         "d",
         F.sum("x").over(w).alias("sx"),
@@ -247,7 +262,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
         F.count("x").over(w).alias("n"),
-    ).filter(F.col("n") >= _CORR_W)
+    ).filter(F.col("n") >= _CORR_MIN_OBS)
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -288,7 +303,7 @@ m AS (
          CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
          COUNT(x) OVER w AS n
   FROM daily
-  WINDOW w AS (ORDER BY d ROWS BETWEEN {_CORR_W - 1} PRECEDING
+  WINDOW w AS (ORDER BY d RANGE BETWEEN {_CORR_W - 1} PRECEDING
                AND CURRENT ROW)
 )
 SELECT d AS day_idx, sx, sy,
@@ -297,7 +312,7 @@ SELECT d AS day_idx, sx, sy,
                  (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
                   * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
        END AS r_micro
-FROM m WHERE n >= {_CORR_W}
+FROM m WHERE n >= {_CORR_MIN_OBS}
 ORDER BY day_idx
 """
 
@@ -307,4 +322,140 @@ REGISTRY["rolling_corr"] = QuerySpec(
     ORACLE_ROLLING_CORR,
     "trailing 28-day Pearson correlation between priority-class daily "
     "revenue series (exact integer moments, one float step at the edge)",
+)
+
+
+# ---------------------------------------------------------------------------
+# dist_drift — binned distribution-drift monitor between two cohorts
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "1998-07-01"  # cohort A = orders before, B = from, the split
+_DRIFT_BIN_CENTS = 5_000_000  # $50k price bins -> 10 bins over this corpus
+
+
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two order cohorts (before/from
+    1998-07-01) over fixed $50k total-price bins — the monitor a feature
+    store runs to catch covariate shift before a model does. Per bin:
+    both cohorts' counts and micro-shares, the L1 term |p-q| and the
+    chi-square-style term (p-q)^2/(p+q); one TOTAL row (bin = -1) sums
+    the terms into the two headline drift statistics (L1 distance and
+    2x triangular discrimination).
+
+    Why not PSI: PSI's ln(p/q) is libm-dependent — ln is not required
+    to be correctly rounded, so Spark's JVM and DuckDB can disagree in
+    the last bits and the cross-engine hash gate would flake. L1 and
+    chi-square drift are the standard substitutes and stay INTEGER-exact
+    end to end: counts are int64, shares are floored micro-shares via
+    the digit-split long division (functions/exact.micro_share_sql —
+    int64-safe past 9.2e12 rows), and (p-q)^2 <= 10^12 keeps the chi2
+    numerator int64. Identical integers on both engines, no float step
+    at all.
+
+    Plan: one map-side-combinable conditional groupBy(bin); cohort
+    totals ride a constant-partition window over the BIN frame (10
+    rows — bounded by construction, the epoch_plan precedent); the
+    TOTAL row re-aggregates that same frame. 1 data shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (
+            F.to_date("o_orderdate") < F.lit(_DRIFT_SPLIT).cast("date")
+        ).alias("is_a"),
+        F.expr(
+            f"CAST(FLOOR(o_totalprice * 100) AS BIGINT)"
+            f" div {_DRIFT_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    binned = o.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("b_cnt"),
+    )
+    w = Window.partitionBy()
+    shared = (
+        binned.withColumn("a_tot", F.sum("a_cnt").over(w))
+        .withColumn("b_tot", F.sum("b_cnt").over(w))
+        .withColumn("a_micro", F.expr(micro_share_sql("a_cnt", "a_tot")))
+        .withColumn("b_micro", F.expr(micro_share_sql("b_cnt", "b_tot")))
+        .withColumn(
+            "l1_micro", F.abs(F.col("a_micro") - F.col("b_micro"))
+        )
+        .withColumn(
+            "chi2_micro",
+            F.when(F.col("a_micro") + F.col("b_micro") > 0, F.expr(
+                "((a_micro - b_micro) * (a_micro - b_micro))"
+                " div (a_micro + b_micro)"
+            )).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    detail = shared.select(
+        "bin", "a_cnt", "b_cnt", "a_micro", "b_micro",
+        "l1_micro", "chi2_micro",
+    )
+    total = shared.groupBy().agg(
+        F.sum("a_cnt").alias("a_cnt"),
+        F.sum("b_cnt").alias("b_cnt"),
+        F.sum("a_micro").alias("a_micro"),
+        F.sum("b_micro").alias("b_micro"),
+        F.sum("l1_micro").alias("l1_micro"),
+        F.sum("chi2_micro").alias("chi2_micro"),
+    ).select(
+        F.lit(-1).cast("long").alias("bin"),
+        "a_cnt", "b_cnt", "a_micro", "b_micro", "l1_micro", "chi2_micro",
+    )
+    return detail.unionByName(total).orderBy("bin")
+
+
+_A_SHARE = oracle_micro_share_sql("a_cnt", "a_tot")
+_B_SHARE = oracle_micro_share_sql("b_cnt", "b_tot")
+
+ORACLE_DIST_DRIFT = f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) < DATE '{_DRIFT_SPLIT}' AS is_a,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) // {_DRIFT_BIN_CENTS}
+           AS bin
+  FROM orders
+),
+binned AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+  FROM o GROUP BY 1
+),
+shared AS (
+  SELECT bin, a_cnt, b_cnt,
+         CAST({_A_SHARE} AS BIGINT) AS a_micro,
+         CAST({_B_SHARE} AS BIGINT) AS b_micro
+  FROM (
+    SELECT bin, a_cnt, b_cnt,
+           CAST(SUM(a_cnt) OVER () AS BIGINT) AS a_tot,
+           CAST(SUM(b_cnt) OVER () AS BIGINT) AS b_tot
+    FROM binned
+  )
+),
+terms AS (
+  SELECT bin, a_cnt, b_cnt, a_micro, b_micro,
+         ABS(a_micro - b_micro) AS l1_micro,
+         CASE WHEN a_micro + b_micro > 0
+              THEN ((a_micro - b_micro) * (a_micro - b_micro))
+                   // (a_micro + b_micro)
+              ELSE 0 END AS chi2_micro
+  FROM shared
+)
+SELECT bin, a_cnt, b_cnt, a_micro, b_micro, l1_micro, chi2_micro
+FROM terms
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(a_cnt) AS BIGINT),
+       CAST(SUM(b_cnt) AS BIGINT), CAST(SUM(a_micro) AS BIGINT),
+       CAST(SUM(b_micro) AS BIGINT), CAST(SUM(l1_micro) AS BIGINT),
+       CAST(SUM(chi2_micro) AS BIGINT)
+FROM terms
+ORDER BY bin
+"""
+
+
+REGISTRY["dist_drift"] = QuerySpec(
+    q_dist_drift,
+    ORACLE_DIST_DRIFT,
+    "binned distribution-drift monitor between order cohorts: "
+    "integer-exact L1 and chi-square terms per $50k price bin + TOTAL "
+    "row (PSI's ln is libm-nondeterministic cross-engine; documented)",
 )

@@ -712,3 +712,155 @@ def read_ingest_zone(
     except AnalysisException:
         ddl = (schema + ", " if schema else "") + "batch_id long"
         return spark.createDataFrame([], ddl)
+
+
+def start_k_anonymity_gate(
+    stream: DataFrame,
+    release_root: str,
+    pending_root: str,
+    checkpoint: str,
+    qi_cols: list[str],
+    k: int = 5,
+) -> StreamingQuery:
+    """Streaming k-anonymity release gate — the live face of
+    queries/dq_q.q_k_anonymity: rows stream toward a per-customer
+    release zone, but a row is published only when its quasi-identifier
+    equivalence class holds at least ``k`` rows ACROSS everything
+    released so far plus this micro-batch (the Sweeney release rule
+    applied continuously instead of at review time). Rows whose class
+    is still too small go to the ``pending`` zone — nothing is dropped,
+    and the release zone is k-anonymous after EVERY batch, not just at
+    the end of a review cycle.
+
+    The release-zone invariant is inductive: a class enters the zone
+    only with >= k rows at once (new class) or by joining a class
+    already >= k, so cumulative released-class sizes never dip below k
+    and the per-batch decision needs only a CLASS-COUNT join — released
+    rows are never re-read row-by-row, only their (qi, count) frame
+    (bounded by the QI domain, the q_k_anonymity scale argument).
+
+    Classes that accumulate k rows only ACROSS batches sit in pending
+    until :func:`promote_pending` (the periodic maintenance sweep)
+    moves every now-eligible class over — gate + sweep together
+    partition the input exactly as the one-shot batch audit would
+    (tests/test_stream_k_anon.py proves the equivalence).
+
+    Idempotence: per-batch ``batch_id=<n>`` overwrite directories on
+    both zones (the start_validated_ingest pattern) — a crash-replayed
+    micro-batch republishes identical files."""
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            released = read_ingest_zone(spark, release_root)
+            new_counts = batch_df.groupBy(*qi_cols).agg(
+                F.count(F.lit(1)).alias("__n_new")
+            )
+            if set(qi_cols) <= set(released.columns):
+                rel_counts = released.groupBy(*qi_cols).agg(
+                    F.count(F.lit(1)).alias("__n_rel")
+                )
+                decide = new_counts.join(rel_counts, qi_cols, "left")
+            else:  # empty zone: the fallback frame has no QI columns
+                decide = new_counts.withColumn(
+                    "__n_rel", F.lit(None).cast("long")
+                )
+            eligible = decide.filter(
+                F.col("__n_new") + F.coalesce("__n_rel", F.lit(0)) >= k
+            ).select(*qi_cols)
+            # materialize the eligible-class frame BEFORE writing: the
+            # release write overwrites batch dirs that the lazy
+            # release-zone read underpinning `eligible` still references
+            # (a crash-replayed batch would invalidate its own plan).
+            # The frame is bounded by the QI domain — the q_k_anonymity
+            # scale argument — so this is a bounded collect, and the
+            # rebuilt literal frame broadcasts into both routing joins.
+            ok = spark.createDataFrame(
+                eligible.collect(), eligible.schema
+            )
+            batch_df.join(ok, qi_cols, "left_semi").write.mode(
+                "overwrite"
+            ).parquet(f"{release_root}/batch_id={int(batch_id)}")
+            batch_df.join(ok, qi_cols, "left_anti").write.mode(
+                "overwrite"
+            ).parquet(f"{pending_root}/batch_id={int(batch_id)}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def promote_pending(
+    spark: SparkSession,
+    release_root: str,
+    pending_root: str,
+    qi_cols: list[str],
+    k: int = 5,
+) -> int:
+    """The maintenance sweep paired with :func:`start_k_anonymity_gate`:
+    promote every pending class whose cumulative size (pending +
+    released) has reached ``k``. The gate alone can strand a class that
+    gathers its k rows across SEPARATE micro-batches (3 rows in batch
+    1, 3 in batch 2 — each decision saw < k); the sweep closes exactly
+    that gap, so gate + sweep release precisely the rows the one-shot
+    batch audit would.
+
+    Promoted rows append to the release zone as the next batch_id;
+    the pending zone is rewritten (stage-and-swap through a sibling
+    directory — on an object store this would be a new versioned
+    prefix + manifest flip, same shape). Returns the number of rows
+    promoted. Deterministic given the zone contents, so a re-run after
+    a crash between the two writes converges: promotion is keyed on
+    class counts, and re-promoting an already-released class is a
+    no-op (its pending side is empty)."""
+    import os
+    import shutil
+
+    pending = read_ingest_zone(spark, pending_root)
+    if "batch_id" not in pending.columns or not (
+        set(qi_cols) <= set(pending.columns)
+    ):
+        return 0
+    released = read_ingest_zone(spark, release_root)
+    pend_counts = pending.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("__n_pend")
+    )
+    if set(qi_cols) <= set(released.columns):
+        rel_counts = released.groupBy(*qi_cols).agg(
+            F.count(F.lit(1)).alias("__n_rel")
+        )
+        next_id = (
+            released.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        )
+        next_id = int(next_id) + 1 if next_id is not None else 0
+        decide = pend_counts.join(rel_counts, qi_cols, "left")
+    else:
+        next_id = 0
+        decide = pend_counts.withColumn("__n_rel", F.lit(None).cast("long"))
+    eligible = decide.filter(
+        F.col("__n_pend") + F.coalesce("__n_rel", F.lit(0)) >= k
+    ).select(*qi_cols)
+    # same bounded materialization as the gate: the promote write lands
+    # in the release zone that `eligible`'s lazy plan reads
+    ok = spark.createDataFrame(eligible.collect(), eligible.schema)
+    promote = pending.drop("batch_id").join(ok, qi_cols, "left_semi")
+    n = promote.count()
+    if n == 0:
+        return 0
+    promote.write.mode("overwrite").parquet(
+        f"{release_root}/batch_id={next_id}"
+    )
+    remain = pending.drop("batch_id").join(ok, qi_cols, "left_anti")
+    staging = pending_root.rstrip("/") + "__next"
+    remain.write.mode("overwrite").parquet(f"{staging}/batch_id=0")
+    shutil.rmtree(pending_root, ignore_errors=True)
+    os.rename(staging, pending_root)
+    return n

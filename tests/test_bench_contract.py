@@ -1,30 +1,38 @@
 """The bench stdout contract: the driver's tail capture holds ~1900
 chars and parses the LAST stdout line as the headline JSON. These
 checks fail at CI time — not at driver time — when a headline addition
-would overflow the capture (the BENCH_r03 "parsed: null" failure mode,
-closed structurally in round 5)."""
+would overflow the capture (the BENCH_r03 "parsed: null" failure mode).
+
+Round 6 replaced the name-keyed dict + STDOUT_OMIT workaround with a
+dense position-keyed encoding joined through bench_index.json, so every
+headline query carries a parsed time again; the worst-case width model
+here covers THREE-digit integer seconds (the round-5 advice: a 100 s+
+query must not be the first thing that breaks the bound at runtime).
+"""
 
 from __future__ import annotations
 
 import json
+import os
 
-from bench import HEADLINE, STDOUT_OMIT
+from bench import HEADLINE, INDEX_FILE
 
 
-def _line_len(ndec: int, omit: frozenset[str] | set[str]) -> int:
-    # worst realistic case: every kept query needs all ndec decimals
-    # and a two-digit integer part ("12.34"), total in the hundreds
-    times = {k: 12.0 + 0.34 for k in HEADLINE}
+def _line_len(ndec: int) -> int:
+    # worst realistic case: every query needs all ndec decimals AND a
+    # THREE-digit integer part (123.45) — no single headline query has
+    # ever exceeded 4 s, but the model must not be the optimistic one
+    times = {str(i): 123.0 + 0.45 for i in range(len(HEADLINE))}
     return len(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": 123.456,
+                # value is the sum: model 5 integer digits
+                "value": 12345.678,
                 "unit": "sec",
-                "queries": {
-                    k: round(v, ndec) for k, v in times.items() if k not in omit
-                },
+                "queries": {k: round(v, ndec) for k, v in times.items()},
                 "sf": 0.1,
+                "idx": "bench_index.json",
             },
             separators=(",", ":"),
         )
@@ -33,21 +41,27 @@ def _line_len(ndec: int, omit: frozenset[str] | set[str]) -> int:
 
 def test_headline_line_fits_driver_capture():
     # the encoder emits the first ladder rung that measures <= 1850
-    # (bench.py main); the FINAL rung (1 decimal + omit set) must clear
-    # that bar even in the worst case (two-digit times everywhere) or
-    # no rung fits and the capture overflows — if this fails, extend
-    # STDOUT_OMIT before adding to HEADLINE
-    assert _line_len(1, STDOUT_OMIT) <= 1850
+    # (bench.py main): the PRIMARY rung (2 decimals) must clear the bar
+    # at worst-case three-digit widths, so the ladder never actually
+    # degrades precision in practice
+    assert _line_len(2) <= 1850
 
 
-def test_omit_set_is_sane():
-    # omitted names must actually be headline entries (a typo here
-    # would silently omit nothing) and never a round-5+ addition that
-    # still needs its first recorded number
-    assert STDOUT_OMIT <= set(HEADLINE)
-    fresh = {
-        "dq_checks", "epoch_plan", "triangle_count", "classifier_eval",
-        "quality_tradeoff", "source_lift", "label_affinity",
-        "mirror_matrix", "rolling_corr", "k_anonymity",
-    }
-    assert not (STDOUT_OMIT & fresh)
+def test_index_file_matches_headline():
+    # bench_index.json is the judge's join key for the position-keyed
+    # stdout dict — it must exist and list HEADLINE exactly, in order;
+    # regenerate with `python bench.py --write-index` after any edit
+    assert os.path.exists(INDEX_FILE), "run: python bench.py --write-index"
+    with open(INDEX_FILE) as f:
+        idx = json.load(f)["index"]
+    assert idx == HEADLINE, "stale bench_index.json: python bench.py --write-index"
+
+
+def test_headline_names_resolve():
+    # every headline entry must be a registry query (a typo here fails
+    # at bench time, which is a round too late)
+    from data_lake_spark.queries import full_registry
+
+    reg = full_registry()
+    missing = [n for n in HEADLINE if n not in reg]
+    assert not missing, missing

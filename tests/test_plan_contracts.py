@@ -245,6 +245,19 @@ _SHUFFLE_BUDGET = {
     # one QI-pair groupBy; the nation rollup re-aggregates the
     # dim-sized class frame; union of detail + rollup is dim-sized
     "k_anonymity": 3,
+    # gram window rides one doc_id exchange; groupBy(h) keeper index;
+    # grams⋈keep equi-join reuses the h partitioning; island window +
+    # span agg ride doc_id — the inverted index IS the candidate
+    # structure, no pair space
+    "exact_substr": 3,
+    # spans pipeline (3) + covered distinct + the (doc_id,pos)
+    # anti-join + per-doc reassembly agg; the final corpus left joins
+    # reuse the doc_id partitioning
+    "exact_substr_clean": 7,
+    # one conditional groupBy(bin) + the detail/total union re-agg;
+    # cohort totals ride single-partition windows over the 10-row bin
+    # frame (bounded by construction, not counted here)
+    "dist_drift": 2,
 }
 
 

@@ -75,11 +75,16 @@ QUERIES = [
     "label_affinity",  # (label,dim) agg + dim-key pair join: scan-linear
     "mirror_matrix",  # segment-hash agg + hash-key pair join (dup
     # families collapsed before pairing: pair rows bounded by sources²)
+    # ExactSubstr: gram inverted index + islands — duplicated-gram
+    # postings grow with the K× near-dup families (real dedup load,
+    # the minhash_lsh argument), never a doc×doc pair space
+    "exact_substr",
+    "exact_substr_clean",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
-    # / rolling_corr / k_anonymity read orders/lineitem/customer, which
-    # the multiplier doesn't touch)
+    # / rolling_corr / k_anonymity / dist_drift read orders/lineitem/
+    # customer, which the multiplier doesn't touch)
 ]
 
 
@@ -154,6 +159,36 @@ def _scale_corpus(spark, src: str, dst: str, k: int) -> None:
             shutil.copy(p, target)
 
 
+def _scale_events_timeaxis(spark, src: str, dst: str, k: int) -> None:
+    """The constant-DENSITY events multiplier: copy i is shifted i×31
+    days (past the 30-day span), fresh user ids like the packed variant
+    — the ONLY difference from _scale_corpus's events is the time axis.
+    K× the events now means K× the time span at the same concurrent
+    load, the regime real event growth actually lives in; the packed
+    variant (same span, K× density) is kept as the labeled pair-space
+    artifact row beside this one."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    n_ev = ev.count()
+    max_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * n_ev).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS")).alias("ts"),
+            (F.col("user_id") + i * max_user).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
+
+
 def _time(fn, spark, sf_dir) -> float:
     fn(spark, sf_dir).collect()  # warm
     best = float("inf")
@@ -206,6 +241,26 @@ def main() -> None:
             rows.append((name, t1, tk, ratio, ratio / k))
             print(f"# {name}: {t1:.2f}s -> {tk:.2f}s  (x{ratio:.1f} at {k}x data)",
                   file=sys.stderr)
+        # the time-axis control: same K× events at constant density
+        # (copies shifted past the span) — proves interval_overlap's
+        # packed-row super-linearity is the event-multiplier artifact,
+        # not the plan
+        dst_tx = tempfile.mkdtemp(prefix="scale_corpus_tx_")
+        try:
+            _scale_events_timeaxis(spark, src, dst_tx, k)
+            t1 = _time(reg["interval_overlap"].fn, spark, src)
+            tk = _time(reg["interval_overlap"].fn, spark, dst_tx)
+            ratio = tk / t1 if t1 > 0 else float("inf")
+            rows.append(
+                ("interval_overlap (time-extended)", t1, tk, ratio, ratio / k)
+            )
+            print(
+                f"# interval_overlap (time-extended): {t1:.2f}s -> "
+                f"{tk:.2f}s  (x{ratio:.1f} at {k}x data)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(dst_tx, ignore_errors=True)
         with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
             fh.write(
                 "# SCALING — measured time ratio at K× data (local[32], sf0.1 base)\n\n"
@@ -239,10 +294,14 @@ def main() -> None:
                 "constructed reason: the event multiplier packs K× events\n"
                 "(and K× incident windows, and K× concurrently-active\n"
                 "sessions) into the SAME time span, so overlap PAIRS grow\n"
-                "K² — its OUTPUT at 8× is ~64× the rows. Real event growth\n"
-                "extends the time axis and the chunked join stays linear;\n"
-                "the plan itself is a hash equi-join on time chunks with\n"
-                "bounded fan-out (hot chunks salt like any skewed key).\n\n"
+                "K² — its OUTPUT at 8× is ~64× the rows. That claim is now\n"
+                "MEASURED, not argued: the `interval_overlap\n"
+                "(time-extended)` row below runs the identical plan on the\n"
+                "same K× events spread over a K× time span (copies shifted\n"
+                "past the 30-day span — constant density, the regime real\n"
+                "event growth lives in) and must come out ≈ linear, the\n"
+                "capped/uncapped twin convention. The packed row stays as\n"
+                "the labeled pair-space artifact.\n\n"
                 "doc_embed / doc_topk / rrf_fusion are honest CPU-linear\n"
                 "map work (md5 token hashing over every document) — their\n"
                 "ratio tracks corpus size with ratio/K well under 1, and the\n"
