@@ -184,6 +184,17 @@ HEADLINE = [
     "exact_substr_clean",
     # binned two-cohort drift monitor (integer-exact L1 + chi2 terms)
     "dist_drift",
+    # span-level benchmark decontamination (broadcast bench grams)
+    "decontam_substr",
+    # language-classifier confusion matrix w/ exact micro P/R
+    "lang_confusion",
+    # docs↔vectors completeness audit (multimodal FK check)
+    "embedding_coverage",
+    # exact-dup family histogram: what dedup buys, measured first
+    "dup_histogram",
+    # per-language fertility of the corpus-learned BPE (tokenizer
+    # fairness: tokens/word, chars/token as exact micro-ratios)
+    "bpe_fertility",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

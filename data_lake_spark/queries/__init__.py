@@ -148,6 +148,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "exact_substr",
     "exact_substr_clean",
     "dist_drift",
+    "decontam_substr",
+    "lang_confusion",
+    "embedding_coverage",
+    "dup_histogram",
+    "bpe_fertility",
     # (b) r02-stale — the five oldest verdicts in the registry (3)
     "api_detailed_ranking",
     "approx_distinct",

@@ -566,3 +566,106 @@ REGISTRY["source_lift"] = QuerySpec(
     "top-5 distinctive terms per source by integer-exact lift "
     "(concentration over baseline, floored micro-shares)",
 )
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility — per-language fertility of the corpus-learned tokenizer
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fairness table: per LANGUAGE, fertility of the
+    corpus-learned BPE (bpe_merges' 8 rounds) — BPE tokens per word and
+    characters per BPE token, as floored micro-ratios. The table a
+    multilingual pipeline reads before trusting one tokenizer across
+    languages: a language whose fertility is 2× the corpus mean pays 2×
+    the sequence length for the same text (the under-served-script
+    signal). Ratios are integer micro-divisions of exact int64 sums —
+    bit-identical across engines, no float anywhere.
+
+    Plan: the learned vocabulary is dim-sized (distinct words) and
+    BROADCASTS; the corpus side is one explode + one groupBy(lang) —
+    the bpe_encode shape with a language rollup instead of a doc
+    rollup. 100 TB cost: one scan, one dim-sized join, one
+    map-side-combinable aggregate."""
+    from data_lake_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+    enc = vocab.select(
+        "word",
+        F.size("symbols").cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr(micro_share_sql("n_bpe_tokens", "n_words")).alias(
+                "tokens_per_word_micro"
+            ),
+            F.expr(micro_share_sql("n_chars", "n_bpe_tokens")).alias(
+                "chars_per_token_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_TPW = oracle_micro_share_sql("n_bpe_tokens", "n_words")
+_CPT = oracle_micro_share_sql("n_chars", "n_bpe_tokens")
+
+ORACLE_BPE_FERTILITY = f"""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT word, n,
+         '|' || ARRAY_TO_STRING(LIST_APPEND(STRING_SPLIT(word, ''), '</w>'), '||') || '|' AS sym
+  FROM wc
+),{",".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))},
+enc AS (
+  SELECT word,
+         CAST(LEN(STRING_SPLIT(SUBSTR(sym, 2, LEN(sym) - 2), '||'))
+              AS BIGINT) AS n_sym,
+         CAST(LENGTH(word) AS BIGINT) AS n_chars
+  FROM r{_BPE_ROUNDS}
+),
+dw AS (
+  SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(enc.n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(enc.n_chars) AS BIGINT) AS n_chars
+  FROM dw JOIN enc USING (word)
+  WHERE dw.word != ''
+  GROUP BY 1
+)
+SELECT lang, n_words, n_bpe_tokens, n_chars,
+       {_TPW} AS tokens_per_word_micro,
+       {_CPT} AS chars_per_token_micro
+FROM agg ORDER BY lang
+"""
+
+REGISTRY["bpe_fertility"] = QuerySpec(
+    q_bpe_fertility,
+    ORACLE_BPE_FERTILITY,
+    "per-language fertility of the corpus-learned BPE: tokens/word and "
+    "chars/token as exact integer micro-ratios (tokenizer fairness)",
+)

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+)
 from data_lake_spark.operators.textdedup import (
+    decontam_spans,
     exact_substr_dedup,
     exact_substr_spans,
 )
@@ -128,6 +133,64 @@ ORDER BY d.doc_id
 """
 )
 
+_DC_K = 5  # the curation.decontam gram width, kept for comparability
+_DC_MIN = 13  # GPT-3's collision width (Brown et al. 2020 §C)
+_DC_BENCH = 10  # doc_id < 10 stands in for the eval set (the decontam split)
+
+
+def q_decontam_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: contaminated token spans (>= 13
+    tokens of benchmark-colliding 5-grams, extended+merged) in every
+    training doc — where q_decontam (curation.py) only counts per-doc
+    gram hits, this locates WHAT to excise."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = decontam_spans(
+        docs.filter(F.col("doc_id") >= _DC_BENCH),
+        docs.filter(F.col("doc_id") < _DC_BENCH),
+        k=_DC_K,
+        min_tokens=_DC_MIN,
+    )
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")
+
+
+ORACLE_DECONTAM_SUBSTR = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{_DC_K}-1], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {_DC_K} + 2)) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id < {_DC_BENCH}
+),
+marked AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN bench b ON g.h = b.h
+  WHERE g.doc_id >= {_DC_BENCH}
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) + {_DC_K} - 1 - min(pos) + 1 AS span_tokens
+  FROM runs GROUP BY doc_id, grp
+  HAVING max(pos) + {_DC_K} - 1 - min(pos) + 1 >= {_DC_MIN}
+)
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM spans ORDER BY doc_id, span_start
+"""
+
+
 REGISTRY = {
     "exact_substr": QuerySpec(
         q_exact_substr,
@@ -142,4 +205,167 @@ REGISTRY = {
         "ExactSubstr applied: duplicated spans excised, remainder "
         "reassembled in token order",
     ),
+    "decontam_substr": QuerySpec(
+        q_decontam_substr,
+        ORACLE_DECONTAM_SUBSTR,
+        "span-level benchmark decontamination: locate >=13-token "
+        "benchmark-colliding spans in training docs (broadcast bench "
+        "grams + islands)",
+    ),
 }
+
+
+# ---------------------------------------------------------------------------
+# embedding_coverage — cross-modal completeness audit (docs ↔ vectors)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage audit between the text corpus and its vector table —
+    the first question a retrieval stack asks before serving: per
+    source, how many documents have an embedding row (vec_id == doc_id,
+    the ingest contract), coverage as a floored micro-share, plus one
+    '(orphan vectors)' row counting embeddings with no document (the
+    other direction of the same FK). The dq_checks convention applied
+    to the multimodal join key.
+
+    Plan: one id equi-join docs→vectors (co-partitionable on the id at
+    any scale; the vector side is projected to its key — no embedding
+    arrays move), one groupBy(source) over the joined frame, one
+    anti-join count for orphans. No broadcast assumption: both sides
+    are fact-sized at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(
+        vecs, docs.doc_id == vecs.vec_id, "left"
+    ).select("source", F.col("vec_id").isNotNull().alias("has_vec"))
+    per_source = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("has_vec"), 1).otherwise(0)).alias("n_with_vec"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_with_vec",
+        F.expr(micro_share_sql("n_with_vec", "n_docs")).alias(
+            "coverage_micro"
+        ),
+    )
+    orphans = (
+        vecs.join(docs, vecs.vec_id == docs.doc_id, "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_with_vec"))
+        .select(
+            F.lit("(orphan vectors)").alias("source"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.col("n_with_vec").cast("long"),
+            F.lit(None).cast("long").alias("coverage_micro"),
+        )
+    )
+    return per_source.unionByName(orphans).orderBy("source")
+
+
+_COV = oracle_micro_share_sql("n_with_vec", "n_docs")
+
+ORACLE_EMBEDDING_COVERAGE = f"""
+WITH j AS (
+  SELECT d.source, v.vec_id IS NOT NULL AS has_vec
+  FROM documents d LEFT JOIN embeddings v ON d.doc_id = v.vec_id
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN has_vec THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_vec
+  FROM j GROUP BY 1
+)
+SELECT source, n_docs, n_with_vec,
+       CAST({_COV} AS BIGINT) AS coverage_micro
+FROM per_source
+UNION ALL
+SELECT '(orphan vectors)', CAST(0 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(NULL AS BIGINT)
+FROM embeddings v
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = v.vec_id)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dup_histogram — duplicate-family size distribution
+# ---------------------------------------------------------------------------
+
+
+def q_dup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of exact-duplicate families (md5 of
+    lowercased text, the exact_dedup key): for each family size s, how
+    many families, how many redundant documents ((s-1) per family) and
+    how many redundant tokens they carry — the one-page report that
+    says what exact dedup will actually buy before anyone runs it.
+    family_size=1 rows are the unique mass (redundant = 0), kept so
+    the histogram sums to the corpus.
+
+    Plan: groupBy(content hash) — map-side combinable, uniform key —
+    then groupBy(family size) over the FAMILY frame (≤ corpus/s rows),
+    map-only arithmetic after. Token counts stay int64: a family's
+    token total is bounded by the corpus token count. 2 shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    fams = docs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("n_tok").alias("fam_toks"),
+        F.max("n_tok").alias("keeper_toks"),
+    )
+    return (
+        fams.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_families"),
+            ((F.col("s") - 1) * F.count(F.lit(1)))
+            .cast("long")
+            .alias("redundant_docs"),
+            F.sum(F.col("fam_toks") - F.col("keeper_toks"))
+            .cast("long")
+            .alias("redundant_tokens"),
+        )
+        .select(
+            F.col("s").cast("long").alias("family_size"),
+            "n_families",
+            "redundant_docs",
+            "redundant_tokens",
+        )
+        .orderBy("family_size")
+    )
+
+
+ORACLE_DUP_HISTOGRAM = """
+WITH docs AS (
+  SELECT md5(lower(text)) AS h,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+fams AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS s,
+         CAST(SUM(n_tok) AS BIGINT) AS fam_toks,
+         CAST(MAX(n_tok) AS BIGINT) AS keeper_toks
+  FROM docs GROUP BY 1
+)
+SELECT s AS family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST((s - 1) * COUNT(*) AS BIGINT) AS redundant_docs,
+       CAST(SUM(fam_toks - keeper_toks) AS BIGINT) AS redundant_tokens
+FROM fams GROUP BY s ORDER BY family_size
+"""
+
+REGISTRY["embedding_coverage"] = QuerySpec(
+    q_embedding_coverage,
+    ORACLE_EMBEDDING_COVERAGE,
+    "docs↔vectors completeness audit: per-source embedding coverage "
+    "micro-share + orphan-vector count (the multimodal FK check)",
+)
+REGISTRY["dup_histogram"] = QuerySpec(
+    q_dup_histogram,
+    ORACLE_DUP_HISTOGRAM,
+    "exact-duplicate family-size histogram with redundant doc/token "
+    "mass — what dedup will buy, measured before running it",
+)

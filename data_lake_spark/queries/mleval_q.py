@@ -224,3 +224,84 @@ REGISTRY: dict[str, QuerySpec] = {
         "each threshold + survivor purity, same one-pass histogram",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# lang_confusion — confusion matrix + per-cell precision/recall for the
+# heuristic language classifier against the gold labels
+# ---------------------------------------------------------------------------
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of llm.q_lang_id's stopword-profile classifier
+    vs the labeled ``lang`` column, with integer-exact per-cell rates:
+    recall_micro = n / (gold-label row total), precision_micro =
+    n / (predicted-label column total) — the table a pipeline reads
+    before trusting a cheap classifier to route a 100 TB corpus (e.g.
+    "every zh doc is mislabeled en" shows up as one loud row here).
+
+    Plan: the classifier is a map-only projection (pure built-ins, the
+    lang_id contract); ONE map-side-combinable groupBy
+    (labeled, predicted); both marginals ride windows over the K×K
+    cell frame (≤ |langs|² rows — bounded by construction). Rates are
+    floored micro-shares via the digit-split division. 1 corpus
+    shuffle."""
+    from data_lake_spark.queries.llm import q_lang_id
+
+    cells = (
+        q_lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wl = Window.partitionBy("labeled_lang")
+    wp = Window.partitionBy("predicted_lang")
+    return (
+        cells.withColumn("label_tot", F.sum("n").over(wl))
+        .withColumn("pred_tot", F.sum("n").over(wp))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.expr(micro_share_sql("n", "label_tot")).alias("recall_micro"),
+            F.expr(micro_share_sql("n", "pred_tot")).alias(
+                "precision_micro"
+            ),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+_REC = oracle_micro_share_sql("n", "label_tot")
+_PREC = oracle_micro_share_sql("n", "pred_tot")
+
+
+def _oracle_lang_confusion() -> str:
+    from data_lake_spark.queries.llm import ORACLE_LANG_ID
+
+    return f"""
+WITH lang_pred AS ({ORACLE_LANG_ID}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lang_pred GROUP BY 1, 2
+),
+marg AS (
+  SELECT labeled_lang, predicted_lang, n,
+         CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+           AS label_tot,
+         CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS BIGINT)
+           AS pred_tot
+  FROM cells
+)
+SELECT labeled_lang, predicted_lang, n,
+       {_REC} AS recall_micro,
+       {_PREC} AS precision_micro
+FROM marg ORDER BY labeled_lang, predicted_lang
+"""
+
+
+REGISTRY["lang_confusion"] = QuerySpec(
+    q_lang_confusion,
+    _oracle_lang_confusion(),
+    "confusion matrix of the heuristic language classifier vs gold "
+    "labels with integer-exact per-cell precision/recall micro-shares",
+)

@@ -104,3 +104,28 @@ def test_whole_doc_copy_empties_to_blank(spark):
     assert out[1]["clean_text"] == t and out[1]["n_removed"] == 0
     assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
     assert out[2]["n_removed"] == 40
+
+
+def test_decontam_spans_locates_benchmark_crossover(spark):
+    # a training doc embedding 15 verbatim benchmark tokens mid-doc:
+    # the span is located at its offset, and an uncontaminated doc
+    # reports nothing (span-level — the rest of the doc survives)
+    from data_lake_spark.operators.textdedup import decontam_spans
+
+    bench_run = [f"b{i}" for i in range(15)]
+    bench = spark.createDataFrame(
+        [(1, " ".join(bench_run + ["tailb0", "tailb1"]))],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, " ".join([f"t{i}" for i in range(8)] + bench_run
+                          + [f"u{i}" for i in range(5)])),
+            (11, " ".join(f"clean{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = decontam_spans(train, bench, k=5, min_tokens=13).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_tokens"]) for r in spans] == [
+        (10, 8, 15)
+    ]

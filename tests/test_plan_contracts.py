@@ -258,6 +258,22 @@ _SHUFFLE_BUDGET = {
     # cohort totals ride single-partition windows over the 10-row bin
     # frame (bounded by construction, not counted here)
     "dist_drift": 2,
+    # gram window + bench distinct; the collision join is BROADCAST
+    # (bench side tiny) so the train grams never shuffle on the gram
+    # key; islands ride the doc_id partitioning
+    "decontam_substr": 3,
+    # map-only classify + one (labeled,predicted) groupBy; both
+    # marginal windows ride the ≤|langs|² cell frame
+    "lang_confusion": 3,
+    # id equi-join (broadcast at test SF; ≤2 key exchanges when both
+    # sides go fact-sized) + groupBy(source) + anti-join orphan count
+    "embedding_coverage": 3,
+    # content-hash family agg + family-size histogram agg
+    "dup_histogram": 2,
+    # one groupBy(lang) over the explode; the learned vocabulary joins
+    # broadcast (dim-sized); BPE merge rounds run driver-side over the
+    # vocabulary frame, not the corpus (the bpe_merges budget argument)
+    "bpe_fertility": 4,
 }
 
 

@@ -80,6 +80,9 @@ QUERIES = [
     # the minhash_lsh argument), never a doc×doc pair space
     "exact_substr",
     "exact_substr_clean",
+    "decontam_substr",  # broadcast bench grams + islands: scan-linear
+    "dup_histogram",  # content-hash agg + family-frame agg: scan-linear
+    "embedding_coverage",  # id equi-join + source agg: scan-linear
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
