@@ -130,19 +130,17 @@ def full_registry() -> dict[str, QuerySpec]:
 #     rank-50 cut): each round-6 addition in (a) displaces one row off
 #     this tail into the ROUND 7 TODO.
 #
-# ROUND 7 TODO (recompute from CORRECTNESS_r06 the same way — exact
-# lists, no memory): lead with whatever block-(d) tail rows fell below
-# rank 50 this round (alphabetically last first... i.e. the displaced
-# suffix of: api_models_distribution avg_of_sums bigram_lm_score
-# decontam dedup_keep_latest dow_distribution earnings_by_day
-# earnings_series_pivot full_outer_platforms grouping_sets_report
-# left_join_dim literal_dim_report minhash_lsh mixture_weights
-# multi_agg_attrs ntile_deciles or_key_join pagination
-# percentile_report profile_orders rank_models ratio_profitability
+# ROUND 7 TODO (computed from this round's final window: 8 additions +
+# 5 r02-stale + 19 (c) = 32, rank 50 cuts block (d) after its 18th
+# alphabetical row, `pagination`): lead with the 13 displaced (d)-tail
+# rows, still r03-green and the oldest verdicts in the registry by r07
+# — percentile_report profile_orders rank_models ratio_profitability
 # repetition_stats revenue_by_region rollup_report shingle_pairs
-# text_stats top5_distribution topk_per_group trailing_7d weekly_agg),
-# then the 49 r04-stale rows oldest-first; round-7 additions slot in at
-# the top as they land.
+# text_stats top5_distribution topk_per_group trailing_7d weekly_agg —
+# then the 49 r04-stale rows oldest-first (recompute the exact list
+# from CORRECTNESS_r06 at round start, the standing discipline);
+# round-7 additions slot in at the top as they land, each displacing
+# one r04-stale row into the ROUND 8 TODO.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-6 additions — first driver row this round (keep current)
     "exact_substr",

@@ -83,6 +83,8 @@ QUERIES = [
     "decontam_substr",  # broadcast bench grams + islands: scan-linear
     "dup_histogram",  # content-hash agg + family-frame agg: scan-linear
     "embedding_coverage",  # id equi-join + source agg: scan-linear
+    "lang_confusion",  # map-only classify + one cell agg: scan-linear
+    "bpe_fertility",  # corpus explode + broadcast vocab join + lang agg
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
