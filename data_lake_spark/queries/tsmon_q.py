@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.functions.exact import (
-    micro_share_sql,
     oracle_micro_share_sql,
     oracle_sum_exact,
     sum_exact,
@@ -369,39 +368,9 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a_cnt"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("b_cnt"),
     )
-    w = Window.partitionBy()
-    shared = (
-        binned.withColumn("a_tot", F.sum("a_cnt").over(w))
-        .withColumn("b_tot", F.sum("b_cnt").over(w))
-        .withColumn("a_micro", F.expr(micro_share_sql("a_cnt", "a_tot")))
-        .withColumn("b_micro", F.expr(micro_share_sql("b_cnt", "b_tot")))
-        .withColumn(
-            "l1_micro", F.abs(F.col("a_micro") - F.col("b_micro"))
-        )
-        .withColumn(
-            "chi2_micro",
-            F.when(F.col("a_micro") + F.col("b_micro") > 0, F.expr(
-                "((a_micro - b_micro) * (a_micro - b_micro))"
-                " div (a_micro + b_micro)"
-            )).otherwise(F.lit(0)).cast("long"),
-        )
-    )
-    detail = shared.select(
-        "bin", "a_cnt", "b_cnt", "a_micro", "b_micro",
-        "l1_micro", "chi2_micro",
-    )
-    total = shared.groupBy().agg(
-        F.sum("a_cnt").alias("a_cnt"),
-        F.sum("b_cnt").alias("b_cnt"),
-        F.sum("a_micro").alias("a_micro"),
-        F.sum("b_micro").alias("b_micro"),
-        F.sum("l1_micro").alias("l1_micro"),
-        F.sum("chi2_micro").alias("chi2_micro"),
-    ).select(
-        F.lit(-1).cast("long").alias("bin"),
-        "a_cnt", "b_cnt", "a_micro", "b_micro", "l1_micro", "chi2_micro",
-    )
-    return detail.unionByName(total).orderBy("bin")
+    from data_lake_spark.operators.drift import drift_report
+
+    return drift_report(binned)
 
 
 _A_SHARE = oracle_micro_share_sql("a_cnt", "a_tot")

@@ -813,14 +813,20 @@ def promote_pending(
     that gap, so gate + sweep release precisely the rows the one-shot
     batch audit would.
 
-    Promoted rows append to the release zone as the next batch_id;
-    the pending zone is rewritten (stage-and-swap through a sibling
-    directory — on an object store this would be a new versioned
-    prefix + manifest flip, same shape). Returns the number of rows
-    promoted. Deterministic given the zone contents, so a re-run after
-    a crash between the two writes converges: promotion is keyed on
-    class counts, and re-promoting an already-released class is a
-    no-op (its pending side is empty)."""
+    Crash safety — the two-write window, closed by a DETERMINISTIC
+    promotion id: promoted rows land in the release zone at
+    ``batch_id = 10^6 + max(pending batch_id)``, keyed to the pending
+    state BEFORE its rewrite (stream batch ids stay far below 10^6).
+    A re-run after a crash between the release write and the pending
+    rewrite recomputes the SAME id from the unchanged pending zone and
+    the same promote set (promoted classes are already eligible; the
+    temporary double count can't make a below-k class eligible), so it
+    OVERWRITES the same directory instead of appending a duplicate —
+    the per-batch-overwrite idempotence convention. Each successful
+    sweep bumps the surviving pending batch_id, so successive
+    promotions get distinct ids. The pending rewrite itself is
+    stage-and-swap through a sibling directory (on an object store: a
+    new versioned prefix + manifest flip). Returns rows promoted."""
     import os
     import shutil
 
@@ -837,14 +843,13 @@ def promote_pending(
         rel_counts = released.groupBy(*qi_cols).agg(
             F.count(F.lit(1)).alias("__n_rel")
         )
-        next_id = (
-            released.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
-        )
-        next_id = int(next_id) + 1 if next_id is not None else 0
         decide = pend_counts.join(rel_counts, qi_cols, "left")
     else:
-        next_id = 0
         decide = pend_counts.withColumn("__n_rel", F.lit(None).cast("long"))
+    pend_max = pending.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    if pend_max is None:
+        return 0
+    promo_id = 1_000_000 + int(pend_max)
     eligible = decide.filter(
         F.col("__n_pend") + F.coalesce("__n_rel", F.lit(0)) >= k
     ).select(*qi_cols)
@@ -856,11 +861,75 @@ def promote_pending(
     if n == 0:
         return 0
     promote.write.mode("overwrite").parquet(
-        f"{release_root}/batch_id={next_id}"
+        f"{release_root}/batch_id={promo_id}"
     )
     remain = pending.drop("batch_id").join(ok, qi_cols, "left_anti")
     staging = pending_root.rstrip("/") + "__next"
-    remain.write.mode("overwrite").parquet(f"{staging}/batch_id=0")
+    remain.write.mode("overwrite").parquet(
+        f"{staging}/batch_id={int(pend_max) + 1}"
+    )
     shutil.rmtree(pending_root, ignore_errors=True)
     os.rename(staging, pending_root)
     return n
+
+
+def start_drift_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    bin_col: str = "bin",
+) -> StreamingQuery:
+    """Streaming covariate-shift monitor — the live face of
+    queries/tsmon_q.q_dist_drift: each micro-batch's distribution over
+    ``bin_col`` is compared against a fixed REFERENCE histogram
+    (``reference``: (bin, a_cnt) — e.g. last quarter's binned counts,
+    a dim-sized artifact), and the per-bin L1/chi-square drift terms
+    plus the TOTAL row (operators/drift.drift_report — the identical
+    integer-exact arithmetic the batch query runs) are published per
+    batch. An ops alert is one filter on the stored TOTAL rows:
+    ``bin = -1 AND l1_micro > threshold`` — distribution shift caught
+    within one micro-batch of arrival, not at the next quarterly
+    review.
+
+    Bins absent from one side count 0 on that side (full outer on the
+    bin frame) so mass appearing in a NEVER-referenced bin — the
+    classic new-category drift — shows up at full weight instead of
+    being dropped.
+
+    Scale: per batch, one map-side-combinable groupBy(bin) over the
+    micro-batch, then everything rides the bin-sized frame; the
+    reference never re-aggregates. Idempotence: per-batch
+    ``batch_id=<n>`` overwrite dirs (the start_validated_ingest
+    pattern); read with :func:`read_ingest_zone`."""
+    ref = reference.select(
+        F.col(bin_col).cast("long").alias("bin"),
+        F.col("a_cnt").cast("long").alias("a_cnt"),
+    )
+
+    def _monitor(batch_df: DataFrame, batch_id: int) -> None:
+        from data_lake_spark.operators.drift import drift_report
+
+        if batch_df.isEmpty():
+            return
+        b = batch_df.groupBy(
+            F.col(bin_col).cast("long").alias("bin")
+        ).agg(F.count(F.lit(1)).cast("long").alias("b_cnt"))
+        binned = (
+            ref.join(b, "bin", "full_outer")
+            .select(
+                "bin",
+                F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+                F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+            )
+        )
+        drift_report(binned).write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_monitor)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

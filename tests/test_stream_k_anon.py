@@ -134,3 +134,32 @@ def test_gate_replay_is_idempotent(spark, tmp_path):
         q.stop()
     assert read_ingest_zone(spark, rel).count() == n_rel
     assert read_ingest_zone(spark, pend).count() == n_pend
+
+
+def test_promote_crash_replay_does_not_duplicate(spark, tmp_path):
+    # simulate the crash window: the release write succeeded but the
+    # pending rewrite didn't — re-running the sweep must OVERWRITE the
+    # same deterministic promo dir, not append a duplicate batch
+    import shutil
+
+    rows = _rows(spark)
+    src = _staged_source(spark, tmp_path, rows)
+    rel, pend = _run_gate(spark, tmp_path, rows, src)
+
+    snap = str(tmp_path / "pend_snapshot")
+    shutil.copytree(pend, snap)
+    n1 = promote_pending(spark, rel, pend, QI, k=K)
+    assert n1 > 0
+    released_after = sorted(
+        read_ingest_zone(spark, rel).toPandas()["c_custkey"]
+    )
+
+    # crash rewind: restore the pre-rewrite pending zone
+    shutil.rmtree(pend)
+    shutil.copytree(snap, pend)
+    n2 = promote_pending(spark, rel, pend, QI, k=K)
+    assert n2 == n1  # same deterministic promote set
+    assert (
+        sorted(read_ingest_zone(spark, rel).toPandas()["c_custkey"])
+        == released_after
+    )  # no duplicates: the promo dir was overwritten, not appended
