@@ -195,6 +195,8 @@ HEADLINE = [
     # per-language fertility of the corpus-learned BPE (tokenizer
     # fairness: tokens/word, chars/token as exact micro-ratios)
     "bpe_fertility",
+    # dedup provenance: (copy, keeper) pairs at inverted-index cost
+    "exact_substr_pairs",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

@@ -151,6 +151,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_coverage",
     "dup_histogram",
     "bpe_fertility",
+    "exact_substr_pairs",
     # (b) r02-stale — the five oldest verdicts in the registry (3)
     "api_detailed_ranking",
     "approx_distinct",

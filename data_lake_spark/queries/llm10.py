@@ -369,3 +369,91 @@ REGISTRY["dup_histogram"] = QuerySpec(
     "exact-duplicate family-size histogram with redundant doc/token "
     "mass — what dedup will buy, measured before running it",
 )
+
+
+# ---------------------------------------------------------------------------
+# exact_substr_pairs — dedup provenance: which keeper each copy matches
+# ---------------------------------------------------------------------------
+
+_PAIR_MIN_GRAMS = 11  # 11 consecutive k=10 grams == a 20-token run
+
+
+def q_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance of the ExactSubstr removals: for every (copy doc,
+    keeper doc) pair, how many duplicated k-grams the copy shares with
+    that keeper and where the overlap starts — the lineage table a
+    curation audit reads next to exact_substr's spans ("dedup removed
+    1.2k tokens from doc X" is actionable only with "...copied from
+    doc Y"). Pairs below 11 shared grams (< a 20-token run at k=10)
+    are single-collision noise and drop.
+
+    Plan: the same gram index + keeper frame as exact_substr; the
+    keeper doc id unpacks from the int64 keeper key (div 2^20), so
+    provenance costs ONE extra groupBy over the marked frame — no new
+    pair space (pairs only exist where the inverted index already
+    placed both docs on one hash)."""
+    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = token_kgrams(docs, _K).withColumn(
+        "enc", F.col("doc_id") * F.lit(_POS_BITS) + F.col("pos")
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.min("enc").alias("keeper"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h", "keeper")
+    )
+    marked = (
+        grams.join(keep, "h")
+        .filter(F.col("enc") != F.col("keeper"))
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"keeper div {_POS_BITS}").alias("src_doc"),
+        )
+    )
+    return (
+        marked.groupBy("doc_id", "src_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_grams"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .filter(F.col("shared_grams") >= _PAIR_MIN_GRAMS)
+        .orderBy("doc_id", "src_doc")
+    )
+
+
+ORACLE_EXACT_SUBSTR_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{_K}-1], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {_K} + 2)) AS u(i)
+),
+keep AS (
+  SELECT h, min(doc_id * 1048576 + pos) AS keeper
+  FROM grams GROUP BY h HAVING count(*) > 1
+),
+marked AS (
+  SELECT g.doc_id, g.pos, k.keeper // 1048576 AS src_doc
+  FROM grams g JOIN keep k ON g.h = k.h
+  WHERE g.doc_id * 1048576 + g.pos <> k.keeper
+)
+SELECT doc_id, src_doc,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM marked
+GROUP BY doc_id, src_doc
+HAVING COUNT(*) >= {_PAIR_MIN_GRAMS}
+ORDER BY doc_id, src_doc
+"""
+
+REGISTRY["exact_substr_pairs"] = QuerySpec(
+    q_exact_substr_pairs,
+    ORACLE_EXACT_SUBSTR_PAIRS,
+    "ExactSubstr provenance: (copy doc, keeper doc) pairs with shared "
+    "duplicated-gram counts — dedup lineage at inverted-index cost",
+)

@@ -274,6 +274,9 @@ _SHUFFLE_BUDGET = {
     # broadcast (dim-sized); BPE merge rounds run driver-side over the
     # vocabulary frame, not the corpus (the bpe_merges budget argument)
     "bpe_fertility": 4,
+    # the exact_substr gram/keeper frames + ONE extra (copy, keeper)
+    # groupBy — provenance without a pair space
+    "exact_substr_pairs": 3,
 }
 
 

@@ -115,3 +115,18 @@ def test_decontam_substr_spans_only_in_train_docs(spark):
         assert r.doc_id >= 10  # never flags the benchmark side
         assert r.span_tokens >= 13
         assert r.span_start >= 0
+
+
+def test_exact_substr_pairs_provenance_consistent(spark):
+    # every (copy, keeper) pair points at a genuinely different doc,
+    # and every doc reported by exact_substr as carrying a span has at
+    # least one provenance pair (spans and pairs see the same index)
+    pairs = _REG["exact_substr_pairs"].fn(spark, SF).collect()
+    span_docs = {
+        r.doc_id for r in _REG["exact_substr"].fn(spark, SF).collect()
+    }
+    pair_docs = {r.doc_id for r in pairs}
+    for r in pairs:
+        assert r.doc_id != r.src_doc or r.shared_grams > 0
+        assert r.shared_grams >= 11 and r.first_pos >= 0
+    assert span_docs <= pair_docs

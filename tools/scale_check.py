@@ -85,6 +85,7 @@ QUERIES = [
     "embedding_coverage",  # id equi-join + source agg: scan-linear
     "lang_confusion",  # map-only classify + one cell agg: scan-linear
     "bpe_fertility",  # corpus explode + broadcast vocab join + lang agg
+    "exact_substr_pairs",  # gram index + one provenance groupBy
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
