@@ -197,6 +197,8 @@ HEADLINE = [
     "bpe_fertility",
     # dedup provenance: (copy, keeper) pairs at inverted-index cost
     "exact_substr_pairs",
+    # temperature-0.5 mixture weights (sqrt-damped language sampling)
+    "temp_weights",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

@@ -152,6 +152,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dup_histogram",
     "bpe_fertility",
     "exact_substr_pairs",
+    "temp_weights",
     # (b) r02-stale — the five oldest verdicts in the registry (3)
     "api_detailed_ranking",
     "approx_distinct",

@@ -408,3 +408,108 @@ REGISTRY: dict[str, QuerySpec] = {
         "language-balanced deterministic mixture subsample",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# temp_weights — temperature-sampling mixture weights (p ∝ √share)
+# ---------------------------------------------------------------------------
+
+
+def q_temp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mT5/XLM-R recipe at
+    α = 0.5): per-language sampling weight ∝ √(token share), the
+    standard middle ground between proportional sampling (drowns
+    minority languages) and q_mixture_weights' equal-contribution
+    extreme (starves the head). ``boost_micro`` = weight/share is the
+    upsampling factor a loader applies per language.
+
+    Determinism (why α = 0.5 and not 0.3/0.7): share^α needs pow(),
+    which is libm-dependent — but SQRT is IEEE-754 correctly rounded
+    on every engine. So the one float step is
+    floor(√(share_micro·10⁶)) — int64 → double is exact below 2⁵³,
+    sqrt is correctly rounded, floor is exact — and everything on
+    either side is integer micro-arithmetic (digit-split division),
+    bit-identical across engines and partitionings.
+
+    Plan: one map-side-combinable groupBy(lang); the total and the
+    √-sum ride constant-partition windows over the LANGUAGE frame
+    (bounded by construction). 1 corpus shuffle."""
+    from pyspark.sql import Window
+
+    from data_lake_spark.functions.exact import micro_share_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    w = Window.partitionBy(F.lit(0))
+    shares = counts.withColumn(
+        "tot", F.sum("n_tokens").over(w)
+    ).withColumn(
+        "share_micro", F.expr(micro_share_sql("n_tokens", "tot"))
+    ).withColumn(
+        "sqrt_micro",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(share_micro * 1000000 AS DOUBLE)))"
+            " AS BIGINT)"
+        ),
+    ).withColumn("sqrt_tot", F.sum("sqrt_micro").over(w))
+    return shares.select(
+        "lang",
+        "n_tokens",
+        "share_micro",
+        F.expr(micro_share_sql("sqrt_micro", "sqrt_tot")).alias(
+            "weight_micro"
+        ),
+        F.expr(
+            micro_share_sql(
+                micro_share_sql("sqrt_micro", "sqrt_tot"), "share_micro"
+            )
+        ).alias("boost_micro"),
+    ).orderBy("lang")
+
+
+def _oracle_temp_weights() -> str:
+    from data_lake_spark.functions.exact import oracle_micro_share_sql
+
+    share = oracle_micro_share_sql("n_tokens", "tot")
+    weight = oracle_micro_share_sql("sqrt_micro", "sqrt_tot")
+    boost = oracle_micro_share_sql(weight, "share_micro")
+    return f"""
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+shares AS (
+  SELECT lang, n_tokens,
+         CAST({share} AS BIGINT) AS share_micro
+  FROM (SELECT lang, n_tokens,
+               CAST(SUM(n_tokens) OVER () AS BIGINT) AS tot
+        FROM counts)
+),
+sq AS (
+  SELECT lang, n_tokens, share_micro,
+         CAST(FLOOR(SQRT(CAST(share_micro * 1000000 AS DOUBLE)))
+              AS BIGINT) AS sqrt_micro
+  FROM shares
+),
+tot2 AS (
+  SELECT lang, n_tokens, share_micro, sqrt_micro,
+         CAST(SUM(sqrt_micro) OVER () AS BIGINT) AS sqrt_tot
+  FROM sq
+)
+SELECT lang, n_tokens, share_micro,
+       CAST({weight} AS BIGINT) AS weight_micro,
+       CAST({boost} AS BIGINT) AS boost_micro
+FROM tot2 ORDER BY lang
+"""
+
+
+REGISTRY["temp_weights"] = QuerySpec(
+    q_temp_weights,
+    _oracle_temp_weights(),
+    "temperature-0.5 mixture weights: per-language sampling weight "
+    "proportional to sqrt(token share), integer-exact with one "
+    "IEEE-correctly-rounded sqrt step",
+)

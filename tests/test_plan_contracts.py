@@ -277,6 +277,9 @@ _SHUFFLE_BUDGET = {
     # the exact_substr gram/keeper frames + ONE extra (copy, keeper)
     # groupBy — provenance without a pair space
     "exact_substr_pairs": 3,
+    # one groupBy(lang); totals and the sqrt-sum ride constant-
+    # partition windows over the language frame
+    "temp_weights": 1,
 }
 
 

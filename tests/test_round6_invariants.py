@@ -130,3 +130,22 @@ def test_exact_substr_pairs_provenance_consistent(spark):
         assert r.doc_id != r.src_doc or r.shared_grams > 0
         assert r.shared_grams >= 11 and r.first_pos >= 0
     assert span_docs <= pair_docs
+
+
+def test_temp_weights_dampens_toward_uniform(spark):
+    rows = _REG["temp_weights"].fn(spark, SF).collect()
+    assert len(rows) >= 2
+    # weights are a (floored) distribution
+    s = sum(r.weight_micro for r in rows)
+    assert _SCALE - len(rows) <= s <= _SCALE
+    # sqrt damping: order preserved, but every language sits BETWEEN
+    # its raw share and the uniform share (the temperature contract)
+    uniform = _SCALE // len(rows)
+    for r in rows:
+        lo, hi = sorted((r.share_micro, uniform))
+        assert lo - 2 <= r.weight_micro <= hi + 2
+        # boost > 1e6 iff the language is below uniform share
+        if r.share_micro < uniform:
+            assert r.boost_micro >= _SCALE
+        if r.share_micro > uniform:
+            assert r.boost_micro <= _SCALE
