@@ -199,6 +199,8 @@ HEADLINE = [
     "exact_substr_pairs",
     # temperature-0.5 mixture weights (sqrt-damped language sampling)
     "temp_weights",
+    # IVF inverted-list occupancy audit (ANN hot-cell skew report)
+    "ivf_balance",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

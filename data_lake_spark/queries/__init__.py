@@ -130,18 +130,19 @@ def full_registry() -> dict[str, QuerySpec]:
 #     rank-50 cut): each round-6 addition in (a) displaces one row off
 #     this tail into the ROUND 7 TODO.
 #
-# ROUND 7 TODO (computed from this round's FINAL window: 10 additions
-# + 5 r02-stale + 19 (c) = 34, rank 50 cuts block (d) after its 16th
-# alphabetical row, `ntile_deciles` — verified against the live
-# full_registry() ordering): lead with the 15 displaced (d)-tail rows,
+# ROUND 7 TODO (computed from this round's FINAL window: 11 additions
+# + 5 r02-stale + 19 (c) = 35, rank 50 cuts block (d) after its 15th
+# alphabetical row, `multi_agg_attrs` — verified against the live
+# full_registry() ordering): lead with the 16 displaced (d)-tail rows,
 # still r03-green and the oldest verdicts in the registry by r07 —
-# or_key_join pagination percentile_report profile_orders rank_models
-# ratio_profitability repetition_stats revenue_by_region rollup_report
-# shingle_pairs text_stats top5_distribution topk_per_group
-# trailing_7d weekly_agg — then the 49 r04-stale rows oldest-first
-# (recompute the exact list from CORRECTNESS_r06 at round start, the
-# standing discipline); round-7 additions slot in at the top as they
-# land, each displacing one r04-stale row into the ROUND 8 TODO.
+# ntile_deciles or_key_join pagination percentile_report
+# profile_orders rank_models ratio_profitability repetition_stats
+# revenue_by_region rollup_report shingle_pairs text_stats
+# top5_distribution topk_per_group trailing_7d weekly_agg — then the
+# 49 r04-stale rows oldest-first (recompute the exact list from
+# CORRECTNESS_r06 at round start, the standing discipline); round-7
+# additions slot in at the top as they land, each displacing one
+# r04-stale row into the ROUND 8 TODO.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-6 additions — first driver row this round (keep current)
     "exact_substr",
@@ -154,6 +155,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_fertility",
     "exact_substr_pairs",
     "temp_weights",
+    "ivf_balance",
     # (b) r02-stale — the five oldest verdicts in the registry (3)
     "api_detailed_ranking",
     "approx_distinct",

@@ -605,3 +605,80 @@ REGISTRY: dict[str, QuerySpec] = {
         "multi-probe SRP ANN (own + Hamming-1 buckets)",
     ),
 }
+
+
+# --- IVF cell-balance audit --------------------------------------------------
+
+
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list occupancy audit — the pre-serving health check
+    for the ANN stack: per cell, how many vectors its inverted list
+    holds, its corpus share, and its LOAD FACTOR vs perfect balance
+    (load_micro = n·cells/total in micros; 10⁶ = perfectly even). A
+    cell at several × 10⁶ is the ANN twin of skew_report's hot join
+    key: every probe that ranks that centroid pays its whole list, so
+    probe latency skews exactly as its load factor — the number a
+    serving team reads BEFORE picking n_probe or deciding to re-train
+    centroids.
+
+    Plan: the ivf_assign frames (per-label exact-mean centroids,
+    nearest-cell by squared L2) + one groupBy(cell); totals ride
+    constant-partition windows over the CELL frame (bounded by the
+    centroid count). Integer micro-arithmetic throughout."""
+    from pyspark.sql import Window
+
+    from data_lake_spark.functions.exact import micro_share_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ivf_assign(emb).select(
+        F.col("assigned_cell").cast("long").alias("cell")
+    )
+    cells = a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    w = Window.partitionBy(F.lit(0))
+    return (
+        cells.withColumn("tot", F.sum("n_vecs").over(w))
+        .withColumn("n_cells", F.count(F.lit(1)).over(w))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr(micro_share_sql("n_vecs", "tot")).alias("share_micro"),
+            F.expr(micro_share_sql("n_vecs * n_cells", "tot")).alias(
+                "load_micro"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _oracle_ivf_balance() -> str:
+    from data_lake_spark.functions.exact import oracle_micro_share_sql
+
+    share = oracle_micro_share_sql("n_vecs", "tot")
+    load = oracle_micro_share_sql("n_vecs * n_cells", "tot")
+    return f"""
+WITH assigned AS ({ORACLE_IVF}),
+cells AS (
+  SELECT assigned_cell AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY 1
+),
+t AS (
+  SELECT cell, n_vecs,
+         CAST(SUM(n_vecs) OVER () AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+  FROM cells
+)
+SELECT cell, n_vecs,
+       CAST({share} AS BIGINT) AS share_micro,
+       CAST({load} AS BIGINT) AS load_micro
+FROM t ORDER BY cell
+"""
+
+
+REGISTRY["ivf_balance"] = QuerySpec(
+    q_ivf_balance,
+    _oracle_ivf_balance(),
+    "IVF inverted-list occupancy audit: per-cell share and load factor "
+    "vs perfect balance (the ANN hot-cell twin of skew_report)",
+)

@@ -280,6 +280,9 @@ _SHUFFLE_BUDGET = {
     # one groupBy(lang); totals and the sqrt-sum ride constant-
     # partition windows over the language frame
     "temp_weights": 1,
+    # the ivf_assign frames (centroid agg + dim-join + per-vec argmin)
+    # + one groupBy(cell); totals ride the cell frame
+    "ivf_balance": 4,
 }
 
 

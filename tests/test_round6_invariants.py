@@ -149,3 +149,19 @@ def test_temp_weights_dampens_toward_uniform(spark):
             assert r.boost_micro >= _SCALE
         if r.share_micro > uniform:
             assert r.boost_micro <= _SCALE
+
+
+def test_ivf_balance_is_a_distribution(spark):
+    rows = _REG["ivf_balance"].fn(spark, SF).collect()
+    assert rows
+    s = sum(r.share_micro for r in rows)
+    assert _SCALE - len(rows) <= s <= _SCALE
+    # load factors average 1e6 by construction (n*cells/tot sums to
+    # cells*1e6 up to floor loss), and every cell is non-empty
+    ls = sum(r.load_micro for r in rows)
+    assert len(rows) * _SCALE - len(rows) <= ls <= len(rows) * _SCALE
+    for r in rows:
+        assert r.n_vecs > 0
+        assert r.load_micro == (r.n_vecs * len(rows) * _SCALE) // sum(
+            x.n_vecs for x in rows
+        )

@@ -87,6 +87,7 @@ QUERIES = [
     "bpe_fertility",  # corpus explode + broadcast vocab join + lang agg
     "exact_substr_pairs",  # gram index + one provenance groupBy
     "temp_weights",  # one lang agg + dim-frame windows: scan-linear
+    "ivf_balance",  # ivf_assign frames + one cell agg: scan-linear
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
