@@ -98,3 +98,23 @@ def micro_share_sql(num: str, den: str, scale: int = 1_000_000) -> str:
 def oracle_micro_share_sql(num: str, den: str, scale: int = 1_000_000) -> str:
     """DuckDB spelling of :func:`micro_share_sql` (``//`` for ``div``)."""
     return micro_share_sql(num, den, scale).replace(" div ", " // ")
+
+
+def micro_share_guarded_sql(num: str, den: str, scale: int = 1_000_000) -> str:
+    """:func:`micro_share_sql` with the degenerate-denominator guard
+    (the mleval_q convention: ``den <= 0`` → 0). Needed wherever the
+    denominator can legitimately be 0 at some data shape — Spark's
+    non-ANSI ``div`` would yield NULL there while DuckDB ``//`` raises
+    a division-by-zero error, so an unguarded share breaks cross-engine
+    parity exactly on the degenerate input."""
+    return (
+        f"CASE WHEN ({den}) > 0"
+        f" THEN {micro_share_sql(num, den, scale)} ELSE 0 END"
+    )
+
+
+def oracle_micro_share_guarded_sql(
+    num: str, den: str, scale: int = 1_000_000
+) -> str:
+    """DuckDB spelling of :func:`micro_share_guarded_sql`."""
+    return micro_share_guarded_sql(num, den, scale).replace(" div ", " // ")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lake_spark.functions.exact import micro_share_sql
+from data_lake_spark.functions.exact import micro_share_guarded_sql
 
 
 def drift_report(binned: DataFrame) -> DataFrame:
@@ -31,10 +31,18 @@ def drift_report(binned: DataFrame) -> DataFrame:
     touches data volume."""
     w = Window.partitionBy()
     shared = (
+        # an EMPTY cohort (a_tot/b_tot = 0) is a legitimate monitor input
+        # (e.g. reference window before any data landed) — guarded shares
+        # (mleval_q convention: 0) keep Spark and the oracle in agreement
+        # instead of NULL-vs-division-error divergence
         binned.withColumn("a_tot", F.sum("a_cnt").over(w))
         .withColumn("b_tot", F.sum("b_cnt").over(w))
-        .withColumn("a_micro", F.expr(micro_share_sql("a_cnt", "a_tot")))
-        .withColumn("b_micro", F.expr(micro_share_sql("b_cnt", "b_tot")))
+        .withColumn(
+            "a_micro", F.expr(micro_share_guarded_sql("a_cnt", "a_tot"))
+        )
+        .withColumn(
+            "b_micro", F.expr(micro_share_guarded_sql("b_cnt", "b_tot"))
+        )
         .withColumn("l1_micro", F.abs(F.col("a_micro") - F.col("b_micro")))
         .withColumn(
             "chi2_micro",

@@ -436,7 +436,10 @@ def q_temp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by construction). 1 corpus shuffle."""
     from pyspark.sql import Window
 
-    from data_lake_spark.functions.exact import micro_share_sql
+    from data_lake_spark.functions.exact import (
+        micro_share_guarded_sql,
+        micro_share_sql,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(
@@ -461,8 +464,10 @@ def q_temp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(micro_share_sql("sqrt_micro", "sqrt_tot")).alias(
             "weight_micro"
         ),
+        # share_micro can floor to 0 for a language below one
+        # part-per-million of the corpus — guarded (mleval_q convention)
         F.expr(
-            micro_share_sql(
+            micro_share_guarded_sql(
                 micro_share_sql("sqrt_micro", "sqrt_tot"), "share_micro"
             )
         ).alias("boost_micro"),
@@ -470,11 +475,14 @@ def q_temp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_temp_weights() -> str:
-    from data_lake_spark.functions.exact import oracle_micro_share_sql
+    from data_lake_spark.functions.exact import (
+        oracle_micro_share_guarded_sql,
+        oracle_micro_share_sql,
+    )
 
     share = oracle_micro_share_sql("n_tokens", "tot")
     weight = oracle_micro_share_sql("sqrt_micro", "sqrt_tot")
-    boost = oracle_micro_share_sql(weight, "share_micro")
+    boost = oracle_micro_share_guarded_sql(weight, "share_micro")
     return f"""
 WITH counts AS (
   SELECT lang,

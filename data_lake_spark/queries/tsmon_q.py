@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.functions.exact import (
-    oracle_micro_share_sql,
+    oracle_micro_share_guarded_sql,
     oracle_sum_exact,
     sum_exact,
 )
@@ -373,8 +373,8 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(binned)
 
 
-_A_SHARE = oracle_micro_share_sql("a_cnt", "a_tot")
-_B_SHARE = oracle_micro_share_sql("b_cnt", "b_tot")
+_A_SHARE = oracle_micro_share_guarded_sql("a_cnt", "a_tot")
+_B_SHARE = oracle_micro_share_guarded_sql("b_cnt", "b_tot")
 
 ORACLE_DIST_DRIFT = f"""
 WITH o AS (
