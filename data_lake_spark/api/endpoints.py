@@ -261,8 +261,7 @@ def average_profitability(
     )
     amt = micros_to_amount(F.col("e_m"))
     return (
-        F.broadcast(base)
-        .join(te, "transmissionType", "inner")
+        base.join(F.broadcast(te), "transmissionType", "inner")
         .select(
             F.col("transmissionType").alias("id"),
             F.col("transmissionType").alias("label"),
@@ -315,9 +314,10 @@ def total_profit_report(
     base = users.sparkSession.createDataFrame(
         [("Toy",), ("Privada",), ("Total",)], ["transmissionType"]
     )
+    # broadcast the aggregate (right/build) side — a hint on the
+    # preserved side of a left join is silently dropped by Spark
     return (
-        F.broadcast(base)
-        .join(per_office, "transmissionType", "left")
+        base.join(F.broadcast(per_office), "transmissionType", "left")
         .groupBy("transmissionType")
         .agg(F.coalesce(F.sum("m"), F.lit(0)).alias("m_sum"))
         .select(
@@ -377,9 +377,10 @@ def profit_avg(
     base = users.sparkSession.createDataFrame(
         [("Toy",), ("Privada",), ("Otros",)], ["transmissionType"]
     )
+    # broadcast the aggregate (right/build) side — a hint on the
+    # preserved side of a left join is silently dropped by Spark
     return (
-        F.broadcast(base)
-        .join(per_office, "transmissionType", "left")
+        base.join(F.broadcast(per_office), "transmissionType", "left")
         .groupBy("transmissionType")
         .agg(
             F.coalesce(

@@ -353,9 +353,10 @@ def q_literal_dim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Total").alias("category"), "rev_m"
     )
     agg = by_status.unionByName(total)
+    # hint on the RIGHT side: Spark can't build-left a left-outer join,
+    # so a broadcast hint on the preserved side is silently dropped
     return (
-        F.broadcast(base)
-        .join(agg, "category", "left")
+        base.join(F.broadcast(agg), "category", "left")
         .select(
             "category",
             micros_to_amount(F.coalesce(F.col("rev_m"), F.lit(0))).alias(
