@@ -822,13 +822,42 @@ def promote_pending(
     the same promote set (promoted classes are already eligible; the
     temporary double count can't make a below-k class eligible), so it
     OVERWRITES the same directory instead of appending a duplicate —
-    the per-batch-overwrite idempotence convention. Each successful
-    sweep bumps the surviving pending batch_id, so successive
-    promotions get distinct ids. The pending rewrite itself is
-    stage-and-swap through a sibling directory (on an object store: a
-    new versioned prefix + manifest flip). Returns rows promoted."""
+    the per-batch-overwrite idempotence convention.
+
+    LIVE-STREAM safety: the sweep remainder lands at
+    ``batch_id = 2·10^6 + max(pending batch_id)`` — a namespace
+    DISJOINT from stream batch ids (< 10^6, like the 10^6+ promo
+    namespace). The gate writes ``pending_root/batch_id=<n>`` per
+    micro-batch, so a remainder parked at ``pend_max + 1`` would be
+    overwritten (deleted) by the very next micro-batch while the
+    stream is live — the sweep is a PERIODIC MAINTENANCE pass and must
+    be safe to run beside a running gate. Successive sweeps still get
+    distinct ids because pend_max strictly grows through the 2·10^6
+    namespace.
+
+    The pending rewrite itself is stage-and-swap through sibling
+    directories, ordered so no crash point loses rows: write the
+    remainder to ``<pending>__next``, rename the live dir aside to
+    ``<pending>__old`` (atomic), rename staging into place (atomic),
+    then delete the old dir. A sweep starts by recovering any
+    interrupted swap: a missing live dir is restored from ``__next``
+    (completes the swap — the release write already landed) or
+    ``__old`` (rolls back), and leftover siblings are cleared. On an
+    object store the equivalent is a new versioned prefix + manifest
+    flip. Returns rows promoted."""
     import os
     import shutil
+
+    staging = pending_root.rstrip("/") + "__next"
+    old_dir = pending_root.rstrip("/") + "__old"
+    if not os.path.exists(pending_root):
+        if os.path.exists(staging):
+            os.rename(staging, pending_root)  # complete interrupted swap
+        elif os.path.exists(old_dir):
+            os.rename(old_dir, pending_root)  # roll back to pre-sweep state
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.exists(pending_root):
+        shutil.rmtree(staging, ignore_errors=True)
 
     pending = read_ingest_zone(spark, pending_root)
     if "batch_id" not in pending.columns or not (
@@ -864,12 +893,13 @@ def promote_pending(
         f"{release_root}/batch_id={promo_id}"
     )
     remain = pending.drop("batch_id").join(ok, qi_cols, "left_anti")
-    staging = pending_root.rstrip("/") + "__next"
+    remainder_id = 2_000_000 + int(pend_max)
     remain.write.mode("overwrite").parquet(
-        f"{staging}/batch_id={int(pend_max) + 1}"
+        f"{staging}/batch_id={remainder_id}"
     )
-    shutil.rmtree(pending_root, ignore_errors=True)
+    os.rename(pending_root, old_dir)
     os.rename(staging, pending_root)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return n
 
 

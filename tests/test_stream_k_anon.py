@@ -163,3 +163,141 @@ def test_promote_crash_replay_does_not_duplicate(spark, tmp_path):
         sorted(read_ingest_zone(spark, rel).toPandas()["c_custkey"])
         == released_after
     )  # no duplicates: the promo dir was overwritten, not appended
+
+
+def test_sweep_is_safe_beside_a_live_stream(spark, tmp_path):
+    # the sweep is a PERIODIC MAINTENANCE pass: running it between
+    # micro-batches of a live stream must not lose pending rows. The
+    # remainder lands in a batch_id namespace disjoint from stream ids
+    # (2e6+), so the NEXT micro-batch's per-batch overwrite cannot
+    # delete it — the regression here parked it at pend_max+1, exactly
+    # the next stream batch id
+    rows = _rows(spark)
+    src = _staged_source(spark, tmp_path, rows)
+    rel, pend = _run_gate(spark, tmp_path, rows, src)
+    assert promote_pending(spark, rel, pend, QI, k=K) > 0
+
+    # stream continues: batch 3 arrives (same checkpoint → next batch
+    # id continues the counter the remainder must not collide with)
+    extra = spark.createDataFrame(
+        [(300 + i, 4, "FURNITURE") for i in range(2)],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(rows.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_k_anonymity_gate(
+        stream, rel, pend, str(tmp_path / "ckpt"), QI, k=K
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # nothing dropped: release ∪ pending == every row ever ingested
+    all_rows = sorted(
+        rows.toPandas()["c_custkey"].tolist()
+        + extra.toPandas()["c_custkey"].tolist()
+    )
+    got = sorted(
+        read_ingest_zone(spark, rel).select("c_custkey")
+        .union(read_ingest_zone(spark, pend).select("c_custkey"))
+        .toPandas()["c_custkey"]
+    )
+    assert got == all_rows
+    # and class C's 3 swept-remainder rows specifically survived
+    pend_keys = set(read_ingest_zone(spark, pend).toPandas()["c_custkey"])
+    assert {200, 201, 202} <= pend_keys
+
+
+def _crash_on_nth_rename(monkeypatch, n: int):
+    """Patch os.rename to raise on its n-th call (1-based)."""
+    import os as _os
+
+    real = _os.rename
+    calls = {"i": 0}
+
+    def bomb(src, dst):
+        calls["i"] += 1
+        if calls["i"] == n:
+            raise OSError("injected crash")
+        return real(src, dst)
+
+    monkeypatch.setattr(_os, "rename", bomb)
+    return calls
+
+
+def test_sweep_crash_mid_swap_loses_nothing(spark, tmp_path, monkeypatch):
+    # crash between the two renames: live pending dir is gone, the
+    # remainder sits in __next — the worst window of the old
+    # rmtree-then-rename swap (permanent row loss). The next sweep must
+    # recover by completing the swap, and gate+sweep must still equal
+    # the one-shot batch audit
+    import os
+    import pytest
+
+    rows = _rows(spark)
+    src = _staged_source(spark, tmp_path, rows)
+    rel, pend = _run_gate(spark, tmp_path, rows, src)
+
+    _crash_on_nth_rename(monkeypatch, 2)
+    with pytest.raises(OSError, match="injected crash"):
+        promote_pending(spark, rel, pend, QI, k=K)
+    monkeypatch.undo()
+    assert not os.path.exists(pend)  # the window is real
+    assert os.path.exists(pend + "__next")
+
+    # recovery: the next sweep restores the live dir first; the promote
+    # set was already released, so it promotes nothing new
+    assert promote_pending(spark, rel, pend, QI, k=K) == 0
+    released = set(read_ingest_zone(spark, rel).toPandas()["c_custkey"])
+    pending = set(read_ingest_zone(spark, pend).toPandas()["c_custkey"])
+    eligible = rows.join(
+        rows.groupBy(*QI).count().filter(F.col("count") >= K).select(*QI),
+        QI,
+        "left_semi",
+    )
+    assert released == set(eligible.toPandas()["c_custkey"])
+    assert released | pending == set(rows.toPandas()["c_custkey"])
+    assert not os.path.exists(pend + "__next")
+    assert not os.path.exists(pend + "__old")
+
+
+def test_sweep_crash_before_swap_loses_nothing(spark, tmp_path, monkeypatch):
+    # crash after the staging write but before any rename: the live
+    # pending dir is intact and __next is an orphan — the next sweep
+    # must clear the stale staging dir and complete normally
+    import os
+    import pytest
+
+    rows = _rows(spark)
+    src = _staged_source(spark, tmp_path, rows)
+    rel, pend = _run_gate(spark, tmp_path, rows, src)
+
+    _crash_on_nth_rename(monkeypatch, 1)
+    with pytest.raises(OSError, match="injected crash"):
+        promote_pending(spark, rel, pend, QI, k=K)
+    monkeypatch.undo()
+    assert os.path.exists(pend)
+    assert os.path.exists(pend + "__next")
+
+    # the release write landed before the crash; the re-run recomputes
+    # the SAME deterministic promo dir (overwrite, not duplicate) and
+    # finishes the pending rewrite
+    promote_pending(spark, rel, pend, QI, k=K)
+    released = read_ingest_zone(spark, rel)
+    assert released.groupBy("c_custkey").count().filter(
+        F.col("count") > 1
+    ).isEmpty()
+    eligible = rows.join(
+        rows.groupBy(*QI).count().filter(F.col("count") >= K).select(*QI),
+        QI,
+        "left_semi",
+    )
+    assert set(released.toPandas()["c_custkey"]) == set(
+        eligible.toPandas()["c_custkey"]
+    )
+    pclasses = read_ingest_zone(spark, pend).groupBy(*QI).count().collect()
+    assert all(r["count"] < K for r in pclasses)
+    assert not os.path.exists(pend + "__next")
