@@ -23,6 +23,18 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "phone": (r"\b[0-9]{3}-[0-9]{2,4}\b", "<PHONE>"),
 }
 
+# Detection-side superset (queries/llm11.q_pii_scan): two more kinds whose
+# patterns are mutually NON-overlapping with the redaction trio (no dashes
+# in the IBAN shape, spaces not dashes in the card shape), so per-kind
+# counts are order-independent and each kind can be audited on the
+# original text. Kept separate from PII_PATTERNS so the redaction chain —
+# and q_pii_redact's committed oracle — are unchanged.
+PII_SCAN_PATTERNS: dict[str, tuple[str, str]] = {
+    **PII_PATTERNS,
+    "iban": (r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b", "<IBAN>"),
+    "cc": (r"\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\b", "<CARD>"),
+}
+
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace PII spans in ``text_col`` with typed placeholders and add

@@ -42,6 +42,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
         mleval_q,
         quality_q,
         relational,
@@ -82,6 +83,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm8.REGISTRY)
     reg.update(llm9.REGISTRY)
     reg.update(llm10.REGISTRY)
+    reg.update(llm11.REGISTRY)
     reg.update(mleval_q.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(entity_q.REGISTRY)
@@ -115,91 +117,33 @@ def full_registry() -> dict[str, QuerySpec]:
 # pandas canonicalizer (values were oracle-correct; output is now a CSV
 # string and the plan census forbids non-scalar oracle-paired output).
 #
-# Round 6 (this list; blocks computed from the actual CORRECTNESS_r01–r05
-# latest-green rounds, recomputed this session — r02-stale: 5, r03-stale:
-# 50, r04-stale: 49, r05-green: 50):
-# (a) round-6 additions — first driver row THIS round (keep current as
+# Round 7 (this list; blocks computed from CORRECTNESS_r01–r06 latest-green
+# rounds, recomputed this session — r03-stale: 16, r04-stale: 49,
+# r05-green: 50, r06-green: 50):
+# (a) round-7 additions — first driver row THIS round (keep current as
 #     they land);
-# (b) the five r02-stale rows (oldest verdicts in the registry — last
-#     green row three rounds back): api_detailed_ranking approx_distinct
-#     quantile_sketch nested_flatten exact_dedup;
-# (c) the 19-row r03-green (d)-block from the round-5 rotation
-#     (first-checked in r03, displaced below rank 50 by the 24 round-5
-#     additions): pq_encode … salted_join_agg;
-# (d) the remaining 31 r03-stale rows, alphabetical (deterministic
-#     rank-50 cut): each round-6 addition in (a) displaces one row off
-#     this tail into the ROUND 7 TODO.
+# (b) the 16 displaced r03-green (d)-tail rows from the round-6 rotation
+#     — the oldest verdicts in the registry (last green row four rounds
+#     back): ntile_deciles … weekly_agg, alphabetical;
+# (c) the 49 r04-stale rows in their CORRECTNESS_r04 window order
+#     (oldest-first discipline): rank 50 cuts inside this block; each
+#     round-7 addition in (a) displaces one row off this tail into the
+#     ROUND 8 TODO.
 #
-# ROUND 7 TODO (computed from this round's FINAL window: 11 additions
-# + 5 r02-stale + 19 (c) = 35, rank 50 cuts block (d) after its 15th
-# alphabetical row, `multi_agg_attrs` — verified against the live
-# full_registry() ordering): lead with the 16 displaced (d)-tail rows,
-# still r03-green and the oldest verdicts in the registry by r07 —
-# ntile_deciles or_key_join pagination percentile_report
-# profile_orders rank_models ratio_profitability repetition_stats
-# revenue_by_region rollup_report shingle_pairs text_stats
-# top5_distribution topk_per_group trailing_7d weekly_agg — then the
-# 49 r04-stale rows oldest-first (recompute the exact list from
-# CORRECTNESS_r06 at round start, the standing discipline); round-7
-# additions slot in at the top as they land, each displacing one
-# r04-stale row into the ROUND 8 TODO.
+# ROUND 8 TODO (recompute from CORRECTNESS_r07 at round start, the
+# standing discipline): lead with the (c)-tail rows displaced below
+# rank 50 this round — the exact list is finalized in this comment at
+# the end of round 7 once all round-7 additions are in — then the
+# 50 r05-stale rows oldest-first.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-6 additions — first driver row this round (keep current)
-    "exact_substr",
-    "exact_substr_clean",
-    "dist_drift",
-    "decontam_substr",
-    "lang_confusion",
-    "embedding_coverage",
-    "dup_histogram",
-    "bpe_fertility",
-    "exact_substr_pairs",
-    "temp_weights",
-    "ivf_balance",
-    # (b) r02-stale — the five oldest verdicts in the registry (3)
-    "api_detailed_ranking",
-    "approx_distinct",
-    "quantile_sketch",
-    "nested_flatten",
-    "exact_dedup",
-    # (c) the 19-row r03-green block first-checked in r03 (the round-5
-    # rotation's (d) block, displaced below rank 50 there)
-    "pq_encode",
-    "pq_search",
-    "pq_rerank",
-    "ivf_pq",
-    "heavy_hitters",
-    "theta_distinct",
-    "kll_quantile",
-    "skew_report",
-    "line_dedup",
-    "source_cap",
-    "partial_overlap",
-    "curation_funnel",
-    "athena_earnings_day",
-    "athena_dow_dist",
-    "athena_weekly",
-    "athena_needle_period",
-    "gap_fill_interp",
-    "weighted_sample",
-    "salted_join_agg",
-    # (d) remaining r03-stale rows, alphabetical — rank 50 cuts inside
-    # this block; the displaced tail leads the ROUND 7 TODO above
-    "api_models_distribution",
-    "avg_of_sums",
-    "bigram_lm_score",
-    "decontam",
-    "dedup_keep_latest",
-    "dow_distribution",
-    "earnings_by_day",
-    "earnings_series_pivot",
-    "full_outer_platforms",
-    "grouping_sets_report",
-    "left_join_dim",
-    "literal_dim_report",
-    "minhash_lsh",
-    "mixture_weights",
-    "multi_agg_attrs",
+    # (a) round-7 additions — first driver row this round (keep current;
+    # appended as they land)
+    "pii_scan",
+    "url_domains",
+    "html_strip",
+    "embedding_norms",
+    # (b) the 16 r03-stale rows displaced by the round-6 additions —
+    # oldest verdicts in the registry
     "ntile_deciles",
     "or_key_join",
     "pagination",
@@ -216,4 +160,55 @@ _DRIVER_WINDOW_PRIORITY = [
     "topk_per_group",
     "trailing_7d",
     "weekly_agg",
+    # (c) the 49 r04-stale rows, CORRECTNESS_r04 window order — rank 50
+    # cuts inside this block; the displaced tail goes to the ROUND 8 TODO
+    "ivf_stored",
+    "ivf_pq_stored",
+    "semantic_dedup",
+    "semantic_dedup_capped",
+    "ann_recall",
+    "classifier_train",
+    "doc_topk",
+    "proj_filter_compute",
+    "or_filter_dim",
+    "point_lookup",
+    "global_sum",
+    "date_parts",
+    "json_payload",
+    "string_funcs",
+    "array_funcs",
+    "set_ops_halves",
+    "cube_report",
+    "semi_join_active",
+    "anti_join_inactive",
+    "running_total",
+    "hash_sample",
+    "train_split",
+    "mom_change",
+    "lang_id",
+    "simhash",
+    "cosine_topk",
+    "winnow_fingerprint",
+    "ann_lsh",
+    "ivf_assign",
+    "ivf_search",
+    "dedup_clusters",
+    "ann_multiprobe",
+    "bpe_tokens",
+    "embedding_neardup",
+    "multimodal_decode",
+    "frame_sample",
+    "length_band_join",
+    "quality_quantile_filter",
+    "vocab_stats",
+    "seq_pack",
+    "pii_redact",
+    "tfidf_topterms",
+    "kmeans_refine",
+    "classifier_filter",
+    "chunk_docs",
+    "stratified_sample",
+    "embedding_quantize",
+    "quality_report",
+    "session_stats",
 ]
