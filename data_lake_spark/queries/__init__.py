@@ -142,6 +142,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "url_domains",
     "html_strip",
     "embedding_norms",
+    "image_dhash_pairs",
     # (b) the 16 r03-stale rows displaced by the round-6 additions —
     # oldest verdicts in the registry
     "ntile_deciles",

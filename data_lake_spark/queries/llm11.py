@@ -371,3 +371,48 @@ REGISTRY["embedding_norms"] = QuerySpec(
     "per-label L2-norm audit (count, min/max/mean) with the exact "
     "floor-micros recipe — map-only per vector, label-sized shuffle",
 )
+
+
+# ---------------------------------------------------------------------------
+# image_dhash_pairs — perceptual near-dup pairs over the image column
+# ---------------------------------------------------------------------------
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end (operators/imagehash.py):
+    documents synthesized into VALID 16×16 BMPs (pure JVM byte concat —
+    near-identical texts become near-identical images), REAL pixel
+    decode + integer dHash in one Arrow pass, 8-band inverted-index
+    candidates (exhaustive for Hamming ≤ 7), exact bit_count refine.
+    Per-pair rollup to (media_a, dup-of counts) keeps the output stable.
+
+    Rows-only by design: the oracle cannot decode image bytes in SQL
+    (the S7/D3 precedent) — the decode/hash kernel is instead pinned by
+    tests/test_imagehash.py (hand-computed dHash, planted near-dup and
+    distinct pairs, format-edge BMPs)."""
+    from data_lake_spark.operators.imagehash import (
+        bmp_from_text_col,
+        dhash_table,
+        hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = hamming_pairs(dhash_table(bmp_from_text_col(docs)), max_hamming=6)
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+REGISTRY["image_dhash_pairs"] = QuerySpec(
+    q_image_dhash_pairs,
+    None,
+    "perceptual image dedup: real BMP pixel decode + integer dHash in "
+    "one Arrow pass, 8-band Hamming LSH candidates, bit_count refine — "
+    "rows-only (no SQL image decode); kernel pinned by pytest",
+)

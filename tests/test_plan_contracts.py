@@ -283,6 +283,22 @@ _SHUFFLE_BUDGET = {
     # the ivf_assign frames (centroid agg + dim-join + per-vec argmin)
     # + one groupBy(cell); totals ride the cell frame
     "ivf_balance": 4,
+    # one codegen scan + one groupBy(lang); the kind unpivot and the
+    # prevalence shares ride the lang×kind frame
+    "pii_scan": 1,
+    # countDistinct(doc_id) inside the domain rollup is the standard
+    # two-phase distinct-aggregate: partial on (domain, doc_id), final
+    # on domain — both exchanges carry the host-sized key space
+    "url_domains": 2,
+    # map-only regexp projection: strip, count, lengths, md5 — zero
+    # exchanges before the output sort
+    "html_strip": 0,
+    # map-only per-vector norm + one groupBy(label)
+    "embedding_norms": 1,
+    # one Arrow hash pass (no exchange), bucket-size groupBy + the
+    # capped band equi-joins sharing the (band, band_val) partitioning,
+    # candidate distinct, per-image rollup
+    "image_dhash_pairs": 4,
 }
 
 
