@@ -475,6 +475,78 @@ def start_lsh_dedup_ingest(
     )
 
 
+def start_gram_index_ingest(
+    docs_stream: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Incremental ExactSubstr gram index: each micro-batch of new
+    documents contributes its k-gram PARTIALS — per gram hash, the
+    batch-local MIN packed (doc_id, pos) and occurrence count — to a
+    per-batch parquet directory. Both statistics are mergeable (MIN of
+    MINs, SUM of counts), so :func:`read_gram_index` folds the batch
+    partials into exactly the keeper index the batch form
+    (operators/textdedup.exact_substr_spans) derives from a full-corpus
+    rebuild — new documents screen against ALL history at
+    inverted-index cost, the start_lsh_dedup_ingest economics applied
+    to the ExactSubstr family.
+
+    Per batch the work is the batch form's first two stages on the
+    BATCH alone: one narrow per-doc gram window + one
+    map-side-combinable groupBy(h). Nothing historical is re-read at
+    ingest time; merging is deferred to the reader (and can be
+    compacted offline by rewriting the folded frame as a single batch
+    dir, the layout.compaction pattern).
+
+    Idempotence: per-batch ``batch_id=<n>`` overwrite dirs — a
+    crash-replayed micro-batch republishes identical partials (the
+    start_lsh_dedup_ingest convention), and SUM-merge double counting
+    cannot occur because replay overwrites rather than appends."""
+    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grams = token_kgrams(batch_df, k, id_col, text_col).withColumn(
+            "enc", F.col(id_col) * F.lit(_POS_BITS) + F.col("pos")
+        )
+        partial = grams.groupBy("h").agg(
+            F.min("enc").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{index_root}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_gram_index(spark: SparkSession, index_root: str) -> DataFrame:
+    """Fold the per-batch gram partials into the corpus-wide keeper
+    index (h, keeper, c): keeper = MIN of batch keepers, c = SUM of
+    batch counts — associative merges, so the result is independent of
+    batching and bit-identical to the index the one-shot batch rebuild
+    derives. Feed to
+    operators/textdedup.exact_substr_spans_from_index. One groupBy over
+    the gram-hash key space (far smaller than the corpus's positions;
+    at 100 TB, compact old batches offline so the fold reads few
+    files)."""
+    partials = spark.read.option("basePath", index_root).parquet(
+        f"{index_root}/batch_id=*"
+    )
+    return partials.groupBy("h").agg(
+        F.min("keeper").alias("keeper"), F.sum("c").alias("c")
+    )
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_minutes: int = 30,
