@@ -201,6 +201,18 @@ HEADLINE = [
     "temp_weights",
     # IVF inverted-list occupancy audit (ANN hot-cell skew report)
     "ivf_balance",
+    # corpus PII prevalence by language x kind (five regex detectors,
+    # one codegen scan)
+    "pii_scan",
+    # URL host extraction + per-domain link census (blocklist input)
+    "url_domains",
+    # markup strip with byte-exact audit (map-only projection)
+    "html_strip",
+    # per-label L2-norm audit on the exact floor-micros recipe
+    "embedding_norms",
+    # perceptual image dedup: BMP decode + integer dHash (one Arrow
+    # pass), 8-band Hamming LSH candidates, bit_count refine
+    "image_dhash_pairs",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
