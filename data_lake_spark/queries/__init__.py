@@ -43,6 +43,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
         mleval_q,
         quality_q,
         relational,
@@ -84,6 +85,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm9.REGISTRY)
     reg.update(llm10.REGISTRY)
     reg.update(llm11.REGISTRY)
+    reg.update(llm12.REGISTRY)
     reg.update(mleval_q.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(entity_q.REGISTRY)
@@ -143,6 +145,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "html_strip",
     "embedding_norms",
     "image_dhash_pairs",
+    "mixture_audit",
+    "vocab_prune",
+    "ngram_coverage",
+    "embedding_pca",
     # (b) the 16 r03-stale rows displaced by the round-6 additions —
     # oldest verdicts in the registry
     "ntile_deciles",

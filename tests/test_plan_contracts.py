@@ -80,6 +80,13 @@ _BNLJ_OK = {
     # same one-row stats frame on the lexical side + the cosine side's
     # labeled broadcast-crossJoin exact scan (the cosine_topk shape)
     "rrf_fusion",
+    # 6-row min-tf ladder dim range-joins (>=) the tf-HISTOGRAM frame
+    # (distinct frequencies, far smaller than the vocabulary) — a
+    # broadcast nested loop over dozens×dozens of rows by construction
+    "vocab_prune",
+    # one-row total-slots frame attached via broadcast crossJoin to the
+    # 1000-row top-bigram frame (the bm25_topk scalar shape)
+    "ngram_coverage",
 }
 
 
@@ -299,6 +306,18 @@ _SHUFFLE_BUDGET = {
     # capped band equi-joins sharing the (band, band_val) partitioning,
     # candidate distinct, per-image rollup
     "image_dhash_pairs": 4,
+    # token-count groupBy(lang) + sampled re-aggregate + the lang-frame
+    # join; targets/thresholds ride constant windows on the lang frame
+    "mixture_audit": 3,
+    # explode + groupBy(token) + the tf-histogram re-aggregate; the
+    # 6-row ladder joins the histogram frame, never the corpus
+    "vocab_prune": 2,
+    # per-doc bigram window + census groupBy + TakeOrdered(1000); the
+    # cumulative window runs on the 1000-row frame
+    "ngram_coverage": 3,
+    # two power steps: each is a vec_id projection window + a 64-key
+    # per-dim re-aggregate; direction frames broadcast back
+    "embedding_pca": 4,
 }
 
 
