@@ -213,6 +213,14 @@ HEADLINE = [
     # perceptual image dedup: BMP decode + integer dHash (one Arrow
     # pass), 8-band Hamming LSH candidates, bit_count refine
     "image_dhash_pairs",
+    # temperature-mixture sampling audit (plan -> sample -> measure)
+    "mixture_audit",
+    # min-df vocabulary pruning ladder with OOV cost
+    "vocab_prune",
+    # top-K bigram cumulative coverage (corpus redundancy curve)
+    "ngram_coverage",
+    # top principal direction: two in-engine power-method iterations
+    "embedding_pca",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
