@@ -132,11 +132,20 @@ def full_registry() -> dict[str, QuerySpec]:
 #     round-7 addition in (a) displaces one row off this tail into the
 #     ROUND 8 TODO.
 #
-# ROUND 8 TODO (recompute from CORRECTNESS_r07 at round start, the
-# standing discipline): lead with the (c)-tail rows displaced below
-# rank 50 this round — the exact list is finalized in this comment at
-# the end of round 7 once all round-7 additions are in — then the
-# 50 r05-stale rows oldest-first.
+# ROUND 8 TODO (computed from this round's FINAL window: 9 additions
+# + 16 r03-stale + 25 r04-stale = 50; rank 50 cuts block (c) after its
+# 25th row, `simhash` — verified against the live full_registry()
+# ordering): lead with the 24 displaced (c)-tail rows, still r04-green
+# and the oldest verdicts in the registry by r08 — cosine_topk
+# winnow_fingerprint ann_lsh ivf_assign ivf_search dedup_clusters
+# ann_multiprobe bpe_tokens embedding_neardup multimodal_decode
+# frame_sample length_band_join quality_quantile_filter vocab_stats
+# seq_pack pii_redact tfidf_topterms kmeans_refine classifier_filter
+# chunk_docs stratified_sample embedding_quantize quality_report
+# session_stats — then the 50 r05-stale rows oldest-first (recompute
+# the exact list from CORRECTNESS_r07 at round start, the standing
+# discipline); round-8 additions slot in at the top as they land, each
+# displacing one r04-stale row into the ROUND 9 TODO.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-7 additions — first driver row this round (keep current;
     # appended as they land)
