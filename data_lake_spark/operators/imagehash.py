@@ -121,31 +121,65 @@ def _decode_bmp_pixels(content: bytes) -> Optional[list[list[tuple[int, int, int
     return rows
 
 
+def _decode_bmp_np(content: bytes):
+    """numpy twin of :func:`_decode_bmp_pixels`: (h, w, 3) uint8 BGR in
+    top-down row order, or None. Same header checks; the pixel copy is
+    one frombuffer + reshape instead of a Python loop (the hash kernel
+    runs per image inside the Arrow batch stage — this is its hot
+    path)."""
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    offset = struct.unpack("<I", content[10:14])[0]
+    w = struct.unpack("<i", content[18:22])[0]
+    h = struct.unpack("<i", content[22:26])[0]
+    bpp = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(content) < offset + stride * h:
+        return None
+    arr = (
+        np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    return arr if top_down else arr[::-1]
+
+
 def dhash64(content: bytes) -> Optional[int]:
     """64-bit difference hash: decode, integer Rec.601 grayscale,
     integer area-average downsample to 9×8, then bit k = (row r,
-    col c) set iff cell[r][c] > cell[r][c+1]. All-integer arithmetic —
-    deterministic across platforms, no float rounding anywhere."""
-    px = _decode_bmp_pixels(content)
+    col c) set iff cell[r][c] > cell[r][c+1]. All-INTEGER arithmetic
+    (numpy int64) — deterministic across platforms, no float rounding
+    anywhere; bit-identical to the scalar reference formulation the
+    tests hand-check."""
+    import numpy as np
+
+    px = _decode_bmp_np(content)
     if px is None:
         return None
-    h, w = len(px), len(px[0])
-    gray = [[(299 * p[2] + 587 * p[1] + 114 * p[0]) // 1000 for p in row] for row in px]
-    cells = []
+    h, w = px.shape[0], px.shape[1]
+    g = px.astype(np.int64)
+    gray = (299 * g[:, :, 2] + 587 * g[:, :, 1] + 114 * g[:, :, 0]) // 1000
+    rb = [(r * h) // 8 for r in range(8)] + [h]
+    cb = [(c * w) // 9 for c in range(9)] + [w]
+    cells = np.empty((8, 9), dtype=np.int64)
     for r in range(8):
-        r0, r1 = (r * h) // 8, ((r + 1) * h) // 8
-        row = []
+        r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
         for c in range(9):
-            c0, c1 = (c * w) // 9, ((c + 1) * w) // 9
-            c1 = max(c1, c0 + 1)  # w < 9: reuse the single column
-            r1b = max(r1, r0 + 1)
-            s = sum(gray[i][j] for i in range(r0, r1b) for j in range(c0, c1))
-            row.append(s // ((r1b - r0) * (c1 - c0)))
-        cells.append(row)
+            c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
+            block = gray[r0:r1, c0:c1]
+            cells[r, c] = int(block.sum()) // block.size
     bits = 0
+    diff = cells[:, :8] > cells[:, 1:]
     for r in range(8):
         for c in range(8):
-            if cells[r][c] > cells[r][c + 1]:
+            if diff[r, c]:
                 bits |= 1 << (r * 8 + c)
     return bits
 
@@ -191,7 +225,12 @@ def hamming_pairs(
     assert 64 % n_bands == 0
     width = 64 // n_bands
     mask = (1 << width) - 1
-    h = hashes.filter(F.col("dhash").isNotNull())
+    # materialize once: the hash frame feeds three consumers (bucket
+    # census + both join sides), and its upstream is the Arrow decode
+    # pass — without the checkpoint the per-image Python work runs 3×
+    # (the dedup_clusters localCheckpoint precedent). The frame is
+    # (id, hash): two longs per image, tiny relative to the images.
+    h = hashes.filter(F.col("dhash").isNotNull()).localCheckpoint()
     bands = h.select(
         "media_id",
         "dhash",
