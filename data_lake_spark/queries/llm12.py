@@ -380,9 +380,11 @@ REGISTRY["ngram_coverage"] = QuerySpec(
 # map-side-combinable aggregates: w ← Σ_rows x·(x·v) needs one
 # projection pass (a vec_id window) and one per-dim re-aggregate (64
 # keys) per iteration — never a D×D gram matrix, never vectors to the
-# driver. Two fixed iterations from the uniform start give the audit-
-# grade direction estimate; production would loop to tolerance with
-# the same per-iteration plan.
+# driver. Two fixed iterations from the uniform start; each step
+# monotonically raises the Rayleigh quotient (the convergence metric —
+# on a near-isotropic spectrum like this synthetic corpus the top
+# DIRECTION is ill-conditioned by nature, λ2/λ1 ≈ 0.94). Production
+# loops to tolerance with the same per-iteration plan.
 #
 # Exactness: projections floor-quantize at 10⁶ per element; per-dim
 # sums are exact int64 (bounds documented inline); iteration-boundary
