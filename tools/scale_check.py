@@ -88,6 +88,18 @@ QUERIES = [
     "exact_substr_pairs",  # gram index + one provenance groupBy
     "temp_weights",  # one lang agg + dim-frame windows: scan-linear
     "ivf_balance",  # ivf_assign frames + one cell agg: scan-linear
+    "pii_scan",  # five regex counts in one codegen scan + lang agg
+    "url_domains",  # regex extract + explode + domain agg: scan-linear
+    "html_strip",  # map-only strip/count/md5 projection: scan-linear
+    "embedding_norms",  # map-only per-vector norm + label agg
+    # dHash candidate pairs grow with the K× near-dup families (real
+    # dedup load, the minhash_lsh argument) — the banded index itself
+    # is linear in images
+    "image_dhash_pairs",
+    "mixture_audit",  # token agg + sampled re-agg; lang-frame windows
+    "vocab_prune",  # explode + token agg; ladder on the tf histogram
+    "ngram_coverage",  # bigram census + TakeOrdered(1000) window
+    "embedding_pca",  # two power steps: vec window + 64-key re-agg each
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
