@@ -529,22 +529,99 @@ def start_gram_index_ingest(
     )
 
 
+#: compaction batch-id namespace: a compacted dir at id 3·10⁶ + m holds
+#: the fold of every stream partial with batch_id ≤ m (and any older
+#: compaction). Stream ids stay far below 10⁶, so the namespaces never
+#: collide; m is recoverable from the dir name alone — no manifest file.
+_GRAM_COMPACT_NS = 3_000_000
+
+
+def _gram_index_live_ids(index_root: str) -> tuple[list[int], list[int], int]:
+    """(live stream ids, superseded dir ids, covered-max m) from the
+    directory listing. The newest compaction dir covers every stream id
+    ≤ its encoded m and every older compaction; anything covered is
+    SUPERSEDED — readers skip it, the compactor deletes it."""
+    import glob
+    import os
+
+    ids = []
+    for p in glob.glob(os.path.join(index_root, "batch_id=*")):
+        try:
+            ids.append(int(os.path.basename(p).split("=", 1)[1]))
+        except ValueError:
+            continue
+    comp = [i for i in ids if i >= _GRAM_COMPACT_NS]
+    m = max(comp) - _GRAM_COMPACT_NS if comp else -1
+    newest = _GRAM_COMPACT_NS + m if comp else None
+    live = [i for i in ids if i < _GRAM_COMPACT_NS and i > m]
+    if newest is not None:
+        live.append(newest)
+    superseded = [i for i in ids if i not in live]
+    return live, superseded, m
+
+
 def read_gram_index(spark: SparkSession, index_root: str) -> DataFrame:
     """Fold the per-batch gram partials into the corpus-wide keeper
     index (h, keeper, c): keeper = MIN of batch keepers, c = SUM of
     batch counts — associative merges, so the result is independent of
     batching and bit-identical to the index the one-shot batch rebuild
     derives. Feed to
-    operators/textdedup.exact_substr_spans_from_index. One groupBy over
-    the gram-hash key space (far smaller than the corpus's positions;
-    at 100 TB, compact old batches offline so the fold reads few
-    files)."""
+    operators/textdedup.exact_substr_spans_from_index.
+
+    Coverage rule: only LIVE dirs are read — the newest compaction dir
+    (which already holds everything with stream id ≤ its encoded m)
+    plus stream dirs with id > m. Superseded dirs a crashed compactor
+    failed to delete are ignored, so a half-finished compaction can
+    never double-count. One groupBy over the gram-hash key space (far
+    smaller than the corpus's positions); run
+    :func:`compact_gram_index` periodically so the fold reads few
+    files."""
+    live, _, _ = _gram_index_live_ids(index_root)
     partials = spark.read.option("basePath", index_root).parquet(
-        f"{index_root}/batch_id=*"
+        *[f"{index_root}/batch_id={i}" for i in sorted(live)]
     )
     return partials.groupBy("h").agg(
         F.min("keeper").alias("keeper"), F.sum("c").alias("c")
     )
+
+
+def compact_gram_index(spark: SparkSession, index_root: str) -> int:
+    """Fold the live partials into ONE compacted dir so the reader's
+    merge touches few files regardless of how many micro-batches ever
+    ran — the layout.compaction story applied to the gram index.
+
+    Crash-safe and LIVE-safe without any whole-root swap, because the
+    coverage rule carries the commit point: the compacted dir lands at
+    ``batch_id = 3·10⁶ + max(covered stream id)`` FIRST (overwrite —
+    a deterministic id, so re-runs republish identical files), and only
+    then are the superseded dirs deleted. A crash between the two
+    steps leaves extra dirs that every reader already ignores; the
+    next compaction (or this one re-run) finishes the deletion. The
+    stream keeps appending NEW ids > m throughout — never touched.
+    Returns the number of live dirs folded (0 = nothing to do)."""
+    import os
+    import shutil
+
+    live, superseded, m = _gram_index_live_ids(index_root)
+    # clean up any leftovers from a crashed predecessor first
+    for i in superseded:
+        shutil.rmtree(
+            os.path.join(index_root, f"batch_id={i}"), ignore_errors=True
+        )
+    stream_live = [i for i in live if i < _GRAM_COMPACT_NS]
+    if not stream_live or len(live) < 2:
+        return 0  # nothing new since the last compaction
+    m2 = max(stream_live)
+    merged = read_gram_index(spark, index_root)
+    merged.write.mode("overwrite").parquet(
+        f"{index_root}/batch_id={_GRAM_COMPACT_NS + m2}"
+    )
+    for i in live:
+        if i != _GRAM_COMPACT_NS + m2:
+            shutil.rmtree(
+                os.path.join(index_root, f"batch_id={i}"), ignore_errors=True
+            )
+    return len(live)
 
 
 def sessionize_stateful(

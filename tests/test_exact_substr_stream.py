@@ -155,3 +155,79 @@ def test_replay_is_idempotent(spark, tmp_path):
         key=lambda r: r["h"],
     )
     assert index_before == index_after
+
+
+def test_compaction_preserves_the_index_and_is_crash_safe(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from data_lake_spark.streaming.incremental import (
+        _GRAM_COMPACT_NS,
+        compact_gram_index,
+    )
+
+    docs = _docs_df(spark, _DOCS)
+    src = _write_batches(
+        tmp_path, [docs.filter("doc_id IN (1, 4)"), docs.filter("doc_id IN (2, 3, 5)")]
+    )
+    index_root = _run_ingest(spark, tmp_path, src)
+    before = sorted(
+        read_gram_index(spark, index_root).collect(), key=lambda r: r["h"]
+    )
+
+    # compaction folds both batch dirs into one and changes NOTHING
+    # the reader sees
+    assert compact_gram_index(spark, index_root) == 2
+    dirs = sorted(glob.glob(str(index_root) + "/batch_id=*"))
+    assert len(dirs) == 1 and f"batch_id={_GRAM_COMPACT_NS + 1}" in dirs[0]
+    assert (
+        sorted(read_gram_index(spark, index_root).collect(), key=lambda r: r["h"])
+        == before
+    )
+    # idempotent: nothing new to fold
+    assert compact_gram_index(spark, index_root) == 0
+
+    # the stream continues: batch 2 arrives on the same checkpoint
+    extra = _docs_df(spark, [(6, _RUN + " yet another repeat of the run")])
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_gram_index_ingest(
+        stream, index_root, str(tmp_path / "ckpt"), k=_K
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    all_docs = docs.unionByName(extra)
+    got = exact_substr_spans_from_index(
+        all_docs, read_gram_index(spark, index_root), k=_K, min_tokens=_MIN
+    )
+    want = exact_substr_spans(all_docs, k=_K, min_tokens=_MIN)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # crash window: a second compaction that wrote its dir but died
+    # before deleting the superseded ones — readers must ignore the
+    # leftovers (no double count), and the next compaction cleans up
+    snap = sorted(
+        read_gram_index(spark, index_root).collect(), key=lambda r: r["h"]
+    )
+    merged = read_gram_index(spark, index_root)
+    merged.write.mode("overwrite").parquet(
+        f"{index_root}/batch_id={_GRAM_COMPACT_NS + 2}"
+    )  # the new compaction landed; superseded dirs still present
+    assert (
+        sorted(read_gram_index(spark, index_root).collect(), key=lambda r: r["h"])
+        == snap
+    )
+    assert compact_gram_index(spark, index_root) == 0  # finishes deletion
+    dirs = glob.glob(str(index_root) + "/batch_id=*")
+    assert len(dirs) == 1 and f"batch_id={_GRAM_COMPACT_NS + 2}" in dirs[0]
+    assert (
+        sorted(read_gram_index(spark, index_root).collect(), key=lambda r: r["h"])
+        == snap
+    )
