@@ -221,6 +221,10 @@ HEADLINE = [
     "ngram_coverage",
     # top principal direction: two in-engine power-method iterations
     "embedding_pca",
+    # bpe_encode served from the persisted vocabulary artifact —
+    # compare against bpe_encode to see what the tokenizer-as-artifact
+    # buys (the ivf_stored vs ivf_search comparison for text)
+    "bpe_encode_stored",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

@@ -132,11 +132,11 @@ def full_registry() -> dict[str, QuerySpec]:
 #     round-7 addition in (a) displaces one row off this tail into the
 #     ROUND 8 TODO.
 #
-# ROUND 8 TODO (computed from this round's FINAL window: 9 additions
-# + 16 r03-stale + 25 r04-stale = 50; rank 50 cuts block (c) after its
-# 25th row, `simhash` — verified against the live full_registry()
-# ordering): lead with the 24 displaced (c)-tail rows, still r04-green
-# and the oldest verdicts in the registry by r08 — cosine_topk
+# ROUND 8 TODO (computed from this round's FINAL window: 10 additions
+# + 16 r03-stale + 24 r04-stale = 50; rank 50 cuts block (c) after its
+# 24th row, `lang_id` — verified against the live full_registry()
+# ordering): lead with the 25 displaced (c)-tail rows, still r04-green
+# and the oldest verdicts in the registry by r08 — simhash cosine_topk
 # winnow_fingerprint ann_lsh ivf_assign ivf_search dedup_clusters
 # ann_multiprobe bpe_tokens embedding_neardup multimodal_decode
 # frame_sample length_band_join quality_quantile_filter vocab_stats
@@ -158,6 +158,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "vocab_prune",
     "ngram_coverage",
     "embedding_pca",
+    "bpe_encode_stored",
     # (b) the 16 r03-stale rows displaced by the round-6 additions —
     # oldest verdicts in the registry
     "ntile_deciles",

@@ -442,6 +442,68 @@ REGISTRY["bpe_encode"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# bpe_encode_stored — encode against a PERSISTED vocabulary artifact
+# ---------------------------------------------------------------------------
+#
+# bpe_encode / bpe_fertility / bpe_merges each REPLAY the 8 training
+# rounds in-query — the honest train-side cost, but not what serving
+# pays: a production tokenizer is trained once and versioned as an
+# artifact (exactly the ivf_stored / ivf_pq_stored argument applied to
+# text). The stored form reads the tiny (word, n_sym) vocabulary
+# parquet and pays one corpus explode + broadcast join + doc rollup —
+# no vocabulary-table merge rounds anywhere in the plan. Results are
+# identical to bpe_encode (strings and ints round-trip parquet
+# bit-exactly), so it shares its oracle; the plan census pins the
+# no-retraining claim and the bench shows what the artifact buys.
+
+_BPE_VOCAB_CACHE: dict = {}
+
+
+def stored_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _BPE_VOCAB_CACHE:
+        from data_lake_spark.operators.bpe import bpe_learn
+
+        path = tempfile.mkdtemp(prefix="bpe_vocab_")
+        docs = load_table(spark, sf_dir, "documents")
+        _, vocab = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+        vocab.select(
+            "word", F.size("symbols").cast("long").alias("n_sym")
+        ).write.mode("overwrite").parquet(path)
+        _BPE_VOCAB_CACHE[sf_dir] = path
+    return spark.read.parquet(_BPE_VOCAB_CACHE[sf_dir])
+
+
+def q_bpe_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_encode served from the persisted vocabulary artifact —
+    the tokenizer-as-artifact serving form (see block comment)."""
+    enc = stored_bpe_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REGISTRY["bpe_encode_stored"] = QuerySpec(
+    q_bpe_encode_stored,
+    ORACLE_BPE_ENCODE,
+    "bpe_encode served from a persisted vocabulary artifact: one "
+    "explode + broadcast join + doc rollup, zero training rounds "
+    "in-plan (the ivf_stored argument applied to the tokenizer)",
+)
+
+
+# ---------------------------------------------------------------------------
 # source_lift — per-source distinctive terms (the corpus-audit "what
 # makes this source different" table)
 # ---------------------------------------------------------------------------

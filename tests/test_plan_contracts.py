@@ -318,6 +318,9 @@ _SHUFFLE_BUDGET = {
     # two power steps: each is a vec_id projection window + a 64-key
     # per-dim re-aggregate; direction frames broadcast back
     "embedding_pca": 4,
+    # the tokenizer-as-artifact serving form: one explode + broadcast
+    # vocabulary join + doc rollup — zero training rounds in-plan
+    "bpe_encode_stored": 1,
 }
 
 
@@ -441,6 +444,23 @@ def test_ivf_pq_stored_zero_corpus_scan(spark, sf_dir):
     for b in emb_blocks:
         head = b.split("\n\n")[0]
         assert "In(vec_id" in head, head  # ...but only by id pushdown
+
+
+def test_bpe_encode_stored_zero_retraining(spark, sf_dir):
+    # The tokenizer-as-artifact serving claim: the plan reads the
+    # persisted vocabulary parquet, scans documents ONCE (doc_id + text
+    # only), and contains none of the training machinery (bpe_merges
+    # replays 8 vocabulary-table merge rounds; the budget test already
+    # pins this plan at <= 1 exchange).
+    plan = _plan(spark, sf_dir, "bpe_encode_stored")
+    assert "bpe_vocab_" in plan
+    blocks = re.split(r"\(\d+\) Scan parquet", plan)[1:]
+    doc_blocks = [
+        b for b in blocks if "documents.parquet" in b.split("\n\n")[0]
+    ]
+    assert len(doc_blocks) == 1, plan  # one corpus scan, not per-round
+    head = doc_blocks[0].split("\n\n")[0]
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in head, head
 
 
 def test_events_normalization_session_tz_independent(spark, sf_dir):

@@ -96,6 +96,7 @@ QUERIES = [
     # dedup load, the minhash_lsh argument) — the banded index itself
     # is linear in images
     "image_dhash_pairs",
+    "bpe_encode_stored",  # artifact-served encode: explode + bcast join
     "mixture_audit",  # token agg + sampled re-agg; lang-frame windows
     "vocab_prune",  # explode + token agg; ladder on the tf histogram
     "ngram_coverage",  # bigram census + TakeOrdered(1000) window
