@@ -413,11 +413,17 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = it1.groupBy("d").agg(
         F.sum(F.floor(F.col("x") * F.col("s1"))).alias("w1")
     )
+    # m1 = 0 (an all-zero corpus) is degenerate but must not diverge
+    # cross-engine (Spark div → NULL, DuckDB // → error): the mleval_q
+    # guard convention, same as temp_weights' boost
     v1 = w1.withColumn("m1", F.max(F.abs(F.col("w1"))).over(wall)).select(
         "d",
         (
             F.signum("w1").cast("long")
-            * F.expr("(ABS(w1) * 1000000) div m1")
+            * F.expr(
+                "CASE WHEN m1 > 0 THEN (ABS(w1) * 1000000) div m1"
+                " ELSE 0 END"
+            )
         ).alias("v1"),
     )
     # iteration 2 against the 64-row broadcast v1 (|v1| ≤ 10⁶):
@@ -438,7 +444,10 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2").cast("long").alias("w2"),
             (
                 F.signum("w2").cast("long")
-                * F.expr("(ABS(w2) * 1000000) div m2")
+                * F.expr(
+                    "CASE WHEN m2 > 0 THEN (ABS(w2) * 1000000) div m2"
+                    " ELSE 0 END"
+                )
             ).alias("component_micro"),
         )
         .orderBy("dim")
@@ -466,7 +475,9 @@ w1 AS (
 v1 AS (
   SELECT d,
          CAST(CASE WHEN w1 > 0 THEN 1 WHEN w1 < 0 THEN -1 ELSE 0 END
-              * ((ABS(w1) * 1000000) // MAX(ABS(w1)) OVER ()) AS BIGINT)
+              * (CASE WHEN MAX(ABS(w1)) OVER () > 0
+                      THEN (ABS(w1) * 1000000) // MAX(ABS(w1)) OVER ()
+                      ELSE 0 END) AS BIGINT)
            AS v1
   FROM w1
 ),
@@ -482,7 +493,9 @@ w2 AS (
 )
 SELECT CAST(d AS BIGINT) AS dim, w2,
        CAST(CASE WHEN w2 > 0 THEN 1 WHEN w2 < 0 THEN -1 ELSE 0 END
-            * ((ABS(w2) * 1000000) // MAX(ABS(w2)) OVER ()) AS BIGINT)
+            * (CASE WHEN MAX(ABS(w2)) OVER () > 0
+                    THEN (ABS(w2) * 1000000) // MAX(ABS(w2)) OVER ()
+                    ELSE 0 END) AS BIGINT)
          AS component_micro
 FROM w2 ORDER BY dim
 """
