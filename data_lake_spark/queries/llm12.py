@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.functions.exact import (
+    micro_share_guarded_sql,
     micro_share_sql,
+    oracle_micro_share_guarded_sql,
     oracle_micro_share_sql,
 )
 from data_lake_spark.queries import QuerySpec
@@ -76,9 +78,12 @@ def q_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "target_micro", F.expr(micro_share_sql("sqrt_micro", "sqrt_tot"))
         )
+        # share_micro floors to 0 for a sub-ppm language — guarded
+        # (the temp_weights boost convention): such a language samples
+        # at thr 0 rather than poisoning the whole table cross-engine
         .withColumn(
             "boost_micro",
-            F.expr(micro_share_sql("target_micro", "share_micro")),
+            F.expr(micro_share_guarded_sql("target_micro", "share_micro")),
         )
         .withColumn("max_boost", F.max("boost_micro").over(w))
         .withColumn(
@@ -117,7 +122,7 @@ def q_mixture_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_mixture_audit() -> str:
     share = oracle_micro_share_sql("lang_tok", "tot")
     target = oracle_micro_share_sql("sqrt_micro", "sqrt_tot")
-    boost = oracle_micro_share_sql("target_micro", "share_micro")
+    boost = oracle_micro_share_guarded_sql("target_micro", "share_micro")
     achieved = oracle_micro_share_sql("samp_tok", "samp_tot")
     return f"""
 WITH d AS (
