@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.functions.exact import (
-    micro_share_sql,
-    oracle_micro_share_sql,
+    micro_share_guarded_sql,
+    oracle_micro_share_guarded_sql,
 )
 from data_lake_spark.queries import QuerySpec
 
@@ -50,8 +50,11 @@ _SCALE = 1_000_000
 
 def _share(num: str, den: str) -> F.Column:
     """Floored micro-share with int64 headroom — the shared
-    functions/exact.micro_share_sql recipe as a Column."""
-    return F.expr(micro_share_sql(num, den))
+    functions/exact recipe as a Column, denominator-guarded: an EMPTY
+    fact table is a realistic DQ input (it is precisely a failure the
+    suite should report as observed 0, not crash on), and the guard
+    keeps Spark and the oracle in agreement there."""
+    return F.expr(micro_share_guarded_sql(num, den))
 
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,33 +184,33 @@ o_ref AS (
 ),
 checks AS (
   SELECT 'orders' AS tbl, 'complete_o_custkey' AS "check",
-         {oracle_micro_share_sql("n_cust", "n")} AS observed_micro,
+         {oracle_micro_share_guarded_sql("n_cust", "n")} AS observed_micro,
          n_cust = n AS ok FROM o
   UNION ALL
   SELECT 'orders', 'unique_o_orderkey',
-         {oracle_micro_share_sql("n_key", "n")}, n_key = n FROM o
+         {oracle_micro_share_guarded_sql("n_key", "n")}, n_key = n FROM o
   UNION ALL
   SELECT 'orders', 'range_o_totalprice_nonneg',
-         {oracle_micro_share_sql("n_price", "n")}, n_price = n FROM o
+         {oracle_micro_share_guarded_sql("n_price", "n")}, n_price = n FROM o
   UNION ALL
   SELECT 'orders', 'domain_o_orderstatus',
-         {oracle_micro_share_sql("n_status", "n")}, n_status = n FROM o
+         {oracle_micro_share_guarded_sql("n_status", "n")}, n_status = n FROM o
   UNION ALL
   SELECT 'lineitem', 'unique_l_orderkey_linenumber',
-         {oracle_micro_share_sql("n_key", "n")}, n_key = n FROM li
+         {oracle_micro_share_guarded_sql("n_key", "n")}, n_key = n FROM li
   UNION ALL
   SELECT 'lineitem', 'range_l_quantity_positive',
-         {oracle_micro_share_sql("n_qty", "n")}, n_qty = n FROM li
+         {oracle_micro_share_guarded_sql("n_qty", "n")}, n_qty = n FROM li
   UNION ALL
   SELECT 'lineitem', 'range_l_discount_unit',
-         {oracle_micro_share_sql("n_disc", "n")}, n_disc = n FROM li
+         {oracle_micro_share_guarded_sql("n_disc", "n")}, n_disc = n FROM li
   UNION ALL
   SELECT 'lineitem', 'fk_l_orderkey_in_orders',
-         {oracle_micro_share_sql("n_matched", "n")},
+         {oracle_micro_share_guarded_sql("n_matched", "n")},
          n_matched = n FROM li_ref
   UNION ALL
   SELECT 'orders', 'fk_o_custkey_in_customer',
-         {oracle_micro_share_sql("n_matched", "n")},
+         {oracle_micro_share_guarded_sql("n_matched", "n")},
          n_matched = n FROM o_ref
 )
 SELECT tbl, "check", CAST(observed_micro AS BIGINT) AS observed_micro,
