@@ -372,7 +372,17 @@ def start_lsh_dedup_ingest(
     Docs shorter than ``n`` tokens produce no shingles: they pass
     through as novel with no index entry (route them to exact-hash
     dedup upstream if that matters). ``max_band_size`` frequency-caps
-    boilerplate bands in both screens (see textdedup.cap_hot_bands)."""
+    boilerplate bands in both screens (see textdedup.cap_hot_bands).
+
+    Do NOT naively compact this index the way the gram index is
+    compacted (:func:`compact_gram_index`): the history screen's
+    ``batch_id < current`` filter IS the replay ledger — it
+    reconstructs exactly the state each original batch saw, and a
+    compacted dir with an out-of-namespace id would be invisible to
+    every replayed batch's screen, silently re-admitting duplicates. A
+    correct LSH compaction needs a coverage rule the screen filter
+    understands (fold dirs ≤ m into an id that still satisfies
+    ``< current`` for every live batch id > m)."""
     from pyspark.errors import AnalysisException
 
     from data_lake_spark.operators.textdedup import (
