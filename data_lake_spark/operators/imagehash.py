@@ -278,3 +278,43 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+def dedup_images(
+    media: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The whole perceptual image-dedup pipeline as one call — the
+    textdedup.dedup_corpus shape applied to the binary column: dHash
+    (one Arrow decode pass) → Hamming-banded candidate pairs →
+    connected components → keep the min-id image per duplicate family.
+
+    Returns every input image labeled: (media_id, keeper, is_dup) —
+    is_dup means "drop me, keeper survives in my place". Undecodable
+    images hash NULL, join nothing, and survive as their own keepers
+    (route them to exact-byte dedup upstream). Idempotent: deduping
+    the kept set again removes nothing — a family collapses to its
+    keeper, and keepers share no sub-threshold pair by construction of
+    the component labeling.
+
+    100 TB shape: dHash/banding per the module docstring; the component
+    step runs on the SPARSE verified pair set (operators/graph
+    escalates from driver union-find to the distributed O(log n) star
+    fixpoint on size), never on the image count."""
+    from data_lake_spark.operators.graph import connected_components
+
+    hashes = dhash_table(media)  # checkpointed inside hamming_pairs
+    pairs = hamming_pairs(
+        hashes, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket
+    )
+    nodes = media.select(F.col("media_id").alias("node"))
+    clusters = connected_components(
+        nodes, pairs, src_col="media_a", dst_col="media_b"
+    )
+    return clusters.select(
+        F.col("node").alias("media_id"),
+        F.col("cluster_id").alias("keeper"),
+        (F.col("node") != F.col("cluster_id")).alias("is_dup"),
+    )

@@ -166,3 +166,38 @@ def test_hot_bucket_cap_drops_pathological_buckets(spark):
     hashes = dhash_table(media)
     assert hamming_pairs(hashes, max_bucket=5).count() == 0
     assert hamming_pairs(hashes, max_bucket=64).count() == 45
+
+
+def test_dedup_images_keeper_assignment_and_idempotence(spark):
+    base = [[((r * 7 + c * 13) % 200,) * 3 for c in range(16)] for r in range(16)]
+    near = [row[:] for row in base]
+    near[5][5] = (min(255, base[5][5][0] + 40),) * 3
+    other = [[((r * 13 + c * 7 + 90) % 200,) * 3 for c in range(16)] for r in range(16)]
+    media = spark.createDataFrame(
+        [
+            (1, _bmp(base)),
+            (2, _bmp(base)),   # exact dup → family of 1
+            (3, _bmp(near)),   # near dup → same family via 1
+            (4, _bmp(other)),  # own keeper
+            (5, b"undecodable"),  # NULL hash → survives as own keeper
+        ],
+        "media_id long, content binary",
+    )
+    from data_lake_spark.operators.imagehash import dedup_images
+
+    labels = {r["media_id"]: (r["keeper"], r["is_dup"]) for r in dedup_images(media).collect()}
+    assert labels == {
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),
+        4: (4, False),
+        5: (5, False),
+    }
+    # idempotent: the kept set has no families left
+    kept = media.join(
+        dedup_images(media).filter("NOT is_dup").select("media_id"),
+        "media_id",
+        "left_semi",
+    )
+    relabel = dedup_images(kept).collect()
+    assert all(not r["is_dup"] for r in relabel)
