@@ -1,0 +1,97 @@
+"""Deterministic on-disk store for trained serving artifacts.
+
+The stored-artifact queries (``ivf_stored``, ``ivf_pq_stored``,
+``bpe_encode_stored``, ``pca_project_stored``) model the production
+split between TRAINING (runs once, persists a model table) and SERVING
+(reads the artifact, never retrains in-plan). Their original caches
+were process-global dicts over ``tempfile.mkdtemp`` paths, which had
+three defects:
+
+- **staleness**: regenerating the data under ``sf_dir`` within one
+  process kept serving the old artifact;
+- **leakage**: every process minted fresh temp dirs and never removed
+  them;
+- **cold-start dishonesty**: a NEW process silently paid full training
+  on the first serving call, so the advertised artifact speedup held
+  only on warm runs.
+
+This module replaces them with one convention: the artifact lives at a
+DETERMINISTIC path whose name digests the absolute source location plus
+each source table's (size, mtime) fingerprint. Fresh data ⇒ new digest
+⇒ retrain; same data ⇒ any process finds the finished artifact (the
+parquet ``_SUCCESS`` marker is the commit point) and pays only the
+read. Production swaps the fingerprint for a catalog snapshot/version
+id — the digest-in-the-path idea is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STORE_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
+
+
+def _store_root() -> str:
+    root = os.environ.get(_STORE_ENV) or os.path.join(
+        tempfile.gettempdir(), "dls_artifacts"
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _fingerprint_path(p: str, h: "hashlib._Hash") -> None:
+    """Digest (relative name, size, mtime_ns) of a file, or of every
+    data file under a directory (parquet tables may be either)."""
+    if os.path.isdir(p):
+        for dirpath, _, names in sorted(os.walk(p)):
+            for n in sorted(names):
+                if n.startswith((".", "_")):
+                    continue
+                _fingerprint_path(os.path.join(dirpath, n), h)
+        return
+    st = os.stat(p)
+    h.update(p.encode())
+    h.update(str(st.st_size).encode())
+    h.update(str(st.st_mtime_ns).encode())
+
+
+def artifact_path(sf_dir: str, kind: str, tables: list[str]) -> str:
+    """Deterministic artifact location for ``kind`` trained from the
+    named source tables under ``sf_dir``. The digest covers the
+    absolute source path and each table's size+mtime fingerprint, so
+    regenerated source data yields a DIFFERENT path (never a stale
+    read) while unchanged data yields the SAME path in every process
+    (never a silent retrain)."""
+    h = hashlib.sha1()
+    h.update(os.path.abspath(sf_dir).encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            _fingerprint_path(p, h)
+    return os.path.join(_store_root(), f"{kind}_{h.hexdigest()[:16]}")
+
+
+def stored_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    tables: list[str],
+    build: Callable[[], DataFrame],
+    partition_by: Optional[str] = None,
+) -> DataFrame:
+    """Read the artifact for ``kind``; train-and-persist via ``build()``
+    only if no finished artifact exists for the CURRENT source data.
+    ``_SUCCESS`` is the commit marker — a crashed write is retried, a
+    finished one is reused by any process."""
+    path = artifact_path(sf_dir, kind, tables)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+    return spark.read.parquet(path)

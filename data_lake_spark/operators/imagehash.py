@@ -195,7 +195,9 @@ def dhash_table(media: DataFrame) -> DataFrame:
         for pdf in it:
             hashes = []
             for raw in pdf["content"]:
-                hv = dhash64(bytes(raw))
+                # NULL content must yield a NULL hash, not a TypeError —
+                # bytes(None) would poison the whole Arrow batch
+                hv = dhash64(bytes(raw)) if raw is not None else None
                 if hv is not None and hv >= 1 << 63:
                     hv -= 1 << 64  # two's-complement into long range
                 hashes.append(hv)

@@ -456,23 +456,24 @@ REGISTRY["bpe_encode"] = QuerySpec(
 # bit-exactly), so it shares its oracle; the plan census pins the
 # no-retraining claim and the bench shows what the artifact buys.
 
-_BPE_VOCAB_CACHE: dict = {}
-
-
 def stored_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    """Vocabulary artifact via the deterministic artifact store
+    (data_lake_spark.artifacts): the path digests the documents
+    table's fingerprint, so regenerated source data retrains instead
+    of serving stale merges, and a NEW process reuses the finished
+    artifact instead of silently paying full training in-query."""
+    from data_lake_spark.artifacts import stored_artifact
 
-    if sf_dir not in _BPE_VOCAB_CACHE:
+    def build() -> DataFrame:
         from data_lake_spark.operators.bpe import bpe_learn
 
-        path = tempfile.mkdtemp(prefix="bpe_vocab_")
         docs = load_table(spark, sf_dir, "documents")
         _, vocab = bpe_learn(docs, n_merges=_BPE_ROUNDS)
-        vocab.select(
+        return vocab.select(
             "word", F.size("symbols").cast("long").alias("n_sym")
-        ).write.mode("overwrite").parquet(path)
-        _BPE_VOCAB_CACHE[sf_dir] = path
-    return spark.read.parquet(_BPE_VOCAB_CACHE[sf_dir])
+        )
+
+    return stored_artifact(spark, sf_dir, "bpe_vocab", ["documents"], build)
 
 
 def q_bpe_encode_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,8 +20,10 @@ Scale notes baked into each plan:
 
 Cross-engine exactness follows the house floor-micros discipline; the
 one new wrinkle (PCA components are SIGNED) is handled sign-magnitude —
-``sign(x) * (abs(x) * 10^6 div m)`` — because integer division on
-negatives truncates toward zero in Spark but floors in DuckDB.
+``sign(x) * (abs(x) div (m div 10^6 + 1))`` — because integer division
+on negatives truncates toward zero in Spark but floors in DuckDB, and
+the divide-first form never exceeds ``abs(x)`` so it cannot overflow
+int64 at any corpus size.
 """
 
 from __future__ import annotations
@@ -394,9 +396,15 @@ REGISTRY["ngram_coverage"] = QuerySpec(
 # Exactness: projections floor-quantize at 10⁶ per element; per-dim
 # sums are exact int64 (bounds documented inline); iteration-boundary
 # rescaling is sign-magnitude max-abs normalization — sign(w) ·
-# (|w|·10⁶ div max|w|) — because negative integer division truncates
-# toward zero in Spark but floors in DuckDB, so |·| keeps both engines
-# on the nonnegative-div common ground.
+# (|w| div (max|w| div 10⁶ + 1)) — because negative integer division
+# truncates toward zero in Spark but floors in DuckDB, so |·| keeps
+# both engines on the nonnegative-div common ground. The divide-first
+# form (divisor = max|w| div 10⁶ + 1, never 0) keeps every
+# intermediate ≤ max|w|: the earlier |w|·10⁶-then-div form overflowed
+# int64 once max|w| passed ~9.2e12 (≈5·10⁵ vectors at the ~2e7
+# per-vector term bound) — Spark wraps silently where DuckDB errors.
+# Result magnitude is still < 10⁶ (m div (m div 10⁶ + 1) ≤ 999999),
+# and for max|w| < 10⁶ the divisor is 1, i.e. w passes through exact.
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,21 +422,19 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1", F.sum(F.floor(F.col("x") * F.lit(1e6))).over(wv)
     )
     # w1_d = Σ_vec floor(x·s1): |term| ≤ 0.32·6.4e7 ≈ 2e7, summed over
-    # every vector — int64-safe past 10¹¹ vectors
+    # every vector — the SUM is int64-safe past 10¹¹ vectors, and the
+    # divide-first rescale below never exceeds |w1| itself (the old
+    # ABS(w1)·10⁶ product overflowed at ~5·10⁵ vectors)
     w1 = it1.groupBy("d").agg(
         F.sum(F.floor(F.col("x") * F.col("s1"))).alias("w1")
     )
-    # m1 = 0 (an all-zero corpus) is degenerate but must not diverge
-    # cross-engine (Spark div → NULL, DuckDB // → error): the mleval_q
-    # guard convention, same as temp_weights' boost
+    # divisor = m1 div 10⁶ + 1 ≥ 1 — no div-by-zero on an all-zero
+    # corpus in either engine (the CASE guard the product form needed)
     v1 = w1.withColumn("m1", F.max(F.abs(F.col("w1"))).over(wall)).select(
         "d",
         (
             F.signum("w1").cast("long")
-            * F.expr(
-                "CASE WHEN m1 > 0 THEN (ABS(w1) * 1000000) div m1"
-                " ELSE 0 END"
-            )
+            * F.expr("ABS(w1) div (m1 div 1000000 + 1)")
         ).alias("v1"),
     )
     # iteration 2 against the 64-row broadcast v1 (|v1| ≤ 10⁶):
@@ -449,10 +455,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2").cast("long").alias("w2"),
             (
                 F.signum("w2").cast("long")
-                * F.expr(
-                    "CASE WHEN m2 > 0 THEN (ABS(w2) * 1000000) div m2"
-                    " ELSE 0 END"
-                )
+                * F.expr("ABS(w2) div (m2 div 1000000 + 1)")
             ).alias("component_micro"),
         )
         .orderBy("dim")
@@ -480,9 +483,8 @@ w1 AS (
 v1 AS (
   SELECT d,
          CAST(CASE WHEN w1 > 0 THEN 1 WHEN w1 < 0 THEN -1 ELSE 0 END
-              * (CASE WHEN MAX(ABS(w1)) OVER () > 0
-                      THEN (ABS(w1) * 1000000) // MAX(ABS(w1)) OVER ()
-                      ELSE 0 END) AS BIGINT)
+              * (ABS(w1) // (MAX(ABS(w1)) OVER () // 1000000 + 1))
+            AS BIGINT)
            AS v1
   FROM w1
 ),
@@ -498,9 +500,8 @@ w2 AS (
 )
 SELECT CAST(d AS BIGINT) AS dim, w2,
        CAST(CASE WHEN w2 > 0 THEN 1 WHEN w2 < 0 THEN -1 ELSE 0 END
-            * (CASE WHEN MAX(ABS(w2)) OVER () > 0
-                    THEN (ABS(w2) * 1000000) // MAX(ABS(w2)) OVER ()
-                    ELSE 0 END) AS BIGINT)
+            * (ABS(w2) // (MAX(ABS(w2)) OVER () // 1000000 + 1))
+          AS BIGINT)
          AS component_micro
 FROM w2 ORDER BY dim
 """
@@ -510,4 +511,123 @@ REGISTRY["embedding_pca"] = QuerySpec(
     ORACLE_EMBEDDING_PCA,
     "top principal direction by two in-engine power-method iterations "
     "(projection window + 64-key re-aggregate per step, no gram matrix)",
+)
+
+
+# ---------------------------------------------------------------------------
+# pca_project_stored — projection served from the PERSISTED component
+# ---------------------------------------------------------------------------
+#
+# embedding_pca is the TRAINING face: every call replays both power
+# iterations. Production projects against a component learned once and
+# versioned as an artifact — the ivf_stored / bpe_encode_stored
+# convention applied to the last in-engine-training query that lacked
+# its serving twin. The stored form reads the 64-row component parquet
+# (data_lake_spark.artifacts: fingerprint-keyed, so regenerated
+# embeddings retrain) and pays ONE pass over the corpus: explode →
+# broadcast join on the dim key → per-vector SUM. No vec_id window, no
+# per-dim re-aggregate, zero power-iteration stages in-plan — the plan
+# census in tests/test_plan_contracts.py pins exactly that.
+#
+# Exactness: proj_micro = Σ_d floor(x_d · v_d) with |v_d| < 10⁶ and
+# |x| ≤ ~0.32, so |term| < 3.2·10⁵ and the 64-term sum < 2.1·10⁷ —
+# int64-trivial. The double product x·v is IEEE-identical across
+# engines, and the artifact's long components round-trip parquet
+# bit-exactly, so the oracle may recompute the component inline (SQL
+# cannot read the artifact) and still match bit-for-bit.
+
+
+def stored_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lake_spark.artifacts import stored_artifact
+
+    return stored_artifact(
+        spark,
+        sf_dir,
+        "pca_component",
+        ["embeddings"],
+        lambda: q_embedding_pca(spark, sf_dir).select(
+            "dim", "component_micro"
+        ),
+    )
+
+
+def q_pca_project_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the stored top principal component —
+    the serving twin of q_embedding_pca (see block comment)."""
+    comp = stored_pca_component(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("d", "xv"),
+    ).select("vec_id", "d", F.col("xv").cast("double").alias("x"))
+    return (
+        elems.join(F.broadcast(comp), elems["d"] == comp["dim"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.col("component_micro")))
+            .cast("long")
+            .alias("proj_micro")
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_PCA_PROJECT = """
+WITH elems AS (
+  SELECT vec_id, CAST(d - 1 AS INT) AS d, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id,
+               UNNEST(embedding) AS x,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS d
+        FROM embeddings)
+),
+it1 AS (
+  SELECT vec_id, d, x,
+         CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT))
+              OVER (PARTITION BY vec_id) AS BIGINT) AS s1
+  FROM elems
+),
+w1 AS (
+  SELECT d, CAST(SUM(CAST(FLOOR(x * s1) AS BIGINT)) AS BIGINT) AS w1
+  FROM it1 GROUP BY 1
+),
+v1 AS (
+  SELECT d,
+         CAST(CASE WHEN w1 > 0 THEN 1 WHEN w1 < 0 THEN -1 ELSE 0 END
+              * (ABS(w1) // (MAX(ABS(w1)) OVER () // 1000000 + 1))
+            AS BIGINT)
+           AS v1
+  FROM w1
+),
+it2 AS (
+  SELECT e.vec_id, e.d, e.x,
+         CAST(SUM(CAST(FLOOR(e.x * v.v1) AS BIGINT))
+              OVER (PARTITION BY e.vec_id) AS BIGINT) AS s2
+  FROM elems e JOIN v1 v ON e.d = v.d
+),
+w2 AS (
+  SELECT d, CAST(SUM(CAST(FLOOR(x * s2) AS BIGINT)) AS BIGINT) AS w2
+  FROM it2 GROUP BY 1
+),
+comp AS (
+  SELECT d,
+         CAST(CASE WHEN w2 > 0 THEN 1 WHEN w2 < 0 THEN -1 ELSE 0 END
+              * (ABS(w2) // (MAX(ABS(w2)) OVER () // 1000000 + 1))
+            AS BIGINT)
+           AS v
+  FROM w2
+)
+SELECT e.vec_id,
+       CAST(SUM(CAST(FLOOR(e.x * c.v) AS BIGINT)) AS BIGINT) AS proj_micro
+FROM elems e JOIN comp c ON e.d = c.d
+GROUP BY 1
+ORDER BY vec_id
+"""
+
+REGISTRY["pca_project_stored"] = QuerySpec(
+    q_pca_project_stored,
+    ORACLE_PCA_PROJECT,
+    "per-vector projection onto the PERSISTED top principal component: "
+    "one explode + 64-row broadcast join + per-vector sum, zero "
+    "power-iteration stages in-plan (the stored-artifact serving twin "
+    "of embedding_pca)",
 )

@@ -412,24 +412,23 @@ ORDER BY query_id, rk
 """
 
 
-# per-(sf_dir) persisted centroid artifact: trained once, written to a
-# process-lifetime parquet location, READ BACK for every serving call —
-# the stored-model pattern (testdata under a path is immutable, exactly
-# like a versioned production artifact)
-_CENTROID_CACHE: dict = {}
+# persisted centroid artifact: trained once, READ BACK for every
+# serving call — the stored-model pattern, via the deterministic
+# artifact store (fresh source data ⇒ retrain; same data ⇒ every
+# process reuses the finished artifact)
 
 
 def stored_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from data_lake_spark.artifacts import stored_artifact
 
-    if sf_dir not in _CENTROID_CACHE:
+    def build() -> DataFrame:
         from data_lake_spark.operators.similarity import ivf_centroids
 
-        path = tempfile.mkdtemp(prefix="ivf_centroids_")
-        emb = load_table(spark, sf_dir, "embeddings")
-        ivf_centroids(emb).write.mode("overwrite").parquet(path)
-        _CENTROID_CACHE[sf_dir] = path
-    return spark.read.parquet(_CENTROID_CACHE[sf_dir])
+        return ivf_centroids(load_table(spark, sf_dir, "embeddings"))
+
+    return stored_artifact(
+        spark, sf_dir, "ivf_centroids", ["embeddings"], build
+    )
 
 
 def q_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

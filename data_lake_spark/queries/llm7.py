@@ -294,26 +294,31 @@ ORDER BY query_id, rk
 # persisted (vec_id, codes, cell) index per (sf_dir, m, k): the at-rest
 # format streaming.start_ivfpq_index_ingest maintains, built once here
 # from the batch face and written cell-partitioned like the live index
-_INDEX_CACHE: dict = {}
+# (deterministic artifact store: fresh source ⇒ rebuild, same source ⇒
+# reused across processes)
 
 
 def _stored_index(spark: SparkSession, sf_dir: str, m: int, k: int) -> DataFrame:
-    import tempfile
+    from data_lake_spark.artifacts import stored_artifact
 
-    key = (sf_dir, m, k)
-    if key not in _INDEX_CACHE:
+    def build() -> DataFrame:
         from data_lake_spark.operators.pq import pq_codes_array
 
         values, present, subdim = _codebook(spark, sf_dir, m, k)
         emb = load_table(spark, sf_dir, "embeddings")
-        idx = pq_codes_array(emb, values, present, subdim).join(
+        return pq_codes_array(emb, values, present, subdim).join(
             emb.select("vec_id", F.col("label").cast("int").alias("cell")),
             "vec_id",
         )
-        path = tempfile.mkdtemp(prefix="ivfpq_index_")
-        idx.write.mode("overwrite").partitionBy("cell").parquet(path)
-        _INDEX_CACHE[key] = path
-    return spark.read.parquet(_INDEX_CACHE[key])
+
+    return stored_artifact(
+        spark,
+        sf_dir,
+        f"ivfpq_index_m{m}_k{k}",
+        ["embeddings"],
+        build,
+        partition_by="cell",
+    )
 
 
 def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -606,9 +606,18 @@ def compact_gram_index(spark: SparkSession, index_root: str) -> int:
     a deterministic id, so re-runs republish identical files), and only
     then are the superseded dirs deleted. A crash between the two
     steps leaves extra dirs that every reader already ignores; the
-    next compaction (or this one re-run) finishes the deletion. The
-    stream keeps appending NEW ids > m throughout — never touched.
-    Returns the number of live dirs folded (0 = nothing to do)."""
+    next compaction (or this one re-run) finishes the deletion.
+
+    The NEWEST stream dir is never folded: Structured Streaming commits
+    a batch to its checkpoint only AFTER foreachBatch returns, so a
+    crashed micro-batch is REPLAYED as an overwrite of the maximum
+    stream id — if compaction folded that dir mid-rewrite it would bake
+    partial content into the compacted result and then treat the
+    completed replay (id ≤ covered max) as superseded, silently
+    dropping grams. Only ids strictly below the maximum stream id are
+    durably committed and eligible; the max dir stays live until a
+    newer batch supersedes it. Returns the number of dirs folded
+    (0 = nothing durably foldable)."""
     import os
     import shutil
 
@@ -618,20 +627,31 @@ def compact_gram_index(spark: SparkSession, index_root: str) -> int:
         shutil.rmtree(
             os.path.join(index_root, f"batch_id={i}"), ignore_errors=True
         )
-    stream_live = [i for i in live if i < _GRAM_COMPACT_NS]
-    if not stream_live or len(live) < 2:
-        return 0  # nothing new since the last compaction
-    m2 = max(stream_live)
-    merged = read_gram_index(spark, index_root)
+    stream_live = sorted(i for i in live if i < _GRAM_COMPACT_NS)
+    # exclude the max stream id — the only dir a checkpoint replay can
+    # be rewriting in place (see docstring); fold needs ≥1 durable dir
+    fold_stream = stream_live[:-1]
+    if not fold_stream:
+        return 0  # nothing durably committed since the last compaction
+    m2 = fold_stream[-1]
+    fold_ids = list(fold_stream)
+    if m >= 0:
+        fold_ids.append(_GRAM_COMPACT_NS + m)  # prior compaction dir
+    partials = spark.read.option("basePath", index_root).parquet(
+        *[f"{index_root}/batch_id={i}" for i in sorted(fold_ids)]
+    )
+    merged = partials.groupBy("h").agg(
+        F.min("keeper").alias("keeper"), F.sum("c").alias("c")
+    )
     merged.write.mode("overwrite").parquet(
         f"{index_root}/batch_id={_GRAM_COMPACT_NS + m2}"
     )
-    for i in live:
+    for i in fold_ids:
         if i != _GRAM_COMPACT_NS + m2:
             shutil.rmtree(
                 os.path.join(index_root, f"batch_id={i}"), ignore_errors=True
             )
-    return len(live)
+    return len(fold_ids)
 
 
 def sessionize_stateful(
@@ -1001,9 +1021,15 @@ def promote_pending(
     then delete the old dir. A sweep starts by recovering any
     interrupted swap: a missing live dir is restored from ``__next``
     (completes the swap — the release write already landed) or
-    ``__old`` (rolls back), and leftover siblings are cleared. On an
-    object store the equivalent is a new versioned prefix + manifest
-    flip. Returns rows promoted."""
+    ``__old`` (rolls back). The COMBINED crash-then-live-gate window —
+    sweep dies between the two renames and the gate recreates
+    pending_root with a fresh micro-batch before the next sweep — is
+    recognized by BOTH siblings existing beside a live pending_root;
+    recovery merges ``__next``'s batch dirs into pending_root (the
+    id namespaces are disjoint, so the union is lossless) rather than
+    deleting the remainder. Leftover siblings are cleared only after
+    these restores. On an object store the equivalent is a new
+    versioned prefix + manifest flip. Returns rows promoted."""
     import os
     import shutil
 
@@ -1014,8 +1040,30 @@ def promote_pending(
             os.rename(staging, pending_root)  # complete interrupted swap
         elif os.path.exists(old_dir):
             os.rename(old_dir, pending_root)  # roll back to pre-sweep state
+    elif os.path.exists(staging) and os.path.exists(old_dir):
+        # BOTH siblings beside a live pending_root means the previous
+        # sweep crashed between its two renames and the LIVE GATE then
+        # wrote a micro-batch, recreating pending_root before recovery
+        # ran. The gate's new dirs hold only post-crash rows; the real
+        # non-promoted remainder sits in ``staging`` (its release write
+        # already landed, so staging — not old — is the truth). The
+        # batch_id namespaces are disjoint (gate < 10^6, remainder
+        # 2·10^6+), so a directory-level union is lossless: merge
+        # staging's batch dirs INTO pending_root instead of deleting
+        # them, then drop old (fully superseded: its promoted rows are
+        # in the release zone, its remainder rows were just restored).
+        for entry in os.listdir(staging):
+            src = os.path.join(staging, entry)
+            dst = os.path.join(pending_root, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.exists(pending_root):
+        # staging WITHOUT old beside a live pending_root = crash before
+        # the first rename: pending_root is still the complete pre-sweep
+        # state and staging may be a partial write — discard it.
         shutil.rmtree(staging, ignore_errors=True)
 
     pending = read_ingest_zone(spark, pending_root)

@@ -1,0 +1,63 @@
+"""The deterministic artifact store: same source data reuses the
+finished artifact (across "processes" — i.e. with no in-memory state),
+regenerated source data retrains, and a crashed write (no _SUCCESS) is
+retried rather than served half-finished."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from data_lake_spark.artifacts import artifact_path, stored_artifact
+
+TABLES = ["documents"]
+
+
+def _write_source(spark, sf_dir, n):
+    spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+def test_reuse_retrain_and_crash_retry(spark, tmp_path, monkeypatch):
+    sf_dir = str(tmp_path / "sf")
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", store)
+    _write_source(spark, sf_dir, 10)
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+
+    a = stored_artifact(spark, sf_dir, "toy", TABLES, build)
+    assert calls["n"] == 1 and a.count() == 3
+    # second call — and any NEW process, since no in-memory state is
+    # involved — finds the finished artifact and does not retrain
+    stored_artifact(spark, sf_dir, "toy", TABLES, build).collect()
+    assert calls["n"] == 1
+
+    # regenerating the source data changes the fingerprint → new path,
+    # retrain (the stale-artifact hazard of the old mkdtemp cache)
+    p1 = artifact_path(sf_dir, "toy", TABLES)
+    time.sleep(0.05)  # ensure a distinct mtime_ns on fast filesystems
+    _write_source(spark, sf_dir, 20)
+    p2 = artifact_path(sf_dir, "toy", TABLES)
+    assert p1 != p2
+    stored_artifact(spark, sf_dir, "toy", TABLES, build).collect()
+    assert calls["n"] == 2
+
+    # a crashed write leaves no _SUCCESS: the next call retries the
+    # build instead of reading a partial artifact
+    os.remove(os.path.join(p2, "_SUCCESS"))
+    stored_artifact(spark, sf_dir, "toy", TABLES, build).collect()
+    assert calls["n"] == 3
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+
+    # distinct kinds for the same source never collide
+    assert artifact_path(sf_dir, "other", TABLES) != p2
+    shutil.rmtree(store, ignore_errors=True)

@@ -176,16 +176,20 @@ def test_compaction_preserves_the_index_and_is_crash_safe(spark, tmp_path):
         read_gram_index(spark, index_root).collect(), key=lambda r: r["h"]
     )
 
-    # compaction folds both batch dirs into one and changes NOTHING
-    # the reader sees
-    assert compact_gram_index(spark, index_root) == 2
+    # compaction folds only DURABLY COMMITTED dirs — every stream id
+    # strictly below the max (which a checkpoint replay may still be
+    # rewriting in place): here that is batch 0 alone; batch 1 stays
+    # live beside the compacted dir and the reader sees NOTHING change
+    assert compact_gram_index(spark, index_root) == 1
     dirs = sorted(glob.glob(str(index_root) + "/batch_id=*"))
-    assert len(dirs) == 1 and f"batch_id={_GRAM_COMPACT_NS + 1}" in dirs[0]
+    assert len(dirs) == 2
+    assert any(d.endswith(f"batch_id={_GRAM_COMPACT_NS}") for d in dirs)
+    assert any(d.endswith("batch_id=1") for d in dirs)
     assert (
         sorted(read_gram_index(spark, index_root).collect(), key=lambda r: r["h"])
         == before
     )
-    # idempotent: nothing new to fold
+    # idempotent: batch 1 is still the max stream dir, nothing durable
     assert compact_gram_index(spark, index_root) == 0
 
     # the stream continues: batch 2 arrives on the same checkpoint
@@ -210,6 +214,14 @@ def test_compaction_preserves_the_index_and_is_crash_safe(spark, tmp_path):
     want = exact_substr_spans(all_docs, k=_K, min_tokens=_MIN)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
+    # with batch 2 now the max, batch 1 + the old compaction become
+    # durably foldable (2 dirs); batch 2 itself stays live
+    assert compact_gram_index(spark, index_root) == 2
+    dirs = sorted(glob.glob(str(index_root) + "/batch_id=*"))
+    assert len(dirs) == 2
+    assert any(d.endswith(f"batch_id={_GRAM_COMPACT_NS + 1}") for d in dirs)
+    assert any(d.endswith("batch_id=2") for d in dirs)
+
     # crash window: a second compaction that wrote its dir but died
     # before deleting the superseded ones — readers must ignore the
     # leftovers (no double count), and the next compaction cleans up
@@ -231,3 +243,49 @@ def test_compaction_preserves_the_index_and_is_crash_safe(spark, tmp_path):
         sorted(read_gram_index(spark, index_root).collect(), key=lambda r: r["h"])
         == snap
     )
+
+
+def test_compaction_never_bakes_an_in_flight_replay(spark, tmp_path):
+    """A crashed micro-batch is REPLAYED as an overwrite of the max
+    stream dir. If compaction ran mid-rewrite it would fold partial
+    content and then supersede the completed replay — grams lost. The
+    fix: the max stream id is never folded, so the replay's overwrite
+    lands on a still-live dir and the index converges to the exact
+    batch rebuild."""
+    from data_lake_spark.streaming.incremental import compact_gram_index
+
+    docs = _docs_df(spark, _DOCS)
+    src = _write_batches(
+        tmp_path,
+        [docs.filter("doc_id IN (1, 4)"), docs.filter("doc_id IN (2, 3, 5)")],
+    )
+    index_root = _run_ingest(spark, tmp_path, src)
+
+    # snapshot batch 1's COMPLETE partials, then simulate the replay
+    # mid-flight: the dir holds only half its rows (overwrite started,
+    # not finished)
+    b1_df = spark.read.parquet(f"{index_root}/batch_id=1")
+    b1_schema = b1_df.schema
+    full_b1 = b1_df.collect()
+    assert len(full_b1) > 1
+    partial = spark.createDataFrame(full_b1[: len(full_b1) // 2], b1_schema)
+    partial.write.mode("overwrite").parquet(f"{index_root}/batch_id=1")
+
+    # compaction beside the in-flight replay folds ONLY batch 0 — the
+    # partial dir is the max stream id, excluded by construction
+    assert compact_gram_index(spark, index_root) == 1
+    dirs = sorted(glob.glob(str(index_root) + "/batch_id=*"))
+    assert any(d.endswith("batch_id=1") for d in dirs)
+
+    # the replay completes its overwrite (checkpoint then commits)
+    spark.createDataFrame(full_b1, b1_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{index_root}/batch_id=1")
+
+    # nothing was lost: the folded index equals the one-shot rebuild
+    got = exact_substr_spans_from_index(
+        docs, read_gram_index(spark, index_root), k=_K, min_tokens=_MIN
+    )
+    want = exact_substr_spans(docs, k=_K, min_tokens=_MIN)
+    want_set = _span_set(want)
+    assert _span_set(got) == want_set and want_set

@@ -463,6 +463,26 @@ def test_bpe_encode_stored_zero_retraining(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in head, head
 
 
+def test_pca_project_stored_zero_training_stages(spark, sf_dir):
+    # The PCA serving twin: the plan reads the persisted 64-row
+    # component parquet and projects in ONE corpus pass — no
+    # power-iteration machinery. Training (embedding_pca) needs
+    # per-vector projection WINDOWS and re-reads the element frame per
+    # iteration; serving must contain ZERO window stages and exactly
+    # one embeddings scan + one explode.
+    stored = _plan(spark, sf_dir, "pca_project_stored")
+    training = _plan(spark, sf_dir, "embedding_pca")
+    assert "pca_component_" in stored
+    assert "Window" in training  # the yardstick: training does window
+    assert "Window" not in stored, stored
+    blocks = re.split(r"\(\d+\) Scan parquet", stored)[1:]
+    emb_blocks = [
+        b for b in blocks if "embeddings.parquet" in b.split("\n\n")[0]
+    ]
+    assert len(emb_blocks) == 1, stored  # one corpus pass, not per-step
+    assert len(re.findall(r"\(\d+\) Generate", stored)) == 1, stored
+
+
 def test_events_normalization_session_tz_independent(spark, sf_dir):
     # The driver calls queries() with its own SparkSession; events.ts
     # normalization and the watermark literal must not shift with that

@@ -264,6 +264,70 @@ def test_sweep_crash_mid_swap_loses_nothing(spark, tmp_path, monkeypatch):
     assert not os.path.exists(pend + "__old")
 
 
+def test_sweep_crash_then_live_gate_write_loses_nothing(
+    spark, tmp_path, monkeypatch
+):
+    # the COMBINED window: sweep crashes between the two renames
+    # (pending gone, remainder in __next, pre-sweep state in __old) and
+    # the LIVE GATE writes a micro-batch BEFORE the next sweep —
+    # recreating pending_root. A recovery that keys only on
+    # "pending_root missing" skips the restore and rmtree's both
+    # siblings, permanently losing the non-promoted remainder. The fix
+    # merges __next's batch dirs into the recreated pending_root (the
+    # id namespaces are disjoint), so nothing is lost.
+    import os
+    import pytest
+
+    rows = _rows(spark)
+    src = _staged_source(spark, tmp_path, rows)
+    rel, pend = _run_gate(spark, tmp_path, rows, src)
+
+    _crash_on_nth_rename(monkeypatch, 2)
+    with pytest.raises(OSError, match="injected crash"):
+        promote_pending(spark, rel, pend, QI, k=K)
+    monkeypatch.undo()
+    assert not os.path.exists(pend)
+    assert os.path.exists(pend + "__next")
+    assert os.path.exists(pend + "__old")
+
+    # the live gate beats recovery to the filesystem: batch 3 arrives
+    # on the same checkpoint and the gate recreates pending_root
+    extra = spark.createDataFrame(
+        [(300 + i, 4, "FURNITURE") for i in range(2)],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(rows.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = start_k_anonymity_gate(
+        stream, rel, pend, str(tmp_path / "ckpt"), QI, k=K
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert os.path.exists(pend)  # recreated by the gate mid-window
+
+    # the next sweep must recognize the interrupted swap (both siblings
+    # present beside a live pending_root) and MERGE the remainder back
+    promote_pending(spark, rel, pend, QI, k=K)
+    released = set(read_ingest_zone(spark, rel).toPandas()["c_custkey"])
+    pending = set(read_ingest_zone(spark, pend).toPandas()["c_custkey"])
+    # nothing lost, nothing duplicated: release ∪ pending == every row
+    all_rows = set(rows.toPandas()["c_custkey"]) | set(
+        extra.toPandas()["c_custkey"]
+    )
+    assert released | pending == all_rows
+    assert not (released & pending)
+    # class C's non-promoted remainder specifically survived the window
+    assert {200, 201, 202} <= pending
+    # and the gate's mid-window micro-batch rows are present too
+    assert {300, 301} <= pending
+    assert not os.path.exists(pend + "__next")
+    assert not os.path.exists(pend + "__old")
+
+
 def test_sweep_crash_before_swap_loses_nothing(spark, tmp_path, monkeypatch):
     # crash after the staging write but before any rename: the live
     # pending dir is intact and __next is an orphan — the next sweep

@@ -7,7 +7,13 @@ sf0.01, comparing row counts and order-insensitive values (columns
 sorted by name, stringified). Prints one line per query and a final
 summary; exits non-zero on any mismatch.
 
-Usage: python tools/acceptance.py [sf_dir]
+Usage: python tools/acceptance.py [sf_dir] [--only n1,n2] [--module m1,m2]
+
+``--only`` limits the sweep to the named queries; ``--module`` to the
+queries whose implementation lives in a registry module whose name
+contains any given token (e.g. ``--module llm12,corpus_q``). Sharding
+by module keeps per-addition re-gates cheap as the registry grows —
+the full sweep stays the per-round gate.
 """
 
 from __future__ import annotations
@@ -20,12 +26,21 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
+    import argparse
+
     import duckdb
 
     import __spark_entry__ as e
     from data_lake_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="", help="comma-separated query names")
+    ap.add_argument(
+        "--module", default="", help="comma-separated module-name substrings"
+    )
+    args = ap.parse_args()
+    sf = args.sf_dir
     spark = get_spark("acceptance")
 
     n_entry = len(e.entry(spark).limit(5).collect())
@@ -43,6 +58,23 @@ def main() -> int:
             )
 
     qs, osql = e.queries(), e.oracle_sql()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in keep}
+    if args.module:
+        toks = [t.strip() for t in args.module.split(",") if t.strip()]
+        qs = {
+            n: f
+            for n, f in qs.items()
+            if any(t in getattr(f, "__module__", "") for t in toks)
+        }
+        if not qs:
+            print(f"no queries match --module {args.module}")
+            return 1
     failures: list[str] = []
     for name in sorted(qs):
         try:
