@@ -225,6 +225,12 @@ HEADLINE = [
     # compare against bpe_encode to see what the tokenizer-as-artifact
     # buys (the ivf_stored vs ivf_search comparison for text)
     "bpe_encode_stored",
+    # projection onto the PERSISTED top principal component — compare
+    # against embedding_pca to see what the stored component buys
+    "pca_project_stored",
+    # perceptual audio dedup: real RIFF/PCM decode + integer envelope
+    # fingerprint (one Arrow pass), 8-band Hamming LSH, bit_count refine
+    "audio_fp_pairs",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

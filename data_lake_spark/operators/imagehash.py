@@ -213,11 +213,16 @@ def hamming_pairs(
     max_hamming: int = 6,
     n_bands: int = 8,
     max_bucket: int = 64,
+    hash_col: str = "dhash",
 ) -> DataFrame:
-    """Near-duplicate image pairs from a dHash frame: 8-bit band
+    """Near-duplicate media pairs from a 64-bit hash frame: 8-bit band
     inverted index (8 bands over 64 bits ⇒ exhaustive for Hamming ≤ 7),
     distinct candidate pairs, exact ``bit_count(XOR)`` refine. Returns
     (media_a, media_b, hamming), media_a < media_b.
+
+    Format-agnostic from the hash on: any 64-bit perceptual hash rides
+    this — image dHash (the default ``hash_col``) or the audio envelope
+    fingerprint (operators/audiofp.py, ``hash_col="afp"``).
 
     ``max_bucket`` drops pathological buckets (the textdedup hot-band
     cap): a band value shared by more than that many images — e.g.
@@ -225,6 +230,8 @@ def hamming_pairs(
     contributing only already-connected dup families; production runs
     log what was dropped and route those to the exact-hash dedup path."""
     assert 64 % n_bands == 0
+    if hash_col != "dhash":
+        hashes = hashes.withColumnRenamed(hash_col, "dhash")
     width = 64 // n_bands
     mask = (1 << width) - 1
     # materialize once: the hash frame feeds three consumers (bucket

@@ -44,6 +44,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
         mleval_q,
         quality_q,
         relational,
@@ -86,6 +87,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm10.REGISTRY)
     reg.update(llm11.REGISTRY)
     reg.update(llm12.REGISTRY)
+    reg.update(llm13.REGISTRY)
     reg.update(mleval_q.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(entity_q.REGISTRY)
@@ -119,90 +121,34 @@ def full_registry() -> dict[str, QuerySpec]:
 # pandas canonicalizer (values were oracle-correct; output is now a CSV
 # string and the plan census forbids non-scalar oracle-paired output).
 #
-# Round 7 (this list; blocks computed from CORRECTNESS_r01–r06 latest-green
-# rounds, recomputed this session — r03-stale: 16, r04-stale: 49,
-# r05-green: 50, r06-green: 50):
-# (a) round-7 additions — first driver row THIS round (keep current as
-#     they land);
-# (b) the 16 displaced r03-green (d)-tail rows from the round-6 rotation
-#     — the oldest verdicts in the registry (last green row four rounds
-#     back): ntile_deciles … weekly_agg, alphabetical;
-# (c) the 49 r04-stale rows in their CORRECTNESS_r04 window order
-#     (oldest-first discipline): rank 50 cuts inside this block; each
-#     round-7 addition in (a) displaces one row off this tail into the
-#     ROUND 8 TODO.
+# r05–r07 each ran the rotation discipline (additions first, then the
+# stalest blocks oldest-first) and scored 100% green.
 #
-# ROUND 8 TODO (computed from this round's FINAL window: 10 additions
-# + 16 r03-stale + 24 r04-stale = 50; rank 50 cuts block (c) after its
-# 24th row, `lang_id` — verified against the live full_registry()
-# ordering): lead with the 25 displaced (c)-tail rows, still r04-green
-# and the oldest verdicts in the registry by r08 — simhash cosine_topk
-# winnow_fingerprint ann_lsh ivf_assign ivf_search dedup_clusters
-# ann_multiprobe bpe_tokens embedding_neardup multimodal_decode
-# frame_sample length_band_join quality_quantile_filter vocab_stats
-# seq_pack pii_redact tfidf_topterms kmeans_refine classifier_filter
-# chunk_docs stratified_sample embedding_quantize quality_report
-# session_stats — then the 50 r05-stale rows oldest-first (recompute
-# the exact list from CORRECTNESS_r07 at round start, the standing
-# discipline); round-8 additions slot in at the top as they land, each
-# displacing one r04-stale row into the ROUND 9 TODO.
+# Round 8 (this list; blocks computed from CORRECTNESS_r01–r07
+# latest-green rounds, recomputed this session — r04-stale: 25,
+# r05-stale: 50, r06-green: 50, r07-green: 50):
+# (a) round-8 additions — first driver row THIS round (appended as
+#     they land);
+# (b) the 25 displaced r04-green (c)-tail rows from the round-7
+#     rotation — the oldest verdicts in the registry (last green row
+#     four rounds back), in their CORRECTNESS_r04 window order:
+#     simhash … session_stats;
+# (c) the 50 r05-stale rows in their CORRECTNESS_r05 window order
+#     (oldest-first discipline): rank 50 cuts inside this block; each
+#     round-8 addition in (a) displaces one row off this tail into the
+#     ROUND 9 TODO.
+#
+# ROUND 9 TODO: lead with whatever (c)-tail rank 50 displaces this
+# round (recompute the exact latest-green table from all eight
+# CORRECTNESS files at round start — the standing discipline), then
+# the remaining r05-stale rows oldest-first, then the r06-stale block.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-7 additions — first driver row this round (keep current;
-    # appended as they land)
-    "pii_scan",
-    "url_domains",
-    "html_strip",
-    "embedding_norms",
-    "image_dhash_pairs",
-    "mixture_audit",
-    "vocab_prune",
-    "ngram_coverage",
-    "embedding_pca",
-    "bpe_encode_stored",
-    # (b) the 16 r03-stale rows displaced by the round-6 additions —
-    # oldest verdicts in the registry
-    "ntile_deciles",
-    "or_key_join",
-    "pagination",
-    "percentile_report",
-    "profile_orders",
-    "rank_models",
-    "ratio_profitability",
-    "repetition_stats",
-    "revenue_by_region",
-    "rollup_report",
-    "shingle_pairs",
-    "text_stats",
-    "top5_distribution",
-    "topk_per_group",
-    "trailing_7d",
-    "weekly_agg",
-    # (c) the 49 r04-stale rows, CORRECTNESS_r04 window order — rank 50
-    # cuts inside this block; the displaced tail goes to the ROUND 8 TODO
-    "ivf_stored",
-    "ivf_pq_stored",
-    "semantic_dedup",
-    "semantic_dedup_capped",
-    "ann_recall",
-    "classifier_train",
-    "doc_topk",
-    "proj_filter_compute",
-    "or_filter_dim",
-    "point_lookup",
-    "global_sum",
-    "date_parts",
-    "json_payload",
-    "string_funcs",
-    "array_funcs",
-    "set_ops_halves",
-    "cube_report",
-    "semi_join_active",
-    "anti_join_inactive",
-    "running_total",
-    "hash_sample",
-    "train_split",
-    "mom_change",
-    "lang_id",
+    # (a) round-8 additions — first driver row this round (keep
+    # current; appended as they land)
+    "pca_project_stored",
+    "audio_fp_pairs",
+    # (b) the 25 r04-stale rows displaced by the round-7 additions —
+    # oldest verdicts in the registry, CORRECTNESS_r04 window order
     "simhash",
     "cosine_topk",
     "winnow_fingerprint",
@@ -228,4 +174,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_quantize",
     "quality_report",
     "session_stats",
+    # (c) the 50 r05-stale rows, CORRECTNESS_r05 window order — rank 50
+    # cuts inside this block; the displaced tail goes to the ROUND 9 TODO
+    "doc_embed",
+    "lsh_recall",
+    "bm25_topk",
+    "rrf_fusion",
+    "pagerank_docs",
+    "central_keeper",
+    "dataset_card",
+    "ngram_novelty",
+    "bpe_merges",
+    "fuzzy_match",
+    "fuzzy_match_capped",
+    "er_recall",
+    "pareto_front",
+    "trend_slopes",
+    "sq_search",
+    "winsorize",
+    "interval_overlap",
+    "lang_fit",
+    "sliding_distinct",
+    "anomaly_days",
+    "bpe_encode",
+    "negative_pairs",
+    "curriculum_order",
+    "dq_checks",
+    "epoch_plan",
+    "triangle_count",
+    "classifier_eval",
+    "quality_tradeoff",
+    "source_lift",
+    "label_affinity",
+    "mirror_matrix",
+    "rolling_corr",
+    "k_anonymity",
+    "windowed_rollup",
+    "asof_join",
+    "sliding_rollup",
+    "funnel",
+    "cohort_retention",
+    "json_props",
+    "scd2_history",
+    "top_paths",
+    "date_spine_fill",
+    "unpivot_metrics",
+    "session_native",
+    "api_earnings",
+    "api_needle",
+    "api_avg_profitability",
+    "api_total_profit",
+    "api_profit_avg",
+    "api_dow",
 ]

@@ -1,0 +1,67 @@
+"""Training-data-pipeline queries, part 13 (round 8): perceptual audio
+dedup over the REAL WAV decode path.
+
+Beyond the reference surface (BASELINE.json north_star "multimodal
+columns"). Completes the near-dup family across all three modalities —
+text (ExactSubstr/MinHash/SimHash), images (dHash), audio (envelope
+fingerprint) — on the ONE shared topology: single Arrow hash pass →
+banded inverted-index candidates → exact refine, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+# ---------------------------------------------------------------------------
+# audio_fp_pairs — perceptual near-dup pairs over the audio column
+# ---------------------------------------------------------------------------
+
+
+def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup end-to-end (operators/audiofp.py):
+    documents synthesized into VALID 8-bit PCM WAVs (pure JVM byte
+    concat — near-identical texts become near-identical waveforms),
+    REAL RIFF/PCM sample decode + integer envelope-difference
+    fingerprint in one Arrow pass, 8-band inverted-index candidates
+    (exhaustive for Hamming ≤ 7 by pigeonhole), exact bit_count refine.
+    Per-clip rollup to (media_a, dup-of counts) keeps the output
+    stable — the image_dhash_pairs shape on the audio column.
+
+    Rows-only by design: the oracle cannot decode audio bytes in SQL
+    (the image_dhash_pairs precedent) — the decode/fingerprint kernel
+    is instead pinned by tests/test_audiofp.py (hand-derived bits, an
+    independent scalar reference, exact volume invariance, planted
+    near-dup pairs, 16-bit/stereo/truncated decode edges)."""
+    from data_lake_spark.operators.audiofp import (
+        audio_pairs,
+        wav_from_text_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = audio_pairs(wav_from_text_col(docs), max_hamming=6)
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+REGISTRY["audio_fp_pairs"] = QuerySpec(
+    q_audio_fp_pairs,
+    None,
+    "perceptual audio dedup: real RIFF/PCM sample decode + integer "
+    "envelope-difference fingerprint in one Arrow pass, 8-band Hamming "
+    "LSH candidates, bit_count refine — rows-only (no SQL audio "
+    "decode); kernel pinned by pytest",
+)

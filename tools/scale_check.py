@@ -101,6 +101,12 @@ QUERIES = [
     "vocab_prune",  # explode + token agg; ladder on the tf histogram
     "ngram_coverage",  # bigram census + TakeOrdered(1000) window
     "embedding_pca",  # two power steps: vec window + 64-key re-agg each
+    "pca_project_stored",  # artifact-served projection: one explode +
+    # 64-row broadcast join + per-vector sum (zero training in-plan)
+    # audio fingerprint pairs grow with the K× near-dup families (the
+    # image_dhash_pairs argument on the audio column) — the banded
+    # index itself is linear in clips
+    "audio_fp_pairs",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
