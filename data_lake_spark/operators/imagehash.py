@@ -208,6 +208,31 @@ def dhash_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema="media_id long, dhash long")
 
 
+def band_rows(hashes: DataFrame, n_bands: int = 8) -> DataFrame:
+    """(media_id, dhash) → banded rows (media_id, dhash, band,
+    band_val): the inverted-index key projection shared by the batch
+    pair join (:func:`hamming_pairs`) and the streaming history screen
+    (streaming.start_dhash_index_ingest). Map-only — banding the hash
+    index is a projection of two-long rows, so deriving it at read
+    time beats persisting an 8×-larger banded index."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("band"),
+    ).withColumn(
+        # shiftrightunsigned's numBits arg takes a Column only in SQL form
+        "band_val",
+        F.expr(f"shiftrightunsigned(dhash, band * {width})").bitwiseAND(
+            F.lit(mask)
+        ),
+    )
+
+
 def hamming_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -232,27 +257,13 @@ def hamming_pairs(
     assert 64 % n_bands == 0
     if hash_col != "dhash":
         hashes = hashes.withColumnRenamed(hash_col, "dhash")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
     # materialize once: the hash frame feeds three consumers (bucket
     # census + both join sides), and its upstream is the Arrow decode
     # pass — without the checkpoint the per-image Python work runs 3×
     # (the dedup_clusters localCheckpoint precedent). The frame is
     # (id, hash): two longs per image, tiny relative to the images.
     h = hashes.filter(F.col("dhash").isNotNull()).localCheckpoint()
-    bands = h.select(
-        "media_id",
-        "dhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(n_bands)])
-        ).alias("band"),
-    ).withColumn(
-        # shiftrightunsigned's numBits arg takes a Column only in SQL form
-        "band_val",
-        F.expr(f"shiftrightunsigned(dhash, band * {width})").bitwiseAND(
-            F.lit(mask)
-        ),
-    )
+    bands = band_rows(h, n_bands)
     # hot-bucket cap: count per (band, band_val), keep human-sized buckets
     sized = bands.join(
         bands.groupBy("band", "band_val")

@@ -485,6 +485,149 @@ def start_lsh_dedup_ingest(
     )
 
 
+def start_dhash_index_ingest(
+    media_stream: DataFrame,
+    pairs_root: str,
+    index_root: str,
+    checkpoint: str,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+):
+    """Incremental perceptual image dedup: each micro-batch of new
+    images is dHashed ONCE (the Arrow decode pass runs on the batch
+    only), screened against the persisted hash index at inverted-index
+    cost, and appended to it — the start_lsh_dedup_ingest economics
+    applied to the image column (imagehash.hamming_pairs is the batch
+    face; this is its live face).
+
+    Per micro-batch:
+
+    1. decode + dHash the batch (one Arrow pass; undecodable content
+       hashes NULL and is neither indexed nor screened — route to
+       exact-byte dedup upstream);
+    2. band the batch hashes AND the historical index
+       (imagehash.band_rows — the index stores two longs per image, so
+       banding at read is a map-only projection, 8× cheaper than
+       persisting the banded form);
+    3. candidate pairs = batch bands ⋈ (history ∪ batch) bands on
+       (band, band_val) — exhaustive for Hamming ≤ n_bands−1 by
+       pigeonhole, exactly the batch guarantee — refined by
+       ``bit_count(XOR) ≤ max_hamming``;
+    4. verified pairs land in ``pairs_root/batch_id=<n>`` and the batch
+       hashes in ``index_root/batch_id=<n>`` — both per-batch OVERWRITE
+       dirs, so a crash-replayed micro-batch republishes identical
+       files (idempotent exactly-once, the house convention).
+
+    History is filtered to ``batch_id < current`` — the replay ledger:
+    a replayed batch screens against exactly the state the original
+    saw (the start_lsh_dedup_ingest rule), so the pair set is
+    batch-boundary-independent. Every image is indexed (duplicates are
+    not dropped at ingest): the union of per-batch pair dirs is then
+    SET-IDENTICAL to the one-shot batch ``hamming_pairs`` over the
+    whole corpus — each batch pair (a, b) is discovered exactly when
+    the later of the two arrives (stream==batch equivalence,
+    tests/test_dhash_stream.py). Keeper assignment stays a reader-side
+    CC over the accumulated pairs (dedup_images' semantics), which is
+    what makes exact equivalence possible.
+
+    The hot-bucket cap is applied to the CUMULATIVE band census at
+    each batch (history ∪ batch): a bucket that crosses ``max_bucket``
+    mid-stream stops pairing from then on, while the batch form with
+    the same cap drops it everywhere — size the cap as the safety
+    valve it is (only pathological buckets should ever hit it; under
+    the cap the stream and batch pair sets are identical)."""
+    from pyspark.errors import AnalysisException
+
+    from data_lake_spark.operators.imagehash import band_rows, dhash_table
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashes = (
+            dhash_table(batch_df)
+            .filter(F.col("dhash").isNotNull())
+            .localCheckpoint()  # the Arrow pass feeds 3 consumers
+        )
+        new_bands = band_rows(hashes, n_bands)
+        try:
+            idx = spark.read.parquet(index_root)
+        except AnalysisException:
+            idx = None
+        if idx is not None:
+            hist = idx.filter(
+                F.col("batch_id") < F.lit(int(batch_id))
+            ).select("media_id", "dhash")
+            all_bands = band_rows(hist, n_bands).unionByName(new_bands)
+        else:
+            all_bands = new_bands
+        # cumulative hot-bucket cap (see docstring)
+        sized = all_bands.join(
+            all_bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "band_val"),
+            ["band", "band_val"],
+        )
+        a = new_bands.select(
+            "band",
+            "band_val",
+            F.col("media_id").alias("ma"),
+            F.col("dhash").alias("ha"),
+        )
+        b = sized.select(
+            "band",
+            "band_val",
+            F.col("media_id").alias("mb"),
+            F.col("dhash").alias("hb"),
+        )
+        pairs = (
+            a.join(b, ["band", "band_val"])
+            .filter(F.col("ma") != F.col("mb"))
+            .select(
+                F.least("ma", "mb").alias("media_a"),
+                F.greatest("ma", "mb").alias("media_b"),
+                F.least("ha", "hb").alias("h_lo"),
+                F.greatest("ha", "hb").alias("h_hi"),
+            )
+            .distinct()
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("h_lo").bitwiseXOR(F.col("h_hi"))).cast(
+                    "long"
+                ),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("media_a", "media_b", "hamming")
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_root}/batch_id={int(batch_id)}"
+        )
+        hashes.write.mode("overwrite").parquet(
+            f"{index_root}/batch_id={int(batch_id)}"
+        )
+
+    return (
+        media_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_dhash_pairs(spark: SparkSession, pairs_root: str) -> DataFrame:
+    """Accumulated near-dup pairs from the per-batch dirs — distinct
+    because a pair involving a re-ingested image can be rediscovered in
+    a later batch (the index keeps every copy; replay within a batch is
+    handled by the overwrite convention)."""
+    return (
+        read_ingest_zone(spark, pairs_root)
+        .select("media_a", "media_b", "hamming")
+        .distinct()
+    )
+
+
 def start_gram_index_ingest(
     docs_stream: DataFrame,
     index_root: str,
