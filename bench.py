@@ -231,6 +231,9 @@ HEADLINE = [
     # perceptual audio dedup: real RIFF/PCM decode + integer envelope
     # fingerprint (one Arrow pass), 8-band Hamming LSH, bit_count refine
     "audio_fp_pairs",
+    # perceptual video dedup: real RIFF/AVI frame extraction + image
+    # dHash per frame, frame-aligned banding, every-frame refine
+    "video_frame_pairs",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

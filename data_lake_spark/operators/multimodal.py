@@ -11,8 +11,10 @@ Decode tiers (``decode_media``):
   tests and CI determinism.
 - ``fake=False`` (real): IMAGE dimensions come from PIL when importable,
   else from a dependency-free header parser (PNG/GIF/BMP/JPEG — the
-  dimensions live in the container headers, no codec needed); the
-  feature vector is a real 16-bin byte histogram. AUDIO/VIDEO still
+  dimensions live in the container headers, no codec needed); WAV
+  audio shape comes from the RIFF header (wav_info) and AVI video
+  shape from the RIFF/AVI header (videofp.avi_info); the feature
+  vector is a real 16-bin byte histogram. COMPRESSED audio/video still
   raise ``NotImplementedError`` — no ffmpeg/torchaudio in this
   container, and pretending otherwise would be dishonest. Swapping in
   the full codecs changes only the kernel body; schema, batching, and
@@ -159,13 +161,17 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     cost parallelizes across executors).
 
     ``fake=False`` decodes real image dimensions (PIL or the header
-    parser) and, for WAV audio, real (sample_rate, channels) from the
-    RIFF header — reported as (width, height) with a byte-histogram
-    feature. Video and non-WAV audio raise NotImplementedError (no
+    parser), real (sample_rate, channels) from the RIFF header for WAV
+    audio — reported as (width, height) — and real (width, height,
+    n_frames) from the RIFF header for AVI video
+    (operators/videofp.avi_info), each with a byte-histogram feature.
+    Non-AVI video and non-WAV audio raise NotImplementedError (no
     ffmpeg/torchaudio here). ``fake=True`` keeps the deterministic
     digest stub for all kinds."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_lake_spark.operators.videofp import avi_info
+
         for pdf in it:
             rows = []
             for mid, kind, raw in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
@@ -179,11 +185,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     # (width, height) carries (sample_rate, channels)
                     w, h = wav[0], wav[1]
                     nf, emb = 1, _byte_histogram(content)
+                elif kind == "video" and (avi := avi_info(content)) is not None:
+                    w, h, nf = avi
+                    emb = _byte_histogram(content)
                 else:
                     raise NotImplementedError(
-                        "audio/video codecs (ffmpeg/torchaudio) are not "
-                        "available in this environment; images and WAV "
-                        "audio decode for real, other kinds need fake=True"
+                        "compressed audio/video codecs (ffmpeg/torchaudio) "
+                        "are not available in this environment; images, WAV "
+                        "audio, and uncompressed-DIB AVI video decode for "
+                        "real, other kinds need fake=True"
                     )
                 rows.append(
                     {

@@ -147,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # current; appended as they land)
     "pca_project_stored",
     "audio_fp_pairs",
+    "video_frame_pairs",
     # (b) the 25 r04-stale rows displaced by the round-7 additions —
     # oldest verdicts in the registry, CORRECTNESS_r04 window order
     "simhash",

@@ -1,11 +1,13 @@
 """Training-data-pipeline queries, part 13 (round 8): perceptual audio
-dedup over the REAL WAV decode path.
+dedup over the REAL WAV decode path, and perceptual video dedup over
+REAL RIFF/AVI frame extraction.
 
 Beyond the reference surface (BASELINE.json north_star "multimodal
-columns"). Completes the near-dup family across all three modalities —
-text (ExactSubstr/MinHash/SimHash), images (dHash), audio (envelope
-fingerprint) — on the ONE shared topology: single Arrow hash pass →
-banded inverted-index candidates → exact refine, never all-pairs.
+columns"). Completes the near-dup family across every modality — text
+(ExactSubstr/MinHash/SimHash), images (dHash), audio (envelope
+fingerprint), video (per-frame dHash) — on the ONE shared topology:
+single Arrow hash pass → banded inverted-index candidates → exact
+refine, never all-pairs.
 """
 
 from __future__ import annotations
@@ -64,4 +66,49 @@ REGISTRY["audio_fp_pairs"] = QuerySpec(
     "envelope-difference fingerprint in one Arrow pass, 8-band Hamming "
     "LSH candidates, bit_count refine — rows-only (no SQL audio "
     "decode); kernel pinned by pytest",
+)
+
+
+# ---------------------------------------------------------------------------
+# video_frame_pairs — frame-aligned near-dup pairs over the video column
+# ---------------------------------------------------------------------------
+
+
+def q_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup end-to-end (operators/videofp.py):
+    documents synthesized into VALID 4-frame uncompressed-DIB AVIs
+    (pure JVM byte concat), REAL RIFF/AVI frame extraction + the image
+    dHash kernel per frame in one Arrow pass, frame-aligned 8-band
+    candidates, every-frame bit_count refine. Per-clip rollup keeps
+    the output stable — the image/audio shape, one modality up.
+
+    Rows-only by design: the oracle cannot walk a RIFF tree in SQL —
+    the extraction/refine kernel is pinned by tests/test_videofp.py
+    (synthesis round-trip vs the image kernel, planted frame-aligned
+    near-dups, the one-bad-frame rejection, decode edges)."""
+    from data_lake_spark.operators.videofp import (
+        avi_from_text_col,
+        video_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = video_pairs(avi_from_text_col(docs), max_hamming=6)
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.max("max_frame_hamming").alias("worst_frame_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+REGISTRY["video_frame_pairs"] = QuerySpec(
+    q_video_frame_pairs,
+    None,
+    "perceptual video dedup: real RIFF/AVI frame extraction + image "
+    "dHash per frame in one Arrow pass, frame-aligned 8-band Hamming "
+    "LSH candidates, every-frame bit_count refine — rows-only (no SQL "
+    "container walk); kernel pinned by pytest",
 )

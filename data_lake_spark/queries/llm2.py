@@ -103,7 +103,15 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the production plan shapes: inverted-index equi-joins for both
     truth and candidates, map-side-combinable MIN aggregates for the
     signatures; the final assembly crossJoins three one-row aggregates
-    (broadcast scalars, the whitelisted pattern)."""
+    (broadcast scalars, the whitelisted pattern).
+
+    Bench-watch note (r07 flagged a 1.29× move on an unchanged plan):
+    re-profiled at sf0.1 — every volume is EXACTLY the documented
+    value (5000 docs, 260388 shingles, 256 truth pairs, 826/251
+    candidates, 1.27M co-shingled pairs inside the exact-Jaccard truth
+    join). No pair growth, no AQE flip to find; the cost is honest
+    md5-heavy CPU over a constant pair space, so round-to-round moves
+    on this query are host-CPU noise concentrated on its truth join."""
     from data_lake_spark.operators.textdedup import (
         jaccard_pairs,
         lsh_bands,

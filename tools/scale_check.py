@@ -107,6 +107,8 @@ QUERIES = [
     # image_dhash_pairs argument on the audio column) — the banded
     # index itself is linear in clips
     "audio_fp_pairs",
+    # video pairs likewise; refine cost is candidates × frames
+    "video_frame_pairs",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
