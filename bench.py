@@ -234,6 +234,11 @@ HEADLINE = [
     # perceptual video dedup: real RIFF/AVI frame extraction + image
     # dHash per frame, frame-aligned banding, every-frame refine
     "video_frame_pairs",
+    # per-domain blocklist decision table (url_domains' sequel):
+    # link census + linking-doc quality, integer-exact
+    "domain_doc_quality",
+    # per-source exact-copy census (what dedup will buy, measured)
+    "dup_rate_by_source",
 ]
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES

@@ -148,6 +148,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "pca_project_stored",
     "audio_fp_pairs",
     "video_frame_pairs",
+    "domain_doc_quality",
+    "dup_rate_by_source",
     # (b) the 25 r04-stale rows displaced by the round-7 additions —
     # oldest verdicts in the registry, CORRECTNESS_r04 window order
     "simhash",

@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
+from data_lake_spark.functions.exact import (
+    micro_share_sql,
+    oracle_micro_share_sql,
+)
 from data_lake_spark.queries import QuerySpec
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -111,4 +115,167 @@ REGISTRY["video_frame_pairs"] = QuerySpec(
     "dHash per frame in one Arrow pass, frame-aligned 8-band Hamming "
     "LSH candidates, every-frame bit_count refine — rows-only (no SQL "
     "container walk); kernel pinned by pytest",
+)
+
+
+# ---------------------------------------------------------------------------
+# domain_doc_quality — the blocklist DECISION table (url_domains' sequel)
+# ---------------------------------------------------------------------------
+#
+# url_domains counts links; a C4-style blocklist decision also needs to
+# know WHAT is linking: a domain cited by many short low-content docs is
+# spam-shaped, one cited by long documents is citation-shaped. Per
+# domain: link count, distinct docs, mean linking-doc length (floored
+# integer), and the domain's micro-share of all corpus links — all
+# integer-exact, one extract+explode scan, one domain-keyed shuffle with
+# map-side combine (the host-sized key space of url_domains).
+
+_URL_PAT_Q = r"https?://([A-Za-z0-9.-]+)"
+_URL_SALT_Q = (
+    "text"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' see https://site'"
+    " || CAST(doc_id % 40 AS VARCHAR) || '.example.org/p/'"
+    " || CAST(doc_id AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN ' and http://mirror'"
+    " || CAST(doc_id % 7 AS VARCHAR) || '.example.net/x' ELSE '' END"
+)
+
+
+def q_domain_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(_URL_SALT_Q.replace("VARCHAR", "STRING")).alias("salted"),
+    )
+    hosts = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.regexp_extract_all("salted", F.lit(_URL_PAT_Q), F.lit(1))
+        ).alias("domain"),
+    )
+    per_dom = hosts.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    return (
+        per_dom.withColumn("total_links", F.sum("n_links").over(w_all))
+        .select(
+            "domain",
+            "n_links",
+            "n_docs",
+            F.expr("sum_chars div n_links").alias("avg_link_doc_chars"),
+            F.expr(micro_share_sql("n_links", "total_links")).alias(
+                "link_share_micro"
+            ),
+        )
+        .orderBy(F.col("n_links").desc(), "domain")
+    )
+
+
+ORACLE_DOMAIN_DOC_QUALITY = f"""
+WITH salted AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         {_URL_SALT_Q} AS salted
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id, n_chars,
+         UNNEST(REGEXP_EXTRACT_ALL(salted, 'https?://([A-Za-z0-9.-]+)', 1))
+           AS domain
+  FROM salted
+),
+per_dom AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM hosts GROUP BY 1
+),
+tot AS (
+  SELECT *, CAST(SUM(n_links) OVER () AS BIGINT) AS total_links
+  FROM per_dom
+)
+SELECT domain, n_links, n_docs,
+       CAST(sum_chars // n_links AS BIGINT) AS avg_link_doc_chars,
+       CAST({oracle_micro_share_sql("n_links", "total_links")} AS BIGINT)
+         AS link_share_micro
+FROM tot ORDER BY n_links DESC, domain
+"""
+
+REGISTRY["domain_doc_quality"] = QuerySpec(
+    q_domain_doc_quality,
+    ORACLE_DOMAIN_DOC_QUALITY,
+    "per-domain blocklist decision table: link census + mean "
+    "linking-doc length + link micro-share, integer-exact — one "
+    "extract+explode scan, one domain-keyed shuffle",
+)
+
+
+# ---------------------------------------------------------------------------
+# dup_rate_by_source — what dedup will buy, per source, before running it
+# ---------------------------------------------------------------------------
+#
+# The first question a curation pipeline asks of a new source: how much
+# of it is copies? Exact content-hash families per source (md5 of the
+# text — the exact_dedup definition), rolled up to docs / distinct
+# texts / redundant docs / a floored micro dup-rate. One scan, one
+# (source, hash)-keyed aggregate that map-side-combines, then a
+# source-sized rollup — scan-linear at any corpus size, and the
+# decision number (keep the source? dedup it first?) is exact.
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("h")
+    )
+    fam = docs.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        fam.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_redundant"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            "n_redundant",
+            F.expr(micro_share_sql("n_redundant", "n_docs")).alias(
+                "dup_rate_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DUP_RATE_BY_SOURCE = f"""
+WITH fam AS (
+  SELECT source, MD5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+         CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant
+  FROM fam GROUP BY 1
+)
+SELECT source, n_docs, n_distinct_texts, n_redundant,
+       CAST({oracle_micro_share_sql("n_redundant", "n_docs")} AS BIGINT)
+         AS dup_rate_micro
+FROM per_source ORDER BY source
+"""
+
+REGISTRY["dup_rate_by_source"] = QuerySpec(
+    q_dup_rate_by_source,
+    ORACLE_DUP_RATE_BY_SOURCE,
+    "per-source exact-copy census: docs / distinct texts / redundant "
+    "docs / floored micro dup-rate — the what-will-dedup-buy audit, "
+    "one scan + one map-side-combinable (source, hash) aggregate",
 )

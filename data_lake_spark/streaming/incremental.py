@@ -537,16 +537,76 @@ def start_dhash_index_ingest(
     the same cap drops it everywhere — size the cap as the safety
     valve it is (only pathological buckets should ever hit it; under
     the cap the stream and batch pair sets are identical)."""
+    from data_lake_spark.operators.imagehash import dhash_table
+
+    return _start_hash_index_ingest(
+        media_stream,
+        dhash_table,
+        pairs_root,
+        index_root,
+        checkpoint,
+        max_hamming,
+        n_bands,
+        max_bucket,
+    )
+
+
+def start_audiofp_index_ingest(
+    media_stream: DataFrame,
+    pairs_root: str,
+    index_root: str,
+    checkpoint: str,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+):
+    """The audio twin of :func:`start_dhash_index_ingest`: envelope
+    fingerprints (operators/audiofp.py — real RIFF/PCM decode) instead
+    of dHashes, IDENTICAL machinery from the 64-bit hash on — same
+    per-batch overwrite idempotence, same ``batch_id < current`` replay
+    ledger, same cumulative hot-bucket cap, same stream==batch pair-set
+    equivalence (tests/test_dhash_stream.py exercises both through the
+    shared worker)."""
+    from data_lake_spark.operators.audiofp import audiofp_table
+
+    def fp_table(df: DataFrame) -> DataFrame:
+        return audiofp_table(df).withColumnRenamed("afp", "dhash")
+
+    return _start_hash_index_ingest(
+        media_stream,
+        fp_table,
+        pairs_root,
+        index_root,
+        checkpoint,
+        max_hamming,
+        n_bands,
+        max_bucket,
+    )
+
+
+def _start_hash_index_ingest(
+    media_stream: DataFrame,
+    hash_table_fn: Callable[[DataFrame], DataFrame],
+    pairs_root: str,
+    index_root: str,
+    checkpoint: str,
+    max_hamming: int,
+    n_bands: int,
+    max_bucket: int,
+):
+    """Shared worker: any (media_id, dhash)-producing Arrow kernel
+    rides the banded incremental-dedup machinery (see
+    start_dhash_index_ingest for the full contract)."""
     from pyspark.errors import AnalysisException
 
-    from data_lake_spark.operators.imagehash import band_rows, dhash_table
+    from data_lake_spark.operators.imagehash import band_rows
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         hashes = (
-            dhash_table(batch_df)
+            hash_table_fn(batch_df)
             .filter(F.col("dhash").isNotNull())
             .localCheckpoint()  # the Arrow pass feeds 3 consumers
         )

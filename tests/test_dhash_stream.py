@@ -116,6 +116,40 @@ def test_history_is_screened_not_redecoded(spark, tmp_path):
     assert {(a, b) for (a, b, _) in got} == {(1, 2), (1, 4), (2, 4)}
 
 
+def test_audio_stream_pairs_equal_batch_pairs(spark, tmp_path):
+    # the audio twin rides the same worker: envelope fingerprints over
+    # synthesized WAVs, pair set identical to the batch audio_pairs
+    from data_lake_spark.operators.audiofp import (
+        audio_pairs,
+        wav_from_text_col,
+    )
+    from data_lake_spark.streaming.incremental import (
+        start_audiofp_index_ingest,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    media = wav_from_text_col(docs)
+    b1 = media.filter("media_id IN (1, 3)")
+    b2 = media.filter("media_id IN (2, 4, 5)")
+    src = _write_batches(tmp_path, [b1, b2])
+    pairs_root = str(tmp_path / "apairs")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_audiofp_index_ingest(
+        stream, pairs_root, str(tmp_path / "aindex"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _pair_set(read_dhash_pairs(spark, pairs_root))
+    want = _pair_set(audio_pairs(media))
+    assert got == want and want
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     media = _media_df(spark, _DOCS)
     src = _write_batches(

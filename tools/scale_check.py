@@ -109,6 +109,8 @@ QUERIES = [
     "audio_fp_pairs",
     # video pairs likewise; refine cost is candidates × frames
     "video_frame_pairs",
+    "domain_doc_quality",  # extract+explode + domain-keyed agg: linear
+    "dup_rate_by_source",  # one (source, hash) agg: scan-linear
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
