@@ -234,6 +234,8 @@ HEADLINE = [
     # perceptual video dedup: real RIFF/AVI frame extraction + image
     # dHash per frame, frame-aligned banding, every-frame refine
     "video_frame_pairs",
+    # recut-clip detection: ExactSubstr over frame-hash tokens
+    "video_clip_spans",
     # per-domain blocklist decision table (url_domains' sequel):
     # link census + linking-doc quality, integer-exact
     "domain_doc_quality",

@@ -168,6 +168,31 @@ def avi_from_text_col(docs: DataFrame) -> DataFrame:
     )
 
 
+def avi_from_frame_text_cols(
+    df: DataFrame, id_col: str, text_cols: list[str]
+) -> DataFrame:
+    """(id, text_0..text_3) → (media_id, content): a VALID AVI whose
+    frame j's pixels are ``text_cols[j]``'s first 768 bytes
+    (space-padded) — pure JVM concat like avi_from_text_col, but with
+    per-frame control, so callers can synthesize videos that SHARE
+    frames (sliding windows over a frame stream, recut clips)."""
+    assert len(text_cols) == _N_FRAMES
+    parts = [F.lit(_AVI_PREFIX)]
+    for c in text_cols:
+        parts.append(F.lit(_FRAME_CHUNK_HDR))
+        parts.append(
+            F.encode(
+                F.rpad(
+                    F.substring(F.col(c), 1, _FRAME_BYTES), _FRAME_BYTES, " "
+                ),
+                "UTF-8",
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("media_id"), F.concat(*parts).alias("content")
+    )
+
+
 def _riff_children(buf: bytes, start: int, end: int):
     """Yield (chunk_id, payload_start, payload_size) walking a RIFF
     chunk list; LIST chunks yield their kind as id with the inner
@@ -402,6 +427,74 @@ def video_pairs(
             F.col("n_aligned").alias("n_frames"),
             "max_frame_hamming",
         )
+    )
+
+
+def video_clip_spans(
+    media: DataFrame,
+    min_frames: int = 2,
+    ignore_hashes: tuple = (0,),
+) -> DataFrame:
+    """CLIP detection: contiguous frame runs shared across videos at
+    ANY offset — ExactSubstr dedup (Lee et al. 2021, the
+    operators/textdedup machinery) applied to frame-hash token
+    sequences instead of word tokens. Each video renders as a
+    'document' whose tokens are its frame dHashes in frame order; the
+    existing gram-index + extend-and-merge pipeline then reports every
+    non-canonical occurrence of a shared run — one dedup family across
+    text and video, literally the same operator.
+
+    Tokens are EXACT frame hashes: this finds re-used/recut clips
+    (same source frames), not near-duplicate frames — for tolerance,
+    quantize the hashes upstream (e.g. band values as tokens).
+    Frame-ALIGNED whole-video near-dup is :func:`video_pairs`.
+
+    ``ignore_hashes`` remaps boilerplate frame hashes — by default 0,
+    the hash every UNIFORM frame (blank/padding/black) collapses to —
+    onto per-occurrence unique tokens, so padding frames can never
+    fabricate a cross-video clip (the hot-bucket cap's moral
+    equivalent in the gram domain; without it, every short video
+    sharing trailing blank frames reports a bogus span).
+
+    Returns (media_id, span_start, span_frames): removable clip
+    occurrences, offsets in frames. Scale shape is exact_substr_spans'
+    (narrow per-video gram window, one gram-key aggregate, islands) on
+    a corpus whose 'documents' are frames-per-video tokens long."""
+    from data_lake_spark.operators.textdedup import exact_substr_spans
+
+    fh = frame_hash_table(media).filter(F.col("dhash").isNotNull())
+    ign = F.array(*[F.lit(int(h)).cast("long") for h in ignore_hashes])
+    docs = (
+        fh.groupBy("media_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("frame_idx", "dhash"))
+            ).alias("fr")
+        )
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    "fr",
+                    lambda s: F.when(
+                        F.array_contains(ign, s["dhash"]),
+                        F.concat(
+                            F.lit("u"),
+                            F.col("media_id").cast("string"),
+                            F.lit("x"),
+                            s["frame_idx"].cast("string"),
+                        ),
+                    ).otherwise(s["dhash"].cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    k = min(2, min_frames)
+    return exact_substr_spans(docs, k=k, min_tokens=min_frames).select(
+        F.col("doc_id").alias("media_id"),
+        "span_start",
+        F.col("span_tokens").alias("span_frames"),
     )
 
 

@@ -148,6 +148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pca_project_stored",
     "audio_fp_pairs",
     "video_frame_pairs",
+    "video_clip_spans",
     "domain_doc_quality",
     "dup_rate_by_source",
     # (b) the 25 r04-stale rows displaced by the round-7 additions —

@@ -119,6 +119,70 @@ REGISTRY["video_frame_pairs"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# video_clip_spans — recut-clip detection across videos at any offset
+# ---------------------------------------------------------------------------
+
+
+def q_video_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip detection (operators/videofp.video_clip_spans): contiguous
+    frame runs shared across videos at ANY offset — the ExactSubstr
+    dedup machinery run on frame-hash token sequences, one operator
+    family across text and video. Frame-aligned whole-clip near-dup is
+    video_frame_pairs; this catches the recut/shifted copies that
+    alignment misses.
+
+    Corpus synthesis models recut broadcast footage: one document per
+    FRAME, videos cut as stride-2 sliding windows over the doc_id
+    frame stream (avi_from_frame_text_cols) — consecutive clips
+    genuinely share 2-frame runs at DIFFERENT offsets, exactly the
+    structure a recut detector exists for. The window joins are key-
+    arithmetic equi-joins (doc_id + j), never a global-order window.
+    Per-clip rollup keeps the output stable.
+
+    Rows-only by design (no SQL container walk); the token rendering +
+    span algebra are pinned by tests/test_videofp.py's planted
+    offset-clip case (found here, invisible to the aligned pairs) and
+    textdedup's ExactSubstr property suite."""
+    from data_lake_spark.operators.videofp import (
+        avi_from_frame_text_cols,
+        video_clip_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("t0")
+    )
+    for j in (1, 2, 3):
+        base = base.join(
+            docs.select(
+                (F.col("doc_id") - j).alias("media_id"),
+                F.col("text").alias(f"t{j}"),
+            ),
+            "media_id",
+        )
+    media = avi_from_frame_text_cols(base, "media_id", ["t0", "t1", "t2", "t3"])
+    spans = video_clip_spans(media, min_frames=2)
+    return (
+        spans.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_frames").alias("clip_frames"),
+            F.min("span_start").alias("first_span_start"),
+        )
+        .orderBy("media_id")
+    )
+
+
+REGISTRY["video_clip_spans"] = QuerySpec(
+    q_video_clip_spans,
+    None,
+    "recut-clip detection: ExactSubstr over frame-hash token sequences "
+    "— shared contiguous frame runs at any offset, reported as "
+    "removable spans; rows-only (no SQL container walk)",
+)
+
+
+# ---------------------------------------------------------------------------
 # domain_doc_quality — the blocklist DECISION table (url_domains' sequel)
 # ---------------------------------------------------------------------------
 #

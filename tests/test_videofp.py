@@ -128,6 +128,33 @@ def test_dedup_videos_keeper_assignment(spark):
     assert out[4] == (4, False)
 
 
+def test_video_clip_spans_finds_offset_clips(spark):
+    # video 2's frames 0..2 are video 1's frames 1..3 (a recut clip at
+    # a DIFFERENT offset): frame-aligned video_pairs cannot see it, the
+    # ExactSubstr-over-frame-tokens operator must — reported as video
+    # 2's non-canonical 3-frame run at frame 0 (video 1 holds the
+    # keeper occurrence)
+    from data_lake_spark.operators.videofp import video_clip_spans
+
+    # pad to EXACTLY the synthesized payload length so the shifted
+    # construction stays frame-exact (the AVI synthesis space-pads
+    # shorter texts, which would desynchronize frame boundaries)
+    a = (_clip_text("source reel") + " " * _TOTAL)[:_TOTAL]
+    b = (
+        a[_FRAME_BYTES:_TOTAL]
+        + (_clip_text("zz fresh tail") + " " * _TOTAL)[:_FRAME_BYTES]
+    )
+    c = (_clip_text("unrelated clip") + " " * _TOTAL)[:_TOTAL]
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    spans = video_clip_spans(avi_from_text_col(docs), min_frames=2).collect()
+    got = {(r["media_id"], r["span_start"], r["span_frames"]) for r in spans}
+    assert got == {(2, 0, 3)}
+    # frame-aligned pairs indeed see nothing (different offsets)
+    assert video_pairs(avi_from_text_col(docs), max_hamming=6).count() == 0
+
+
 def test_decode_media_real_video_metadata(spark):
     from data_lake_spark.operators.multimodal import decode_media
 

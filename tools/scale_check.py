@@ -109,6 +109,7 @@ QUERIES = [
     "audio_fp_pairs",
     # video pairs likewise; refine cost is candidates × frames
     "video_frame_pairs",
+    "video_clip_spans",  # ExactSubstr on frame tokens: gram-index linear
     "domain_doc_quality",  # extract+explode + domain-keyed agg: linear
     "dup_rate_by_source",  # one (source, hash) agg: scan-linear
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
