@@ -87,11 +87,32 @@ def stored_artifact(
     """Read the artifact for ``kind``; train-and-persist via ``build()``
     only if no finished artifact exists for the CURRENT source data.
     ``_SUCCESS`` is the commit marker — a crashed write is retried, a
-    finished one is reused by any process."""
+    finished one is reused by any process.
+
+    Concurrent first-builds are publish-by-rename safe: each builder
+    writes to a process-unique staging dir and atomically renames it
+    into place; the loser of the race (rename fails, or the winner's
+    marker appears first) discards its staging dir and reads the
+    winner's artifact. A leftover UNCOMMITTED dir at the final path
+    (pre-rename crash of an old writer) is cleared before publishing.
+    On an object store, swap the rename for a conditional-put manifest."""
+    import shutil
+
     path = artifact_path(sf_dir, kind, tables)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{path}.tmp-{os.getpid()}"
         writer = build().write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(path)
+        writer.parquet(staging)
+        if os.path.exists(marker):
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        else:
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)  # uncommitted husk
+            try:
+                os.rename(staging, path)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
     return spark.read.parquet(path)

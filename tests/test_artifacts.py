@@ -61,3 +61,31 @@ def test_reuse_retrain_and_crash_retry(spark, tmp_path, monkeypatch):
     # distinct kinds for the same source never collide
     assert artifact_path(sf_dir, "other", TABLES) != p2
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_concurrent_build_race_is_publish_by_rename_safe(
+    spark, tmp_path, monkeypatch
+):
+    # simulate losing the race: another process commits the artifact
+    # WHILE this one is building — the loser must discard its staging
+    # dir and serve the winner's rows, never clobber them
+    import os
+
+    sf_dir = str(tmp_path / "sf")
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", store)
+    _write_source(spark, sf_dir, 10)
+    path = artifact_path(sf_dir, "race", TABLES)
+
+    def winner_then_build():
+        # the "other process" publishes first, mid-build
+        spark.range(2).selectExpr("id AS k", "id AS v").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.range(9).selectExpr("id AS k", "id AS v")
+
+    got = stored_artifact(spark, sf_dir, "race", TABLES, winner_then_build)
+    assert got.count() == 2  # the winner's artifact survived
+    assert not [
+        d for d in os.listdir(store) if d.startswith("race") and ".tmp-" in d
+    ]  # the loser's staging dir was discarded
