@@ -60,15 +60,27 @@ def _fingerprint_path(p: str, h: "hashlib._Hash") -> None:
     h.update(str(st.st_mtime_ns).encode())
 
 
-def artifact_path(sf_dir: str, kind: str, tables: list[str]) -> str:
+def artifact_path(
+    sf_dir: str, kind: str, tables: list[str], version: str = "1"
+) -> str:
     """Deterministic artifact location for ``kind`` trained from the
     named source tables under ``sf_dir``. The digest covers the
     absolute source path and each table's size+mtime fingerprint, so
     regenerated source data yields a DIFFERENT path (never a stale
     read) while unchanged data yields the SAME path in every process
-    (never a silent retrain)."""
+    (never a silent retrain).
+
+    The fingerprint covers DATA, not CODE: ``version`` is the
+    builder's explicit format/semantics version, declared beside the
+    build function and BUMPED whenever a code change alters the
+    artifact's values — otherwise unchanged source data keeps serving
+    an artifact the new code would not produce (exactly how the r8
+    PCA rescale change surfaced: same embeddings, different
+    component). Production systems pin the same thing as a model/
+    format version in the artifact registry."""
     h = hashlib.sha1()
     h.update(os.path.abspath(sf_dir).encode())
+    h.update(f"v={version}".encode())
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -83,6 +95,7 @@ def stored_artifact(
     tables: list[str],
     build: Callable[[], DataFrame],
     partition_by: Optional[str] = None,
+    version: str = "1",
 ) -> DataFrame:
     """Read the artifact for ``kind``; train-and-persist via ``build()``
     only if no finished artifact exists for the CURRENT source data.
@@ -98,7 +111,7 @@ def stored_artifact(
     On an object store, swap the rename for a conditional-put manifest."""
     import shutil
 
-    path = artifact_path(sf_dir, kind, tables)
+    path = artifact_path(sf_dir, kind, tables, version)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         staging = f"{path}.tmp-{os.getpid()}"

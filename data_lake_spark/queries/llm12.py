@@ -19,11 +19,11 @@ Scale notes baked into each plan:
   broadcast back — no gram matrix, no driver-side linear algebra.
 
 Cross-engine exactness follows the house floor-micros discipline; the
-one new wrinkle (PCA components are SIGNED) is handled sign-magnitude —
-``sign(x) * (abs(x) div (m div 10^6 + 1))`` — because integer division
-on negatives truncates toward zero in Spark but floors in DuckDB, and
-the divide-first form never exceeds ``abs(x)`` so it cannot overflow
-int64 at any corpus size.
+one new wrinkle (PCA components are SIGNED) is handled sign-magnitude
+because integer division on negatives truncates toward zero in Spark
+but floors in DuckDB; the max-abs rescale is a hybrid (exact product
+form while it provably fits int64, divide-first beyond — see the
+``_RESCALE`` block comment) so it cannot overflow at any corpus size.
 """
 
 from __future__ import annotations
@@ -398,13 +398,29 @@ REGISTRY["ngram_coverage"] = QuerySpec(
 # rescaling is sign-magnitude max-abs normalization — sign(w) ·
 # (|w| div (max|w| div 10⁶ + 1)) — because negative integer division
 # truncates toward zero in Spark but floors in DuckDB, so |·| keeps
-# both engines on the nonnegative-div common ground. The divide-first
-# form (divisor = max|w| div 10⁶ + 1, never 0) keeps every
-# intermediate ≤ max|w|: the earlier |w|·10⁶-then-div form overflowed
-# int64 once max|w| passed ~9.2e12 (≈5·10⁵ vectors at the ~2e7
-# per-vector term bound) — Spark wraps silently where DuckDB errors.
-# Result magnitude is still < 10⁶ (m div (m div 10⁶ + 1) ≤ 999999),
-# and for max|w| < 10⁶ the divisor is 1, i.e. w passes through exact.
+# both engines on the nonnegative-div common ground. The rescale is a
+# HYBRID on the max magnitude m: the exact product form
+# (|w|·10⁶ div m) while m ≤ 9·10¹² — where the product provably fits
+# int64 (≤ 9·10¹⁸ < 2⁶³) — and the divide-first form
+# (|w| div (m div 10⁶ + 1)) beyond, where every intermediate stays
+# ≤ m and the relative quantization is ≤ ~10⁻⁶ because the divisor
+# exceeds 9·10⁶. The pure product form overflowed past ~5·10⁵ vectors
+# (Spark wraps silently where DuckDB errors); the pure divide-first
+# form undershot up to 2× for m just above 10⁶ — the hybrid is exact
+# where exactness is cheap and bounded-error where it is not. m = 0
+# (all-zero corpus) short-circuits to 0, no div-by-zero either engine.
+
+_RESCALE = (
+    "CASE WHEN {m} = 0 THEN 0"
+    " WHEN {m} <= 9000000000000 THEN (ABS({w}) * 1000000) div {m}"
+    " ELSE ABS({w}) div ({m} div 1000000 + 1) END"
+)
+
+_ORACLE_RESCALE = (
+    "CASE WHEN {m} = 0 THEN 0"
+    " WHEN {m} <= 9000000000000 THEN (ABS({w}) * 1000000) // {m}"
+    " ELSE ABS({w}) // ({m} // 1000000 + 1) END"
+)
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,19 +439,20 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # w1_d = Σ_vec floor(x·s1): |term| ≤ 0.32·6.4e7 ≈ 2e7, summed over
     # every vector — the SUM is int64-safe past 10¹¹ vectors, and the
-    # divide-first rescale below never exceeds |w1| itself (the old
-    # ABS(w1)·10⁶ product overflowed at ~5·10⁵ vectors)
+    # hybrid rescale below is overflow-safe at any magnitude (the old
+    # unconditional ABS(w1)·10⁶ product overflowed at ~5·10⁵ vectors)
     w1 = it1.groupBy("d").agg(
         F.sum(F.floor(F.col("x") * F.col("s1"))).alias("w1")
     )
-    # divisor = m1 div 10⁶ + 1 ≥ 1 — no div-by-zero on an all-zero
-    # corpus in either engine (the CASE guard the product form needed)
+    # hybrid rescale (see block comment): the exact product form while
+    # it cannot overflow (m ≤ 9e12 keeps ABS(w)·10⁶ ≤ 9e18 < 2⁶³),
+    # divide-first beyond — which is ≤ 10⁻⁶-relative there because the
+    # divisor m div 10⁶ + 1 is ≥ 9·10⁶
     v1 = w1.withColumn("m1", F.max(F.abs(F.col("w1"))).over(wall)).select(
         "d",
-        (
-            F.signum("w1").cast("long")
-            * F.expr("ABS(w1) div (m1 div 1000000 + 1)")
-        ).alias("v1"),
+        (F.signum("w1").cast("long") * F.expr(_RESCALE.format(w="w1", m="m1"))).alias(
+            "v1"
+        ),
     )
     # iteration 2 against the 64-row broadcast v1 (|v1| ≤ 10⁶):
     # s2 = Σ_d floor(x·v1_d) ≤ 64·3.2e5; w2 terms ≤ 0.32·2.1e7
@@ -455,14 +472,17 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2").cast("long").alias("w2"),
             (
                 F.signum("w2").cast("long")
-                * F.expr("ABS(w2) div (m2 div 1000000 + 1)")
+                * F.expr(_RESCALE.format(w="w2", m="m2"))
             ).alias("component_micro"),
         )
         .orderBy("dim")
     )
 
 
-ORACLE_EMBEDDING_PCA = """
+_O_V1 = _ORACLE_RESCALE.format(w="w1", m="MAX(ABS(w1)) OVER ()")
+_O_V2 = _ORACLE_RESCALE.format(w="w2", m="MAX(ABS(w2)) OVER ()")
+
+ORACLE_EMBEDDING_PCA = f"""
 WITH elems AS (
   SELECT vec_id, CAST(d - 1 AS INT) AS d, CAST(x AS DOUBLE) AS x
   FROM (SELECT vec_id,
@@ -483,7 +503,7 @@ w1 AS (
 v1 AS (
   SELECT d,
          CAST(CASE WHEN w1 > 0 THEN 1 WHEN w1 < 0 THEN -1 ELSE 0 END
-              * (ABS(w1) // (MAX(ABS(w1)) OVER () // 1000000 + 1))
+              * ({_O_V1})
             AS BIGINT)
            AS v1
   FROM w1
@@ -500,7 +520,7 @@ w2 AS (
 )
 SELECT CAST(d AS BIGINT) AS dim, w2,
        CAST(CASE WHEN w2 > 0 THEN 1 WHEN w2 < 0 THEN -1 ELSE 0 END
-            * (ABS(w2) // (MAX(ABS(w2)) OVER () // 1000000 + 1))
+            * ({_O_V2})
           AS BIGINT)
          AS component_micro
 FROM w2 ORDER BY dim
@@ -529,7 +549,7 @@ REGISTRY["embedding_pca"] = QuerySpec(
 # per-dim re-aggregate, zero power-iteration stages in-plan — the plan
 # census in tests/test_plan_contracts.py pins exactly that.
 #
-# Exactness: proj_micro = Σ_d floor(x_d · v_d) with |v_d| < 10⁶ and
+# Exactness: proj_micro = Σ_d floor(x_d · v_d) with |v_d| ≤ 10⁶ and
 # |x| ≤ ~0.32, so |term| < 3.2·10⁵ and the 64-term sum < 2.1·10⁷ —
 # int64-trivial. The double product x·v is IEEE-identical across
 # engines, and the artifact's long components round-trip parquet
@@ -548,6 +568,10 @@ def stored_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: q_embedding_pca(spark, sf_dir).select(
             "dim", "component_micro"
         ),
+        # builder-format version: "2" = the hybrid max-abs rescale
+        # (bump whenever the training arithmetic changes — the data
+        # fingerprint alone cannot see code drift)
+        version="2",
     )
 
 
@@ -572,7 +596,7 @@ def q_pca_project_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PCA_PROJECT = """
+ORACLE_PCA_PROJECT = f"""
 WITH elems AS (
   SELECT vec_id, CAST(d - 1 AS INT) AS d, CAST(x AS DOUBLE) AS x
   FROM (SELECT vec_id,
@@ -593,7 +617,7 @@ w1 AS (
 v1 AS (
   SELECT d,
          CAST(CASE WHEN w1 > 0 THEN 1 WHEN w1 < 0 THEN -1 ELSE 0 END
-              * (ABS(w1) // (MAX(ABS(w1)) OVER () // 1000000 + 1))
+              * ({_O_V1})
             AS BIGINT)
            AS v1
   FROM w1
@@ -611,7 +635,7 @@ w2 AS (
 comp AS (
   SELECT d,
          CAST(CASE WHEN w2 > 0 THEN 1 WHEN w2 < 0 THEN -1 ELSE 0 END
-              * (ABS(w2) // (MAX(ABS(w2)) OVER () // 1000000 + 1))
+              * ({_O_V2})
             AS BIGINT)
            AS v
   FROM w2

@@ -60,6 +60,12 @@ def test_reuse_retrain_and_crash_retry(spark, tmp_path, monkeypatch):
 
     # distinct kinds for the same source never collide
     assert artifact_path(sf_dir, "other", TABLES) != p2
+    # the builder-format version salts the path: a code change that
+    # alters the artifact's VALUES (same source data) must retrain,
+    # not serve the old artifact — the r8 PCA-rescale lesson
+    assert artifact_path(sf_dir, "toy", TABLES, version="2") != p2
+    stored_artifact(spark, sf_dir, "toy", TABLES, build, version="2")
+    assert calls["n"] == 4
     shutil.rmtree(store, ignore_errors=True)
 
 
