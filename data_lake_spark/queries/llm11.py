@@ -386,10 +386,14 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (exhaustive for Hamming ≤ 7), exact bit_count refine.
     Per-pair rollup to (media_a, dup-of counts) keeps the output stable.
 
-    Rows-only by design: the oracle cannot decode image bytes in SQL
-    (the S7/D3 precedent) — the decode/hash kernel is instead pinned by
-    tests/test_imagehash.py (hand-computed dHash, planted near-dup and
-    distinct pairs, format-edge BMPs)."""
+    FULLY oracle-paired as of r8 (was the registry's one rows-only
+    row): the synthesized BMP is deterministic from the text (first
+    768 ASCII bytes as bottom-up BGR pixels, space-padded), so DuckDB
+    recomputes the dHash DEFINITION — integer Rec.601 grayscale,
+    area-average 8×9 cells, gradient bits — straight from the text.
+    The bytes→BMP→pixels equivalence (that the Arrow kernel's decode
+    of the synthesized container yields exactly those pixels) is what
+    tests/test_imagehash.py + the property suite pin."""
     from data_lake_spark.operators.imagehash import (
         bmp_from_text_col,
         dhash_table,
@@ -409,10 +413,80 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors the whole pipeline from the text bytes the
+# synthesis is defined over: byte j of the 16×16 bottom-up BGR pixel
+# array maps to top-down (r = 15 − j div 48, c = (j mod 48) div 3,
+# channel = j mod 3); grayscale is integer Rec.601; the 8×9
+# area-average cells follow the integer boundaries ((c·16) div 9 —
+# widths 1,2,2,2,1,2,2,2,2 hard-coded via colmap); then gradient
+# bits, 8-bit banding, the ≤64 hot-bucket cap, exact Hamming ≤ 6.
+ORACLE_IMAGE_DHASH_PAIRS = """
+WITH bytes AS (
+  SELECT d.doc_id, t.j,
+         CASE WHEN t.j + 1 <= LENGTH(d.text)
+              THEN ORD(SUBSTRING(d.text, CAST(t.j + 1 AS INT), 1))
+              ELSE 32 END AS v
+  FROM documents d, GENERATE_SERIES(0, 767) AS t(j)
+),
+gray AS (
+  SELECT doc_id, 15 - (j // 48) AS r, (j % 48) // 3 AS c,
+         CAST((299 * SUM(CASE WHEN j % 3 = 2 THEN v END)
+             + 587 * SUM(CASE WHEN j % 3 = 1 THEN v END)
+             + 114 * SUM(CASE WHEN j % 3 = 0 THEN v END)) // 1000 AS BIGINT)
+           AS g
+  FROM bytes GROUP BY 1, 2, 3
+),
+colmap(pc, cc, wdt) AS (VALUES
+  (0,0,1),(1,1,2),(2,1,2),(3,2,2),(4,2,2),(5,3,2),(6,3,2),(7,4,1),
+  (8,5,2),(9,5,2),(10,6,2),(11,6,2),(12,7,2),(13,7,2),(14,8,2),(15,8,2)),
+cells AS (
+  SELECT doc_id, r // 2 AS rc, m.cc,
+         CAST(SUM(g) // (2 * m.wdt) AS BIGINT) AS cell
+  FROM gray JOIN colmap m ON gray.c = m.pc
+  GROUP BY doc_id, r // 2, m.cc, m.wdt
+),
+bits AS (
+  SELECT a.doc_id, a.rc * 8 + a.cc AS k,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.rc = b.rc
+            AND b.cc = a.cc + 1
+  WHERE a.cc < 8
+),
+bandvals AS (
+  SELECT doc_id, k // 8 AS band,
+         CAST(SUM(bit * (1 << CAST(k % 8 AS INT))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+),
+ok_buckets AS (
+  SELECT band, val FROM bandvals GROUP BY 1, 2 HAVING COUNT(*) <= 64
+),
+cands AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS media_a,
+                  GREATEST(a.doc_id, b.doc_id) AS media_b
+  FROM bandvals a
+  JOIN ok_buckets o ON a.band = o.band AND a.val = o.val
+  JOIN bandvals b ON b.band = a.band AND b.val = a.val
+                 AND a.doc_id <> b.doc_id
+),
+ham AS (
+  SELECT c.media_a, c.media_b,
+         CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM cands c
+  JOIN bits x ON x.doc_id = c.media_a
+  JOIN bits y ON y.doc_id = c.media_b AND y.k = x.k
+  GROUP BY 1, 2
+)
+SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(media_b) AS first_dup, MIN(hamming) AS min_hamming
+FROM ham WHERE hamming <= 6 GROUP BY 1 ORDER BY media_a
+"""
+
 REGISTRY["image_dhash_pairs"] = QuerySpec(
     q_image_dhash_pairs,
-    None,
+    ORACLE_IMAGE_DHASH_PAIRS,
     "perceptual image dedup: real BMP pixel decode + integer dHash in "
     "one Arrow pass, 8-band Hamming LSH candidates, bit_count refine — "
-    "rows-only (no SQL image decode); kernel pinned by pytest",
+    "fully oracle-paired (the synthesis is deterministic from text, so "
+    "SQL recomputes the dHash definition; container decode pytest-pinned)",
 )

@@ -40,11 +40,15 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-clip rollup to (media_a, dup-of counts) keeps the output
     stable — the image_dhash_pairs shape on the audio column.
 
-    Rows-only by design: the oracle cannot decode audio bytes in SQL
-    (the image_dhash_pairs precedent) — the decode/fingerprint kernel
-    is instead pinned by tests/test_audiofp.py (hand-derived bits, an
-    independent scalar reference, exact volume invariance, planted
-    near-dup pairs, 16-bit/stereo/truncated decode edges)."""
+    FULLY oracle-paired, unlike most media kernels: the synthesized
+    WAV is deterministic from the text (first 1040 ASCII bytes,
+    space-padded; amplitude = |byte − 128|; 65 equal 16-sample
+    windows), so DuckDB can recompute the fingerprint DEFINITION
+    straight from the text — no byte decoding required. The
+    bytes→RIFF→samples equivalence (that the Arrow kernel's decode of
+    the synthesized container yields exactly those amplitudes) is
+    what tests/test_audiofp.py pins (hand-derived bits, independent
+    scalar reference, volume invariance, decode edges)."""
     from data_lake_spark.operators.audiofp import (
         audio_pairs,
         wav_from_text_col,
@@ -63,13 +67,68 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle mirrors the WHOLE pipeline — fingerprint definition (equal
+# windows ⇒ plain sum comparison; the kernel's cross-multiplied form
+# reduces to it), 8-bit banding, the ≤64 hot-bucket cap, candidate
+# generation, exact Hamming refine, rollup — from the text bytes the
+# synthesis is defined over. Constants locked to the synthesis/query:
+# 1040 samples, 16-sample windows, 8 bands, cap 64, max_hamming 6.
+ORACLE_AUDIO_FP_PAIRS = """
+WITH samples AS (
+  SELECT d.doc_id, t.i,
+         ABS(CASE WHEN t.i <= LENGTH(d.text)
+                  THEN ORD(SUBSTRING(d.text, CAST(t.i AS INT), 1))
+                  ELSE 32 END - 128) AS amp
+  FROM documents d, GENERATE_SERIES(1, 1040) AS t(i)
+),
+wins AS (
+  SELECT doc_id, (i - 1) // 16 AS w, CAST(SUM(amp) AS BIGINT) AS s
+  FROM samples GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.w AS k,
+         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM wins a JOIN wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  WHERE a.w < 64
+),
+bandvals AS (
+  SELECT doc_id, k // 8 AS band,
+         CAST(SUM(bit * (1 << CAST(k % 8 AS INT))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+),
+ok_buckets AS (
+  SELECT band, val FROM bandvals GROUP BY 1, 2 HAVING COUNT(*) <= 64
+),
+cands AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS media_a,
+                  GREATEST(a.doc_id, b.doc_id) AS media_b
+  FROM bandvals a
+  JOIN ok_buckets o ON a.band = o.band AND a.val = o.val
+  JOIN bandvals b ON b.band = a.band AND b.val = a.val
+                 AND a.doc_id <> b.doc_id
+),
+ham AS (
+  SELECT c.media_a, c.media_b,
+         CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM cands c
+  JOIN bits x ON x.doc_id = c.media_a
+  JOIN bits y ON y.doc_id = c.media_b AND y.k = x.k
+  GROUP BY 1, 2
+)
+SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(media_b) AS first_dup, MIN(hamming) AS min_hamming
+FROM ham WHERE hamming <= 6 GROUP BY 1 ORDER BY media_a
+"""
+
 REGISTRY["audio_fp_pairs"] = QuerySpec(
     q_audio_fp_pairs,
-    None,
+    ORACLE_AUDIO_FP_PAIRS,
     "perceptual audio dedup: real RIFF/PCM sample decode + integer "
     "envelope-difference fingerprint in one Arrow pass, 8-band Hamming "
-    "LSH candidates, bit_count refine — rows-only (no SQL audio "
-    "decode); kernel pinned by pytest",
+    "LSH candidates, bit_count refine — fully oracle-paired (the "
+    "synthesis is deterministic from text, so SQL recomputes the "
+    "fingerprint definition; the container decode is pytest-pinned)",
 )
 
 
@@ -86,10 +145,13 @@ def q_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, every-frame bit_count refine. Per-clip rollup keeps
     the output stable — the image/audio shape, one modality up.
 
-    Rows-only by design: the oracle cannot walk a RIFF tree in SQL —
-    the extraction/refine kernel is pinned by tests/test_videofp.py
-    (synthesis round-trip vs the image kernel, planted frame-aligned
-    near-dups, the one-bad-frame rejection, decode edges)."""
+    FULLY oracle-paired (the audio_fp_pairs argument): the synthesized
+    AVI's frames are deterministic text slices, so DuckDB recomputes
+    the per-frame dHash definition straight from the text; the RIFF
+    container walk itself (that avi_frames yields exactly those
+    frames) is pinned by tests/test_videofp.py (synthesis round-trip
+    vs the image kernel, planted frame-aligned near-dups, the
+    one-bad-frame rejection, decode edges)."""
     from data_lake_spark.operators.videofp import (
         avi_from_text_col,
         video_pairs,
@@ -108,13 +170,94 @@ def q_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle scaffolding: per-(doc, frame) dHash bits recomputed
+# from the text bytes the synthesis is defined over (frame f = bytes
+# f·768..f·768+767 of the 3072-padded text; within a frame, the
+# image_dhash_pairs byte→pixel mapping). The container walk itself
+# (that avi_frames of the synthesized AVI yields exactly those frames)
+# is what tests/test_videofp.py pins.
+_VIDEO_BITS_SQL = """
+bytes AS (
+  SELECT d.doc_id, t.jj // 768 AS f, t.jj % 768 AS j,
+         CASE WHEN t.jj + 1 <= LENGTH(d.text)
+              THEN ORD(SUBSTRING(d.text, CAST(t.jj + 1 AS INT), 1))
+              ELSE 32 END AS v
+  FROM documents d, GENERATE_SERIES(0, 3071) AS t(jj)
+),
+gray AS (
+  SELECT doc_id, f, 15 - (j // 48) AS r, (j % 48) // 3 AS c,
+         CAST((299 * SUM(CASE WHEN j % 3 = 2 THEN v END)
+             + 587 * SUM(CASE WHEN j % 3 = 1 THEN v END)
+             + 114 * SUM(CASE WHEN j % 3 = 0 THEN v END)) // 1000 AS BIGINT)
+           AS g
+  FROM bytes GROUP BY 1, 2, 3, 4
+),
+colmap(pc, cc, wdt) AS (VALUES
+  (0,0,1),(1,1,2),(2,1,2),(3,2,2),(4,2,2),(5,3,2),(6,3,2),(7,4,1),
+  (8,5,2),(9,5,2),(10,6,2),(11,6,2),(12,7,2),(13,7,2),(14,8,2),(15,8,2)),
+cells AS (
+  SELECT doc_id, f, r // 2 AS rc, m.cc,
+         CAST(SUM(g) // (2 * m.wdt) AS BIGINT) AS cell
+  FROM gray JOIN colmap m ON gray.c = m.pc
+  GROUP BY doc_id, f, r // 2, m.cc, m.wdt
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.rc * 8 + a.cc AS k,
+         CASE WHEN a.cell > b.cell THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.f = b.f
+            AND a.rc = b.rc AND b.cc = a.cc + 1
+  WHERE a.cc < 8
+)"""
+
+ORACLE_VIDEO_FRAME_PAIRS = f"""
+WITH {_VIDEO_BITS_SQL},
+bandvals AS (
+  SELECT doc_id, f, k // 8 AS band,
+         CAST(SUM(bit * (1 << CAST(k % 8 AS INT))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2, 3
+),
+ok_buckets AS (
+  SELECT f, band, val FROM bandvals GROUP BY 1, 2, 3 HAVING COUNT(*) <= 64
+),
+cands AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS media_a,
+                  GREATEST(a.doc_id, b.doc_id) AS media_b
+  FROM bandvals a
+  JOIN ok_buckets o ON a.f = o.f AND a.band = o.band AND a.val = o.val
+  JOIN bandvals b ON b.f = a.f AND b.band = a.band AND b.val = a.val
+                 AND a.doc_id <> b.doc_id
+),
+fham AS (
+  SELECT c.media_a, c.media_b, x.f,
+         CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS fh
+  FROM cands c
+  JOIN bits x ON x.doc_id = c.media_a
+  JOIN bits y ON y.doc_id = c.media_b AND y.f = x.f AND y.k = x.k
+  GROUP BY 1, 2, 3
+),
+pairham AS (
+  SELECT media_a, media_b,
+         CAST(COUNT(*) AS BIGINT) AS n_aligned,
+         MAX(fh) AS max_frame_hamming
+  FROM fham GROUP BY 1, 2
+)
+SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(media_b) AS first_dup,
+       MAX(max_frame_hamming) AS worst_frame_hamming
+FROM pairham
+WHERE n_aligned = 4 AND max_frame_hamming <= 6
+GROUP BY 1 ORDER BY media_a
+"""
+
 REGISTRY["video_frame_pairs"] = QuerySpec(
     q_video_frame_pairs,
-    None,
+    ORACLE_VIDEO_FRAME_PAIRS,
     "perceptual video dedup: real RIFF/AVI frame extraction + image "
     "dHash per frame in one Arrow pass, frame-aligned 8-band Hamming "
-    "LSH candidates, every-frame bit_count refine — rows-only (no SQL "
-    "container walk); kernel pinned by pytest",
+    "LSH candidates, every-frame bit_count refine — fully oracle-paired "
+    "(SQL recomputes per-frame dHash from the deterministic synthesis; "
+    "the container walk is pytest-pinned)",
 )
 
 
@@ -139,10 +282,14 @@ def q_video_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic equi-joins (doc_id + j), never a global-order window.
     Per-clip rollup keeps the output stable.
 
-    Rows-only by design (no SQL container walk); the token rendering +
-    span algebra are pinned by tests/test_videofp.py's planted
-    offset-clip case (found here, invisible to the aligned pairs) and
-    textdedup's ExactSubstr property suite."""
+    FULLY oracle-paired: each frame's token is the per-doc image
+    dHash (the frame IS doc media_id+j's first-768-byte image), which
+    SQL recomputes from the text; the gram/keeper/island span algebra
+    mirrors exact_substr_spans at k=2 over 4-token documents. The
+    container walk + token rendering are pinned by
+    tests/test_videofp.py's planted offset-clip case (found here,
+    invisible to the aligned pairs) and textdedup's ExactSubstr
+    property suite."""
     from data_lake_spark.operators.videofp import (
         avi_from_frame_text_cols,
         video_clip_spans,
@@ -173,12 +320,70 @@ def q_video_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frame tokens are per-doc image dHashes rendered as 64-char
+# bitstrings (value identity is all the gram machinery needs); the
+# blank remap mirrors the operator's ignore_hashes=(0,) — an all-zero
+# bitstring becomes a per-occurrence unique token. Keeper packing uses
+# 10^6 (any constant > max position preserves the (video, pos)
+# lexicographic MIN the operator takes); islands via pos − row_number;
+# spans extend k−1 = 1 past the last marked position.
+ORACLE_VIDEO_CLIP_SPANS = f"""
+WITH {_VIDEO_BITS_SQL.replace("GENERATE_SERIES(0, 3071) AS t(jj)",
+                              "GENERATE_SERIES(0, 767) AS t(jj)")},
+doc_tok AS (
+  SELECT doc_id, STRING_AGG(CAST(bit AS VARCHAR), '' ORDER BY k) AS tok
+  FROM bits GROUP BY 1
+),
+vids AS (
+  SELECT d0.doc_id AS media_id, t.p,
+         CASE WHEN dt.tok = REPEAT('0', 64)
+              THEN 'u' || CAST(d0.doc_id AS VARCHAR) || 'x'
+                   || CAST(t.p AS VARCHAR)
+              ELSE dt.tok END AS token
+  FROM documents d0, GENERATE_SERIES(0, 3) AS t(p)
+  JOIN doc_tok dt ON dt.doc_id = d0.doc_id + t.p
+  WHERE d0.doc_id % 2 = 0
+    AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d0.doc_id + 1)
+    AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d0.doc_id + 2)
+    AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d0.doc_id + 3)
+),
+grams AS (
+  SELECT a.media_id, a.p, a.token || '|' || b.token AS gram
+  FROM vids a JOIN vids b ON a.media_id = b.media_id AND b.p = a.p + 1
+  WHERE a.p < 3
+),
+dup AS (
+  SELECT gram, MIN(media_id * 1000000 + p) AS keeper
+  FROM grams GROUP BY 1 HAVING COUNT(*) > 1
+),
+redundant AS (
+  SELECT g.media_id, g.p
+  FROM grams g JOIN dup d ON g.gram = d.gram
+  WHERE g.media_id * 1000000 + g.p > d.keeper
+),
+islands AS (
+  SELECT media_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY p) AS grp
+  FROM redundant
+),
+spans AS (
+  SELECT media_id, CAST(MIN(p) AS BIGINT) AS span_start,
+         CAST(MAX(p) - MIN(p) + 2 AS BIGINT) AS span_frames
+  FROM islands GROUP BY media_id, grp
+)
+SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_frames) AS BIGINT) AS clip_frames,
+       MIN(span_start) AS first_span_start
+FROM spans GROUP BY 1 ORDER BY media_id
+"""
+
 REGISTRY["video_clip_spans"] = QuerySpec(
     q_video_clip_spans,
-    None,
+    ORACLE_VIDEO_CLIP_SPANS,
     "recut-clip detection: ExactSubstr over frame-hash token sequences "
     "— shared contiguous frame runs at any offset, reported as "
-    "removable spans; rows-only (no SQL container walk)",
+    "removable spans; fully oracle-paired (frame tokens recomputed "
+    "from the deterministic synthesis, span algebra mirrored in SQL)",
 )
 
 
