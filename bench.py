@@ -236,6 +236,10 @@ HEADLINE = [
     "video_frame_pairs",
     # recut-clip detection: ExactSubstr over frame-hash tokens
     "video_clip_spans",
+    # the dedup DECISIONS: pairs -> connected components -> keepers,
+    # CC label set oracle-checked via recursive closure
+    "dedup_images_keepers",
+    "dedup_audio_keepers",
     # per-domain blocklist decision table (url_domains' sequel):
     # link census + linking-doc quality, integer-exact
     "domain_doc_quality",

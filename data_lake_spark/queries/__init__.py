@@ -138,22 +138,22 @@ def full_registry() -> dict[str, QuerySpec]:
 #     round-8 addition in (a) displaces one row off this tail into the
 #     ROUND 9 TODO.
 #
-# ROUND 9 TODO (computed from this round's FINAL window: 6 additions
-# + 25 r04-stale + 19 r05-stale = 50; rank 50 cuts block (c) after its
-# 19th row, `sliding_distinct` — verified against the live
-# full_registry() ordering): lead with the 31 displaced (c)-tail rows,
+# ROUND 9 TODO (computed from this round's FINAL window: 8 additions
+# + 25 r04-stale + 17 r05-stale = 50; rank 50 cuts block (c) after its
+# 17th row, `interval_overlap` — verified against the live
+# full_registry() ordering): lead with the 33 displaced (c)-tail rows,
 # still r05-green and the oldest verdicts in the registry by r09 —
-# anomaly_days bpe_encode negative_pairs curriculum_order dq_checks
-# epoch_plan triangle_count classifier_eval quality_tradeoff
-# source_lift label_affinity mirror_matrix rolling_corr k_anonymity
-# windowed_rollup asof_join sliding_rollup funnel cohort_retention
-# json_props scd2_history top_paths date_spine_fill unpivot_metrics
-# session_native api_earnings api_needle api_avg_profitability
-# api_total_profit api_profit_avg api_dow — then the 50 r06-stale rows
-# oldest-first (recompute the exact list from all eight CORRECTNESS
-# files at round start, the standing discipline); round-9 additions
-# slot in at the top as they land, each displacing one row into the
-# ROUND 10 TODO.
+# lang_fit sliding_distinct anomaly_days bpe_encode negative_pairs
+# curriculum_order dq_checks epoch_plan triangle_count classifier_eval
+# quality_tradeoff source_lift label_affinity mirror_matrix
+# rolling_corr k_anonymity windowed_rollup asof_join sliding_rollup
+# funnel cohort_retention json_props scd2_history top_paths
+# date_spine_fill unpivot_metrics session_native api_earnings
+# api_needle api_avg_profitability api_total_profit api_profit_avg
+# api_dow — then the 50 r06-stale rows oldest-first (recompute the
+# exact list from all eight CORRECTNESS files at round start, the
+# standing discipline); round-9 additions slot in at the top as they
+# land, each displacing one row into the ROUND 10 TODO.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-8 additions — first driver row this round (keep
     # current; appended as they land)
@@ -161,6 +161,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "audio_fp_pairs",
     "video_frame_pairs",
     "video_clip_spans",
+    "dedup_images_keepers",
+    "dedup_audio_keepers",
     "domain_doc_quality",
     "dup_rate_by_source",
     # (b) the 25 r04-stale rows displaced by the round-7 additions —

@@ -420,8 +420,10 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # area-average cells follow the integer boundaries ((c·16) div 9 —
 # widths 1,2,2,2,1,2,2,2,2 hard-coded via colmap); then gradient
 # bits, 8-bit banding, the ≤64 hot-bucket cap, exact Hamming ≤ 6.
-ORACLE_IMAGE_DHASH_PAIRS = """
-WITH bytes AS (
+# The CTE list is exposed separately (IMG_PAIR_CORE_SQL) so the keeper
+# query (llm13.dedup_images_keepers) can extend it with the recursive
+# connected-components tail.
+IMG_PAIR_CORE_SQL = """bytes AS (
   SELECT d.doc_id, t.j,
          CASE WHEN t.j + 1 <= LENGTH(d.text)
               THEN ORD(SUBSTRING(d.text, CAST(t.j + 1 AS INT), 1))
@@ -476,7 +478,10 @@ ham AS (
   JOIN bits x ON x.doc_id = c.media_a
   JOIN bits y ON y.doc_id = c.media_b AND y.k = x.k
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_IMAGE_DHASH_PAIRS = f"""
+WITH {IMG_PAIR_CORE_SQL}
 SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
        MIN(media_b) AS first_dup, MIN(hamming) AS min_hamming
 FROM ham WHERE hamming <= 6 GROUP BY 1 ORDER BY media_a

@@ -73,8 +73,7 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generation, exact Hamming refine, rollup — from the text bytes the
 # synthesis is defined over. Constants locked to the synthesis/query:
 # 1040 samples, 16-sample windows, 8 bands, cap 64, max_hamming 6.
-ORACLE_AUDIO_FP_PAIRS = """
-WITH samples AS (
+AUD_PAIR_CORE_SQL = """samples AS (
   SELECT d.doc_id, t.i,
          ABS(CASE WHEN t.i <= LENGTH(d.text)
                   THEN ORD(SUBSTRING(d.text, CAST(t.i AS INT), 1))
@@ -115,7 +114,10 @@ ham AS (
   JOIN bits x ON x.doc_id = c.media_a
   JOIN bits y ON y.doc_id = c.media_b AND y.k = x.k
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_AUDIO_FP_PAIRS = f"""
+WITH {AUD_PAIR_CORE_SQL}
 SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
        MIN(media_b) AS first_dup, MIN(hamming) AS min_hamming
 FROM ham WHERE hamming <= 6 GROUP BY 1 ORDER BY media_a
@@ -384,6 +386,94 @@ REGISTRY["video_clip_spans"] = QuerySpec(
     "— shared contiguous frame runs at any offset, reported as "
     "removable spans; fully oracle-paired (frame tokens recomputed "
     "from the deterministic synthesis, span algebra mirrored in SQL)",
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_images_keepers / dedup_audio_keepers — the dedup DECISION,
+# connected components included, oracle-checked end to end
+# ---------------------------------------------------------------------------
+#
+# The pair queries check candidate generation + refine; these check the
+# step that actually drops data — connected components over the
+# verified pairs, keeper = min reachable id (operators/graph.py). The
+# oracle computes the SAME fixpoint as a recursive transitive closure
+# (reach(node, root) seeded with (n, n), stepped over symmetric edges,
+# UNION-deduped to termination; keeper = MIN(root) per node) — closure
+# row count is Σ family_size², tiny for near-dup graphs. This is the
+# registry's first oracle-paired ITERATIVE-algorithm result: the CC
+# label set itself is hash-checked, not just counted.
+
+_CC_TAIL_SQL = """,
+edges AS (
+  SELECT media_a AS a, media_b AS b FROM ham WHERE hamming <= 6
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM ham WHERE hamming <= 6
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS media_id, MIN(root) AS keeper,
+       (MIN(root) <> node) AS is_dup
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_images_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call image dedup decision (operators/imagehash.
+    dedup_images): dHash pairs → connected components → (media_id,
+    keeper, is_dup). Oracle-paired end to end — the recursive-closure
+    SQL reproduces the min-label fixpoint bit-for-bit (see block
+    comment)."""
+    from data_lake_spark.operators.imagehash import (
+        bmp_from_text_col,
+        dedup_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_images(bmp_from_text_col(docs), max_hamming=6).orderBy(
+        "media_id"
+    )
+
+
+def q_dedup_audio_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call audio dedup decision (operators/audiofp.
+    dedup_audio): envelope-fingerprint pairs → connected components →
+    (media_id, keeper, is_dup). Oracle-paired end to end."""
+    from data_lake_spark.operators.audiofp import (
+        dedup_audio,
+        wav_from_text_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_audio(wav_from_text_col(docs), max_hamming=6).orderBy(
+        "media_id"
+    )
+
+
+REGISTRY["dedup_audio_keepers"] = QuerySpec(
+    q_dedup_audio_keepers,
+    f"WITH RECURSIVE {AUD_PAIR_CORE_SQL}{_CC_TAIL_SQL}",
+    "audio dedup keeper assignment: fingerprint pairs -> connected "
+    "components -> (media_id, keeper, is_dup) — the CC label set "
+    "itself hash-checked via a recursive-closure oracle",
+)
+
+
+def _img_keepers_oracle() -> str:
+    from data_lake_spark.queries.llm11 import IMG_PAIR_CORE_SQL
+
+    return f"WITH RECURSIVE {IMG_PAIR_CORE_SQL}{_CC_TAIL_SQL}"
+
+
+REGISTRY["dedup_images_keepers"] = QuerySpec(
+    q_dedup_images_keepers,
+    _img_keepers_oracle(),
+    "image dedup keeper assignment: dHash pairs -> connected "
+    "components -> (media_id, keeper, is_dup) — the CC label set "
+    "itself hash-checked via a recursive-closure oracle",
 )
 
 
