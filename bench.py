@@ -240,6 +240,7 @@ HEADLINE = [
     # CC label set oracle-checked via recursive closure
     "dedup_images_keepers",
     "dedup_audio_keepers",
+    "dedup_videos_keepers",
     # per-domain blocklist decision table (url_domains' sequel):
     # link census + linking-doc quality, integer-exact
     "domain_doc_quality",

@@ -138,11 +138,11 @@ def full_registry() -> dict[str, QuerySpec]:
 #     round-8 addition in (a) displaces one row off this tail into the
 #     ROUND 9 TODO.
 #
-# ROUND 9 TODO (computed from this round's FINAL window: 8 additions
-# + 25 r04-stale + 17 r05-stale = 50; rank 50 cuts block (c) after its
-# 17th row, `interval_overlap` — verified against the live
-# full_registry() ordering): lead with the 33 displaced (c)-tail rows,
-# still r05-green and the oldest verdicts in the registry by r09 —
+# ROUND 9 TODO (computed from this round's FINAL window: 9 additions
+# + 25 r04-stale + 16 r05-stale = 50; rank 50 cuts block (c) after its
+# 16th row, `winsorize` — verified against the live full_registry()
+# ordering): lead with the 34 displaced (c)-tail rows, still r05-green
+# and the oldest verdicts in the registry by r09 — interval_overlap
 # lang_fit sliding_distinct anomaly_days bpe_encode negative_pairs
 # curriculum_order dq_checks epoch_plan triangle_count classifier_eval
 # quality_tradeoff source_lift label_affinity mirror_matrix
@@ -163,6 +163,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "video_clip_spans",
     "dedup_images_keepers",
     "dedup_audio_keepers",
+    "dedup_videos_keepers",
     "domain_doc_quality",
     "dup_rate_by_source",
     # (b) the 25 r04-stale rows displaced by the round-7 additions —

@@ -211,8 +211,7 @@ bits AS (
   WHERE a.cc < 8
 )"""
 
-ORACLE_VIDEO_FRAME_PAIRS = f"""
-WITH {_VIDEO_BITS_SQL},
+_VIDEO_PAIR_CORE_SQL = f"""{_VIDEO_BITS_SQL},
 bandvals AS (
   SELECT doc_id, f, k // 8 AS band,
          CAST(SUM(bit * (1 << CAST(k % 8 AS INT))) AS BIGINT) AS val
@@ -243,7 +242,10 @@ pairham AS (
          CAST(COUNT(*) AS BIGINT) AS n_aligned,
          MAX(fh) AS max_frame_hamming
   FROM fham GROUP BY 1, 2
-)
+)"""
+
+ORACLE_VIDEO_FRAME_PAIRS = f"""
+WITH {_VIDEO_PAIR_CORE_SQL}
 SELECT media_a, CAST(COUNT(*) AS BIGINT) AS n_dups,
        MIN(media_b) AS first_dup,
        MAX(max_frame_hamming) AS worst_frame_hamming
@@ -260,6 +262,52 @@ REGISTRY["video_frame_pairs"] = QuerySpec(
     "LSH candidates, every-frame bit_count refine — fully oracle-paired "
     "(SQL recomputes per-frame dHash from the deterministic synthesis; "
     "the container walk is pytest-pinned)",
+)
+
+
+def q_dedup_videos_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call video dedup decision (operators/videofp.
+    dedup_videos): frame-aligned pairs → connected components →
+    (media_id, keeper, is_dup). Oracle-paired end to end — the
+    recursive-closure SQL reproduces the min-label fixpoint over the
+    every-frame-verified edges (the dedup_images_keepers argument, one
+    modality up)."""
+    from data_lake_spark.operators.videofp import (
+        avi_from_text_col,
+        dedup_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_videos(avi_from_text_col(docs), max_hamming=6).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_DEDUP_VIDEOS_KEEPERS = f"""
+WITH RECURSIVE {_VIDEO_PAIR_CORE_SQL},
+vedges AS (
+  SELECT media_a AS a, media_b AS b FROM pairham
+  WHERE n_aligned = 4 AND max_frame_hamming <= 6
+  UNION ALL
+  SELECT media_b AS a, media_a AS b FROM pairham
+  WHERE n_aligned = 4 AND max_frame_hamming <= 6
+),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN vedges e ON e.a = r.node
+)
+SELECT node AS media_id, MIN(root) AS keeper,
+       (MIN(root) <> node) AS is_dup
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+REGISTRY["dedup_videos_keepers"] = QuerySpec(
+    q_dedup_videos_keepers,
+    ORACLE_DEDUP_VIDEOS_KEEPERS,
+    "video dedup keeper assignment: frame-aligned pairs -> connected "
+    "components -> (media_id, keeper, is_dup) — the CC label set "
+    "itself hash-checked via a recursive-closure oracle",
 )
 
 

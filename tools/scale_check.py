@@ -112,6 +112,7 @@ QUERIES = [
     "video_clip_spans",  # ExactSubstr on frame tokens: gram-index linear
     "dedup_images_keepers",  # pairs + CC on the sparse verified edge set
     "dedup_audio_keepers",  # same shape on the audio column
+    "dedup_videos_keepers",  # same shape, frame-aligned edges
     "domain_doc_quality",  # extract+explode + domain-keyed agg: linear
     "dup_rate_by_source",  # one (source, hash) agg: scan-linear
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
