@@ -462,9 +462,27 @@ def video_clip_spans(
     a corpus whose 'documents' are frames-per-video tokens long."""
     from data_lake_spark.operators.textdedup import exact_substr_spans
 
+    docs = frame_token_docs(media, ignore_hashes)
+    k = min(2, min_frames)
+    return exact_substr_spans(docs, k=k, min_tokens=min_frames).select(
+        F.col("doc_id").alias("media_id"),
+        "span_start",
+        F.col("span_tokens").alias("span_frames"),
+    )
+
+
+def frame_token_docs(
+    media: DataFrame, ignore_hashes: tuple = (0,)
+) -> DataFrame:
+    """Render each video as a (doc_id, text) 'document' whose tokens
+    are its frame dHashes in frame order — the adapter that lets the
+    ENTIRE text-dedup operator family (ExactSubstr spans, the gram
+    index, its streaming ingest) run on video unchanged. Hashes in
+    ``ignore_hashes`` (uniform/blank frames) become per-occurrence
+    unique tokens so padding can never fabricate cross-video matches."""
     fh = frame_hash_table(media).filter(F.col("dhash").isNotNull())
     ign = F.array(*[F.lit(int(h)).cast("long") for h in ignore_hashes])
-    docs = (
+    return (
         fh.groupBy("media_id")
         .agg(
             F.array_sort(
@@ -489,12 +507,6 @@ def video_clip_spans(
                 " ",
             ).alias("text"),
         )
-    )
-    k = min(2, min_frames)
-    return exact_substr_spans(docs, k=k, min_tokens=min_frames).select(
-        F.col("doc_id").alias("media_id"),
-        "span_start",
-        F.col("span_tokens").alias("span_frames"),
     )
 
 

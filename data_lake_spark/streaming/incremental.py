@@ -718,24 +718,67 @@ def start_gram_index_ingest(
     crash-replayed micro-batch republishes identical partials (the
     start_lsh_dedup_ingest convention), and SUM-merge double counting
     cannot occur because replay overwrites rather than appends."""
-    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        grams = token_kgrams(batch_df, k, id_col, text_col).withColumn(
-            "enc", F.col(id_col) * F.lit(_POS_BITS) + F.col("pos")
-        )
-        partial = grams.groupBy("h").agg(
-            F.min("enc").alias("keeper"),
-            F.count(F.lit(1)).cast("long").alias("c"),
-        )
-        partial.write.mode("overwrite").parquet(
-            f"{index_root}/batch_id={int(batch_id)}"
-        )
+        _gram_partials(batch_df, k, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_root}/batch_id={int(batch_id)}")
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _gram_partials(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """One micro-batch's mergeable gram partials (h, keeper, c) —
+    shared by the text ingest above and the video ingest below."""
+    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+
+    grams = token_kgrams(docs, k, id_col, text_col).withColumn(
+        "enc", F.col(id_col) * F.lit(_POS_BITS) + F.col("pos")
+    )
+    return grams.groupBy("h").agg(
+        F.min("enc").alias("keeper"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+
+
+def start_video_gram_ingest(
+    media_stream: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    ignore_hashes: tuple = (0,),
+):
+    """Incremental recut-clip index: each micro-batch of new VIDEOS is
+    frame-hashed once (the Arrow decode pass on the batch only),
+    rendered as frame-token documents (videofp.frame_token_docs — the
+    adapter that makes video a citizen of the text-dedup family), and
+    its k=2 frame-gram partials land in the SAME mergeable index
+    format start_gram_index_ingest maintains for text. New clips
+    screen against ALL history at inverted-index cost via
+    exact_substr_spans_from_index over frame tokens; compaction and
+    the coverage rule apply unchanged (compact_gram_index). The
+    stream==batch span-set equivalence is pinned in
+    tests/test_dhash_stream.py."""
+    from data_lake_spark.operators.videofp import frame_token_docs
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = frame_token_docs(batch_df, ignore_hashes)
+        _gram_partials(docs, 2, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(f"{index_root}/batch_id={int(batch_id)}")
+
+    return (
+        media_stream.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()

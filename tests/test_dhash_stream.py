@@ -150,6 +150,57 @@ def test_audio_stream_pairs_equal_batch_pairs(spark, tmp_path):
     assert got == want and want
 
 
+def test_video_gram_ingest_spans_equal_batch(spark, tmp_path):
+    # recut-clip detection incrementally: stream videos in two batches
+    # (the offset clip arriving AFTER its source), fold the frame-gram
+    # index, and derive spans — must equal the one-shot batch operator
+    from data_lake_spark.operators.textdedup import (
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.operators.videofp import (
+        avi_from_text_col,
+        frame_token_docs,
+        video_clip_spans,
+    )
+    from data_lake_spark.streaming.incremental import (
+        read_gram_index,
+        start_video_gram_ingest,
+    )
+
+    total = 4 * 768
+    base = ("source reel lorem ipsum frame payload words " * 80)[:total]
+    clip = base[768:total] + ("zz fresh tail content " * 60)[:768]
+    other = ("unrelated clip body " * 80)[:total]
+    docs = spark.createDataFrame(
+        [(1, base), (2, clip), (3, other)], "doc_id long, text string"
+    )
+    media = avi_from_text_col(docs)
+    src = _write_batches(
+        tmp_path,
+        [media.filter("media_id IN (1, 3)"), media.filter("media_id = 2")],
+    )
+    index_root = str(tmp_path / "vgrams")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_video_gram_ingest(stream, index_root, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tok_docs = frame_token_docs(media)
+    got = exact_substr_spans_from_index(
+        tok_docs, read_gram_index(spark, index_root), k=2, min_tokens=2
+    ).select("doc_id", "span_start", "span_tokens")
+    want = video_clip_spans(media, min_frames=2)
+    g = {(r[0], r[1], r[2]) for r in got.collect()}
+    w = {(r["media_id"], r["span_start"], r["span_frames"]) for r in want.collect()}
+    assert g == w and w == {(2, 0, 3)}  # the offset clip, found both ways
+
+
 def test_replay_is_idempotent(spark, tmp_path):
     media = _media_df(spark, _DOCS)
     src = _write_batches(
