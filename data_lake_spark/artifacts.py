@@ -107,25 +107,72 @@ def stored_artifact(
     into place; the loser of the race (rename fails, or the winner's
     marker appears first) discards its staging dir and reads the
     winner's artifact. A leftover UNCOMMITTED dir at the final path
-    (pre-rename crash of an old writer) is cleared before publishing.
-    On an object store, swap the rename for a conditional-put manifest."""
+    (pre-rename crash of an old writer) is moved ASIDE atomically —
+    never rmtree'd in place — so a committed competitor artifact can
+    never be deleted out from under concurrent readers, and a failed
+    ``build()`` always cleans up its staging dir. On an object store,
+    swap the rename for a conditional-put manifest."""
     import shutil
 
     path = artifact_path(sf_dir, kind, tables, version)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         staging = f"{path}.tmp-{os.getpid()}"
-        writer = build().write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(staging)
-        if os.path.exists(marker):
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
-        else:
-            if os.path.exists(path):
-                shutil.rmtree(path, ignore_errors=True)  # uncommitted husk
-            try:
-                os.rename(staging, path)
-            except OSError:
-                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        try:
+            writer = build().write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(staging)
+            _publish(staging, path, marker)
+        finally:
+            # loser of the race, or build()/write raised: the staging
+            # dir must never leak
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def _publish(staging: str, path: str, marker: str) -> None:
+    """Atomically move a finished staging dir to the final path.
+
+    Any dir that lands at ``path`` arrived via rename of a COMPLETE
+    parquet write (``_SUCCESS`` inside), so two racers' artifacts for
+    the same digest are interchangeable — whoever wins, readers see a
+    committed, equivalent artifact. The one hazard is an uncommitted
+    husk (pre-rename crash of a legacy writer) occupying the path: it
+    is renamed aside, not rmtree'd, so if the 'husk' turns out to be a
+    competitor's just-committed artifact it can be restored instead of
+    destroyed (the TOCTOU flagged in round-8 advice)."""
+    import shutil
+
+    if os.path.exists(marker):
+        return  # a committed winner exists; keep it
+    try:
+        os.rename(staging, path)
+        return
+    except OSError:
+        pass  # something occupies the final path
+    if os.path.exists(marker):
+        return  # competitor committed between the check and the rename
+    aside = f"{path}.husk-{os.getpid()}"
+    try:
+        os.rename(path, aside)
+    except OSError:
+        aside = ""  # competitor already claimed/moved it
+    try:
+        os.rename(staging, path)
+    except OSError:
+        # lost a publish race after moving the occupant aside; if what
+        # we grabbed was a COMMITTED artifact and the path is free
+        # again, put it back rather than deleting it
+        if (
+            aside
+            and os.path.exists(os.path.join(aside, "_SUCCESS"))
+            and not os.path.exists(marker)
+        ):
+            try:
+                os.rename(aside, path)
+                aside = ""
+            except OSError:
+                pass
+    if aside:
+        shutil.rmtree(aside, ignore_errors=True)

@@ -72,12 +72,18 @@ def wav_from_text_col(docs: DataFrame) -> DataFrame:
     yield near-identical waveforms: the honest way to get a
     dedup-shaped audio corpus out of text-only testdata (the
     imagehash.bmp_from_text_col argument applied to audio)."""
+    from data_lake_spark.operators.imagehash import ascii_text
+
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(
             F.lit(_WAV_HEADER),
             F.encode(
-                F.rpad(F.substring("text", 1, _N_SAMPLES), _N_SAMPLES, " "),
+                F.rpad(
+                    F.substring(ascii_text("text"), 1, _N_SAMPLES),
+                    _N_SAMPLES,
+                    " ",
+                ),
                 "UTF-8",
             ),
         ).alias("content"),

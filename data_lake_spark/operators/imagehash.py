@@ -70,18 +70,37 @@ _HEADER = (
 )
 
 
+def ascii_text(col) -> "F.Column":
+    """Delete non-ASCII codepoints from a text column before the
+    media-synthesis substring/encode, so declared RIFF/BMP chunk sizes
+    always equal the emitted byte count (round-8 advice: char-based
+    substring + UTF-8 encode misframed chunks on non-ASCII corpora).
+
+    DELETION (empty replacement) is the one normalization that agrees
+    across engines: Spark's Java regex sees an astral codepoint as two
+    surrogates and removes both; DuckDB's RE2 removes the single
+    codepoint — identical results. Replacing with a placeholder char
+    would emit '??' vs '?' and shift every later position. The DuckDB
+    oracles mirror this with regexp_replace(text, '[^\\x00-\\x7f]',
+    '', 'g')."""
+    return F.regexp_replace(col, "[^\\x00-\\x7f]", "")
+
+
 def bmp_from_text_col(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (media_id, content) where content is a VALID
     16×16 24-bit BMP whose pixel bytes are the document's first 768
-    text bytes (space-padded) — pure JVM concat of a binary literal and
-    encoded text, zero Python. Near-identical documents therefore yield
-    near-identical images: the honest way to get a dedup-shaped image
-    corpus out of text-only testdata."""
+    text bytes (ASCII-normalized, space-padded) — pure JVM concat of a
+    binary literal and encoded text, zero Python. Near-identical
+    documents therefore yield near-identical images: the honest way to
+    get a dedup-shaped image corpus out of text-only testdata."""
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(
             F.lit(_HEADER),
-            F.encode(F.rpad(F.substring("text", 1, _PIXELS), _PIXELS, " "), "UTF-8"),
+            F.encode(
+                F.rpad(F.substring(ascii_text("text"), 1, _PIXELS), _PIXELS, " "),
+                "UTF-8",
+            ),
         ).alias("content"),
     )
 

@@ -151,8 +151,10 @@ def avi_from_text_col(docs: DataFrame) -> DataFrame:
     Near-identical documents therefore yield near-identical videos
     (the bmp_from_text_col / wav_from_text_col argument, one more
     container up)."""
+    from data_lake_spark.operators.imagehash import ascii_text
+
     total = _N_FRAMES * _FRAME_BYTES
-    padded = F.rpad(F.substring("text", 1, total), total, " ")
+    padded = F.rpad(F.substring(ascii_text("text"), 1, total), total, " ")
     frames = []
     for i in range(_N_FRAMES):
         frames.append(F.lit(_FRAME_CHUNK_HDR))
@@ -176,6 +178,8 @@ def avi_from_frame_text_cols(
     (space-padded) — pure JVM concat like avi_from_text_col, but with
     per-frame control, so callers can synthesize videos that SHARE
     frames (sliding windows over a frame stream, recut clips)."""
+    from data_lake_spark.operators.imagehash import ascii_text
+
     assert len(text_cols) == _N_FRAMES
     parts = [F.lit(_AVI_PREFIX)]
     for c in text_cols:
@@ -183,7 +187,9 @@ def avi_from_frame_text_cols(
         parts.append(
             F.encode(
                 F.rpad(
-                    F.substring(F.col(c), 1, _FRAME_BYTES), _FRAME_BYTES, " "
+                    F.substring(ascii_text(F.col(c)), 1, _FRAME_BYTES),
+                    _FRAME_BYTES,
+                    " ",
                 ),
                 "UTF-8",
             )
@@ -207,6 +213,25 @@ def _riff_children(buf: bytes, start: int, end: int):
         i += 8 + size + (size & 1)
 
 
+def _riff_leaves(buf: bytes, start: int, end: int):
+    """Yield every non-LIST (chunk_id, payload_start, payload_size) in
+    the RIFF tree, depth-first, with an explicit stack — untrusted
+    media can nest LISTs arbitrarily deep, so recursion would raise
+    RecursionError on adversarial containers instead of degrading to
+    a NULL fingerprint like other undecodable content."""
+    stack = [_riff_children(buf, start, end)]
+    while stack:
+        item = next(stack[-1], None)
+        if item is None:
+            stack.pop()
+            continue
+        cid, off, size = item
+        if cid == b"LIST":
+            stack.append(_riff_children(buf, off + 4, off + size))
+        else:
+            yield cid, off, size
+
+
 def avi_frames(content: bytes) -> Optional[list[bytes]]:
     """REAL frame extraction: walk the RIFF/AVI tree, read the video
     stream's BITMAPINFOHEADER from 'strf', and return each
@@ -219,17 +244,11 @@ def avi_frames(content: bytes) -> Optional[list[bytes]]:
     strf: Optional[bytes] = None
     frames: list[bytes] = []
 
-    def walk(start: int, end: int) -> None:
-        nonlocal strf
-        for cid, off, size in _riff_children(content, start, end):
-            if cid == b"LIST":
-                walk(off + 4, off + size)
-            elif cid == b"strf" and strf is None:
-                strf = content[off : off + size]
-            elif cid[2:4] == b"db":  # '00db', '01db', … uncompressed DIB
-                frames.append(content[off : off + size])
-
-    walk(12, len(content))
+    for cid, off, size in _riff_leaves(content, 12, len(content)):
+        if cid == b"strf" and strf is None:
+            strf = content[off : off + size]
+        elif cid[2:4] == b"db":  # '00db', '01db', … uncompressed DIB
+            frames.append(content[off : off + size])
     if strf is None or len(strf) < 24 or not frames:
         return None
     w = struct.unpack("<i", strf[4:8])[0]
@@ -265,19 +284,13 @@ def avi_info(content: bytes) -> Optional[tuple[int, int, int]]:
     dims: Optional[tuple[int, int]] = None
     n = 0
 
-    def walk(start: int, end: int) -> None:
-        nonlocal dims, n
-        for cid, off, size in _riff_children(content, start, end):
-            if cid == b"LIST":
-                walk(off + 4, off + size)
-            elif cid == b"strf" and dims is None and size >= 12:
-                w = struct.unpack("<i", content[off + 4 : off + 8])[0]
-                h = struct.unpack("<i", content[off + 8 : off + 12])[0]
-                dims = (int(w), abs(int(h)))
-            elif cid[2:4] in (b"db", b"dc"):
-                n += 1
-
-    walk(12, len(content))
+    for cid, off, size in _riff_leaves(content, 12, len(content)):
+        if cid == b"strf" and dims is None and size >= 12:
+            w = struct.unpack("<i", content[off + 4 : off + 8])[0]
+            h = struct.unpack("<i", content[off + 8 : off + 12])[0]
+            dims = (int(w), abs(int(h)))
+        elif cid[2:4] in (b"db", b"dc"):
+            n += 1
     if dims is None:
         return None
     return dims[0], dims[1], n

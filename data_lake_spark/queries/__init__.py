@@ -124,93 +124,33 @@ def full_registry() -> dict[str, QuerySpec]:
 # r05–r07 each ran the rotation discipline (additions first, then the
 # stalest blocks oldest-first) and scored 100% green.
 #
-# Round 8 (this list; blocks computed from CORRECTNESS_r01–r07
-# latest-green rounds, recomputed this session — r04-stale: 25,
-# r05-stale: 50, r06-green: 50, r07-green: 50):
-# (a) round-8 additions — first driver row THIS round (appended as
+# Round 9 (this list; blocks computed from CORRECTNESS_r01-r08
+# latest-green rounds, recomputed this session — r05-stale: 34,
+# r06-stale: 50, r07-green: 49, r08-green: 50; the 34-row r05 block
+# matches the ROUND 9 TODO recorded by the round-8 session and the
+# round-8 VERDICT verbatim):
+# (a) round-9 additions — first driver row THIS round (appended as
 #     they land);
-# (b) the 25 displaced r04-green (c)-tail rows from the round-7
-#     rotation — the oldest verdicts in the registry (last green row
-#     four rounds back), in their CORRECTNESS_r04 window order:
-#     simhash … session_stats;
-# (c) the 50 r05-stale rows in their CORRECTNESS_r05 window order
+# (b) the 34 displaced r05-green (c)-tail rows from the round-8
+#     rotation — the oldest verdicts in the registry (last green four
+#     rounds back by r09), incl. all six core api_* serving endpoints,
+#     in their CORRECTNESS_r05 window order: interval_overlap ...
+#     api_dow;
+# (c) the 50 r06-stale rows in their CORRECTNESS_r06 window order
 #     (oldest-first discipline): rank 50 cuts inside this block; each
-#     round-8 addition in (a) displaces one row off this tail into the
-#     ROUND 9 TODO.
+#     round-9 addition in (a) displaces one row off this tail into the
+#     ROUND 10 TODO.
 #
-# ROUND 9 TODO (computed from this round's FINAL window: 9 additions
-# + 25 r04-stale + 16 r05-stale = 50; rank 50 cuts block (c) after its
-# 16th row, `winsorize` — verified against the live full_registry()
-# ordering): lead with the 34 displaced (c)-tail rows, still r05-green
-# and the oldest verdicts in the registry by r09 — interval_overlap
-# lang_fit sliding_distinct anomaly_days bpe_encode negative_pairs
-# curriculum_order dq_checks epoch_plan triangle_count classifier_eval
-# quality_tradeoff source_lift label_affinity mirror_matrix
-# rolling_corr k_anonymity windowed_rollup asof_join sliding_rollup
-# funnel cohort_retention json_props scd2_history top_paths
-# date_spine_fill unpivot_metrics session_native api_earnings
-# api_needle api_avg_profitability api_total_profit api_profit_avg
-# api_dow — then the 50 r06-stale rows oldest-first (recompute the
-# exact list from all eight CORRECTNESS files at round start, the
-# standing discipline); round-9 additions slot in at the top as they
-# land, each displacing one row into the ROUND 10 TODO.
+# ROUND 10 TODO: recompute the stale blocks from all nine CORRECTNESS
+# files at round start (the standing discipline): lead with the
+# displaced (c)-tail rows (r06-green by then, the oldest verdicts in
+# the registry), then the r07-stale rows oldest-first; round-10
+# additions slot in at the top as they land.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-8 additions — first driver row this round (keep
+    # (a) round-9 additions — first driver row this round (keep
     # current; appended as they land)
-    "pca_project_stored",
-    "audio_fp_pairs",
-    "video_frame_pairs",
-    "video_clip_spans",
-    "dedup_images_keepers",
-    "dedup_audio_keepers",
-    "dedup_videos_keepers",
-    "domain_doc_quality",
-    "dup_rate_by_source",
-    # (b) the 25 r04-stale rows displaced by the round-7 additions —
-    # oldest verdicts in the registry, CORRECTNESS_r04 window order
-    "simhash",
-    "cosine_topk",
-    "winnow_fingerprint",
-    "ann_lsh",
-    "ivf_assign",
-    "ivf_search",
-    "dedup_clusters",
-    "ann_multiprobe",
-    "bpe_tokens",
-    "embedding_neardup",
-    "multimodal_decode",
-    "frame_sample",
-    "length_band_join",
-    "quality_quantile_filter",
-    "vocab_stats",
-    "seq_pack",
-    "pii_redact",
-    "tfidf_topterms",
-    "kmeans_refine",
-    "classifier_filter",
-    "chunk_docs",
-    "stratified_sample",
-    "embedding_quantize",
-    "quality_report",
-    "session_stats",
-    # (c) the 50 r05-stale rows, CORRECTNESS_r05 window order — rank 50
-    # cuts inside this block; the displaced tail goes to the ROUND 9 TODO
-    "doc_embed",
-    "lsh_recall",
-    "bm25_topk",
-    "rrf_fusion",
-    "pagerank_docs",
-    "central_keeper",
-    "dataset_card",
-    "ngram_novelty",
-    "bpe_merges",
-    "fuzzy_match",
-    "fuzzy_match_capped",
-    "er_recall",
-    "pareto_front",
-    "trend_slopes",
-    "sq_search",
-    "winsorize",
+    # (b) the 34 r05-stale rows displaced by the round-8 rotation —
+    # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",
     "lang_fit",
     "sliding_distinct",
@@ -245,4 +185,56 @@ _DRIVER_WINDOW_PRIORITY = [
     "api_total_profit",
     "api_profit_avg",
     "api_dow",
+    # (c) the 50 r06-stale rows, CORRECTNESS_r06 window order — rank 50
+    # cuts inside this block; the displaced tail goes to the ROUND 10 TODO
+    "exact_substr",
+    "exact_substr_clean",
+    "dist_drift",
+    "decontam_substr",
+    "lang_confusion",
+    "embedding_coverage",
+    "dup_histogram",
+    "bpe_fertility",
+    "exact_substr_pairs",
+    "temp_weights",
+    "ivf_balance",
+    "api_detailed_ranking",
+    "approx_distinct",
+    "quantile_sketch",
+    "nested_flatten",
+    "exact_dedup",
+    "pq_encode",
+    "pq_search",
+    "pq_rerank",
+    "ivf_pq",
+    "heavy_hitters",
+    "theta_distinct",
+    "kll_quantile",
+    "skew_report",
+    "line_dedup",
+    "source_cap",
+    "partial_overlap",
+    "curation_funnel",
+    "athena_earnings_day",
+    "athena_dow_dist",
+    "athena_weekly",
+    "athena_needle_period",
+    "gap_fill_interp",
+    "weighted_sample",
+    "salted_join_agg",
+    "api_models_distribution",
+    "avg_of_sums",
+    "bigram_lm_score",
+    "decontam",
+    "dedup_keep_latest",
+    "dow_distribution",
+    "earnings_by_day",
+    "earnings_series_pivot",
+    "full_outer_platforms",
+    "grouping_sets_report",
+    "left_join_dim",
+    "literal_dim_report",
+    "minhash_lsh",
+    "mixture_weights",
+    "multi_agg_attrs",
 ]

@@ -423,12 +423,18 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The CTE list is exposed separately (IMG_PAIR_CORE_SQL) so the keeper
 # query (llm13.dedup_images_keepers) can extend it with the recursive
 # connected-components tail.
-IMG_PAIR_CORE_SQL = """bytes AS (
+IMG_PAIR_CORE_SQL = """docs_ascii AS (
+  -- mirror of operators.imagehash.ascii_text: the synthesis deletes
+  -- non-ASCII codepoints before slicing, so codepoints == bytes
+  SELECT doc_id, REGEXP_REPLACE(text, '[^\\x00-\\x7f]', '', 'g') AS text
+  FROM documents
+),
+bytes AS (
   SELECT d.doc_id, t.j,
          CASE WHEN t.j + 1 <= LENGTH(d.text)
               THEN ORD(SUBSTRING(d.text, CAST(t.j + 1 AS INT), 1))
               ELSE 32 END AS v
-  FROM documents d, GENERATE_SERIES(0, 767) AS t(j)
+  FROM docs_ascii d, GENERATE_SERIES(0, 767) AS t(j)
 ),
 gray AS (
   SELECT doc_id, 15 - (j // 48) AS r, (j % 48) // 3 AS c,

@@ -73,12 +73,18 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generation, exact Hamming refine, rollup — from the text bytes the
 # synthesis is defined over. Constants locked to the synthesis/query:
 # 1040 samples, 16-sample windows, 8 bands, cap 64, max_hamming 6.
-AUD_PAIR_CORE_SQL = """samples AS (
+AUD_PAIR_CORE_SQL = """docs_ascii AS (
+  -- mirror of operators.imagehash.ascii_text: the synthesis deletes
+  -- non-ASCII codepoints before slicing, so codepoints == bytes
+  SELECT doc_id, REGEXP_REPLACE(text, '[^\\x00-\\x7f]', '', 'g') AS text
+  FROM documents
+),
+samples AS (
   SELECT d.doc_id, t.i,
          ABS(CASE WHEN t.i <= LENGTH(d.text)
                   THEN ORD(SUBSTRING(d.text, CAST(t.i AS INT), 1))
                   ELSE 32 END - 128) AS amp
-  FROM documents d, GENERATE_SERIES(1, 1040) AS t(i)
+  FROM docs_ascii d, GENERATE_SERIES(1, 1040) AS t(i)
 ),
 wins AS (
   SELECT doc_id, (i - 1) // 16 AS w, CAST(SUM(amp) AS BIGINT) AS s
@@ -179,12 +185,18 @@ def q_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (that avi_frames of the synthesized AVI yields exactly those frames)
 # is what tests/test_videofp.py pins.
 _VIDEO_BITS_SQL = """
+docs_ascii AS (
+  -- mirror of operators.imagehash.ascii_text: the synthesis deletes
+  -- non-ASCII codepoints before slicing, so codepoints == bytes
+  SELECT doc_id, REGEXP_REPLACE(text, '[^\\x00-\\x7f]', '', 'g') AS text
+  FROM documents
+),
 bytes AS (
   SELECT d.doc_id, t.jj // 768 AS f, t.jj % 768 AS j,
          CASE WHEN t.jj + 1 <= LENGTH(d.text)
               THEN ORD(SUBSTRING(d.text, CAST(t.jj + 1 AS INT), 1))
               ELSE 32 END AS v
-  FROM documents d, GENERATE_SERIES(0, 3071) AS t(jj)
+  FROM docs_ascii d, GENERATE_SERIES(0, 3071) AS t(jj)
 ),
 gray AS (
   SELECT doc_id, f, 15 - (j // 48) AS r, (j % 48) // 3 AS c,

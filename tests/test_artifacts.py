@@ -95,3 +95,41 @@ def test_concurrent_build_race_is_publish_by_rename_safe(
     assert not [
         d for d in os.listdir(store) if d.startswith("race") and ".tmp-" in d
     ]  # the loser's staging dir was discarded
+
+
+def test_failed_build_cleans_staging_and_husk_is_moved_not_deleted(
+    spark, tmp_path, monkeypatch
+):
+    # round-8 advice: a build() exception used to leak the staging
+    # dir, and an uncommitted husk at the final path was rmtree'd in
+    # place (a TOCTOU against a competitor's just-committed artifact)
+    sf_dir = str(tmp_path / "sf")
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", store)
+    _write_source(spark, sf_dir, 10)
+    path = artifact_path(sf_dir, "husk", TABLES)
+
+    def boom():
+        raise RuntimeError("training failed")
+
+    try:
+        stored_artifact(spark, sf_dir, "husk", TABLES, boom)
+    except RuntimeError:
+        pass
+    assert not [d for d in os.listdir(store) if ".tmp-" in d]
+
+    # plant an uncommitted husk (pre-rename crash of a legacy writer):
+    # publish must still succeed and leave no husk dirs behind
+    os.makedirs(path)
+    with open(os.path.join(path, "part-stale.parquet"), "w") as f:
+        f.write("not a parquet file")
+
+    def build():
+        return spark.range(4).selectExpr("id AS k", "id AS v")
+
+    got = stored_artifact(spark, sf_dir, "husk", TABLES, build)
+    assert got.count() == 4
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not [
+        d for d in os.listdir(store) if ".tmp-" in d or ".husk-" in d
+    ]

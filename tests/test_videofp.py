@@ -68,6 +68,20 @@ def test_parser_edges():
     assert frames is None or all(dhash64(f) is None for f in frames)
 
 
+def test_deeply_nested_lists_degrade_to_none_not_recursion_error():
+    # adversarial container: ~2000 nested LIST chunks in ~24KB used to
+    # blow the recursive walk with RecursionError, crashing the whole
+    # mapInPandas task; the iterative walk returns None like any other
+    # undecodable content
+    depth = 2000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"movi" + inner
+    evil = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert avi_frames(evil) is None
+    assert avi_info(evil) is None
+
+
 def test_undecodable_yields_null_row(spark):
     media = spark.createDataFrame(
         [(1, b"garbage"), (2, None)], "media_id long, content binary"
@@ -166,3 +180,28 @@ def test_decode_media_real_video_metadata(spark):
     )
     row = decode_media(media).collect()[0]
     assert (row["width"], row["height"], row["n_frames"]) == (16, 16, _N_FRAMES)
+
+
+def test_non_ascii_text_still_emits_declared_chunk_sizes(spark):
+    # round-8 advice: char-based substring + UTF-8 encode emitted MORE
+    # bytes than the fixed RIFF/BMP headers declared on non-ASCII text,
+    # silently misframing frames. ascii_text deletes non-ASCII
+    # codepoints before slicing, so bytes == chars always.
+    from data_lake_spark.operators.audiofp import wav_from_text_col
+    from data_lake_spark.operators.imagehash import bmp_from_text_col
+
+    txt = ("héllo wörld é世界 \U0001f600 " + "abc def ") * 200
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+
+    avi = bytes(avi_from_text_col(docs).collect()[0]["content"])
+    assert avi_info(avi) == (16, 16, _N_FRAMES)
+    frames = avi_frames(avi)
+    assert frames is not None and len(frames) == _N_FRAMES
+    assert all(dhash64(f) is not None for f in frames)
+
+    wav = bytes(wav_from_text_col(docs).collect()[0]["content"])
+    assert len(wav) == 44 + 1040  # header + declared data size, exactly
+
+    bmp = bytes(bmp_from_text_col(docs).collect()[0]["content"])
+    assert dhash64(bmp) is not None
+    assert len(bmp) == 54 + 768
