@@ -60,9 +60,16 @@ def fit_linear_probe(
 ) -> list[float]:
     """Batch GD on squared loss: w ← w − lr·(Σ floor((w·x − y)·x_j·PS))
     / PS / n per feature. One aggregation job per iteration; the weight
-    vector (d+1 doubles) is the only driver round-trip."""
+    vector (d+1 doubles) is the only driver round-trip. The corpus
+    count rides along in iteration 1's aggregate (w₀ = 0 means the
+    first gradient needs no n until AFTER the job returns), so K
+    iterations cost exactly K corpus passes, not K+1 — a full pass
+    saved at 100 TB, and one fewer job launch locally (the r8 bench
+    excursion was job-launch/driver overhead, not compute: the three
+    aggregation jobs measure ~0.16 s each at sf0.1 while the query
+    measured ~2 s)."""
     feats = feats.localCheckpoint(eager=False)
-    n = feats.count()
+    n: int | None = None
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(iters):
         r: Column = (
@@ -72,12 +79,15 @@ def fit_linear_probe(
             + F.lit(w[3]) * F.col("x3")
             - F.col("y")
         )
-        grads = feats.agg(
-            *[
-                F.sum(F.floor(r * F.col(f"x{j}") * F.lit(_PSF))).alias(f"g{j}")
-                for j in range(4)
-            ]
-        ).collect()[0]
+        aggs = [
+            F.sum(F.floor(r * F.col(f"x{j}") * F.lit(_PSF))).alias(f"g{j}")
+            for j in range(4)
+        ]
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("n"))
+        grads = feats.agg(*aggs).collect()[0]
+        if n is None:
+            n = grads["n"]
         w = [w[j] - lr * (grads[f"g{j}"] / _PSF) / n for j in range(4)]
     return w
 
@@ -89,9 +99,17 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs; weights match bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     w = fit_linear_probe(_features(docs))
-    return spark.createDataFrame(
-        list(zip(_FEATURES, w)), "feature string, weight double"
-    ).orderBy("feature")
+    # literal VALUES, not createDataFrame: a 4-row createDataFrame runs
+    # a parallelize job through Python workers (~0.7 s of the r8 bench
+    # excursion); repr() is shortest-round-trip so the doubles parse
+    # back bit-identical
+    rows = ", ".join(
+        f"('{f}', CAST({wj!r} AS DOUBLE))" for f, wj in zip(_FEATURES, w)
+    )
+    return spark.sql(
+        f"SELECT col1 AS feature, col2 AS weight FROM (VALUES {rows}) "
+        "ORDER BY feature"
+    )
 
 
 def _sql_feats() -> str:
