@@ -246,7 +246,23 @@ HEADLINE = [
     "domain_doc_quality",
     # per-source exact-copy census (what dedup will buy, measured)
     "dup_rate_by_source",
+    # the media-dedup family served from the PERSISTED frame-hash
+    # index — compare against video_frame_pairs/dedup_videos_keepers
+    # to see what decode-once-at-ingest buys
+    "video_frame_pairs_stored",
+    "dedup_videos_keepers_stored",
 ]
+
+# Headline growth policy (decided round 9, before the wall forces it):
+# the headline set is capped at ~140 entries / ~3 min at sf0.1. When an
+# addition would cross the cap, evict the cheapest member of its FAMILY
+# (the family twin that a faster variant has superseded — e.g. a stored
+# twin may displace its decode twin once the decode cost itself is
+# pinned by SCALING.md), never a family's sole representative; every
+# registry query keeps its CORRECTNESS coverage regardless of headline
+# membership. Evictions are recorded here as comments and in
+# bench_index.json history, so cross-round name-keyed comparisons stay
+# well-defined (the dense encoding below is positional per-round).
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
 # dominate the JSON line (~19 chars each): at 97 headline entries even a

@@ -346,15 +346,33 @@ def video_pairs(
     full frame-hash tables and keep pairs where EVERY aligned frame is
     within ``max_hamming`` and frame counts agree. Returns (media_a,
     media_b, n_frames, max_frame_hamming), media_a < media_b."""
-    assert 64 % n_bands == 0
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-
     fh = (
         frame_hash_table(media)
         .filter(F.col("dhash").isNotNull())
         .localCheckpoint()  # the Arrow pass feeds several consumers
     )
+    return video_pairs_from_hashes(
+        fh, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket
+    )
+
+
+def video_pairs_from_hashes(
+    fh: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """``video_pairs`` starting from an existing non-null frame-hash
+    table (media_id, frame_idx, dhash) — the serving split: the Arrow
+    decode pass runs once at ingest (or via artifacts.stored_artifact)
+    and every pairs/keepers call after that is pure JVM banding +
+    refine over the persisted hashes, zero decode stages in-plan. No
+    checkpoint here: a parquet-backed input is already materialized
+    and each consumer re-reads only the pruned columns."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
     n_frames = fh.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
@@ -535,12 +553,19 @@ def dedup_videos(
     connected components → keep the min-id video per duplicate family.
     Returns (media_id, keeper, is_dup); undecodable videos survive as
     their own keepers."""
-    from data_lake_spark.operators.graph import connected_components
-
     pairs = video_pairs(
         media, max_hamming=max_hamming, n_bands=n_bands, max_bucket=max_bucket
     )
     nodes = media.select(F.col("media_id").alias("node"))
+    return keepers_from_pairs(nodes, pairs)
+
+
+def keepers_from_pairs(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over verified pairs → (media_id, keeper,
+    is_dup) — the decision tail shared by the decode path
+    (dedup_videos) and the stored-hash serving path."""
+    from data_lake_spark.operators.graph import connected_components
+
     clusters = connected_components(
         nodes, pairs, src_col="media_a", dst_col="media_b"
     )

@@ -149,6 +149,8 @@ def full_registry() -> dict[str, QuerySpec]:
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-9 additions — first driver row this round (keep
     # current; appended as they land)
+    "video_frame_pairs_stored",
+    "dedup_videos_keepers_stored",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

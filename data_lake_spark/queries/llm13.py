@@ -324,6 +324,108 @@ REGISTRY["dedup_videos_keepers"] = QuerySpec(
 
 
 # ---------------------------------------------------------------------------
+# video_frame_pairs_stored / dedup_videos_keepers_stored — the media
+# dedup family served from a PERSISTED frame-hash index
+# ---------------------------------------------------------------------------
+#
+# video_frame_pairs and dedup_videos_keepers re-decode every video on
+# every call — honest for a one-shot scan, wrong for a lake where the
+# same corpus is screened repeatedly (every new-batch dedup pass, every
+# takedown audit). The production split is the bpe_encode_stored /
+# pca_project_stored pattern one more time: decode ONCE into a
+# persisted (media_id, frame_idx, dhash) table — the exact at-rest
+# format the streaming ingest maintains incrementally
+# (streaming/incremental.start_dhash_index_ingest) — then every
+# pairs/keepers call is pure JVM banding + refine over the index,
+# ZERO decode stages in-plan (census-pinned). At 100 TB the decode
+# pass is hours of Arrow CPU; the banded screen over the hash table is
+# an equi-join on (frame_idx, band, band_val). Oracles are the decode
+# twins' oracles verbatim — same answer, different serving cost.
+
+
+def stored_video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lake_spark.artifacts import stored_artifact
+    from data_lake_spark.operators.videofp import (
+        avi_from_text_col,
+        frame_hash_table,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return frame_hash_table(avi_from_text_col(docs)).filter(
+            F.col("dhash").isNotNull()
+        )
+
+    # builder-format version: "1" = image-kernel dHash over 16x16
+    # 24bpp DIB frames (bump if the hash definition changes — the data
+    # fingerprint alone cannot see code drift)
+    return stored_artifact(
+        spark, sf_dir, "video_frame_hashes", ["documents"], build, version="1"
+    )
+
+
+def q_video_frame_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-aligned near-dup pairs served from the persisted
+    frame-hash index — the serving twin of q_video_frame_pairs (see
+    block comment)."""
+    from data_lake_spark.operators.videofp import video_pairs_from_hashes
+
+    pairs = video_pairs_from_hashes(
+        stored_video_frame_hashes(spark, sf_dir), max_hamming=6
+    )
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.max("max_frame_hamming").alias("worst_frame_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+def q_dedup_videos_keepers_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The video dedup DECISION served from the persisted frame-hash
+    index — the serving twin of q_dedup_videos_keepers. Node set comes
+    from the corpus ids (undecodable media have no index rows but must
+    still survive as their own keepers)."""
+    from data_lake_spark.operators.videofp import (
+        keepers_from_pairs,
+        video_pairs_from_hashes,
+    )
+
+    pairs = video_pairs_from_hashes(
+        stored_video_frame_hashes(spark, sf_dir), max_hamming=6
+    )
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"))
+    )
+    return keepers_from_pairs(nodes, pairs).orderBy("media_id")
+
+
+REGISTRY["video_frame_pairs_stored"] = QuerySpec(
+    q_video_frame_pairs_stored,
+    ORACLE_VIDEO_FRAME_PAIRS,
+    "frame-aligned video near-dup pairs served from the PERSISTED "
+    "(media_id, frame_idx, dhash) index: pure JVM banding + refine, "
+    "zero Arrow decode stages in-plan (the stored-artifact serving "
+    "twin of video_frame_pairs, same oracle verbatim)",
+)
+
+REGISTRY["dedup_videos_keepers_stored"] = QuerySpec(
+    q_dedup_videos_keepers_stored,
+    ORACLE_DEDUP_VIDEOS_KEEPERS,
+    "video dedup keeper assignment served from the persisted "
+    "frame-hash index: banding + refine + connected components, zero "
+    "decode stages in-plan (the serving twin of dedup_videos_keepers, "
+    "same recursive-closure oracle verbatim)",
+)
+
+
+# ---------------------------------------------------------------------------
 # video_clip_spans — recut-clip detection across videos at any offset
 # ---------------------------------------------------------------------------
 

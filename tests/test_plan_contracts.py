@@ -321,6 +321,14 @@ _SHUFFLE_BUDGET = {
     # the tokenizer-as-artifact serving form: one explode + broadcast
     # vocabulary join + doc rollup — zero training rounds in-plan
     "bpe_encode_stored": 1,
+    # banding + refine over the persisted frame-hash index: bucket-size
+    # groupBy, capped band equi-joins on (frame_idx, band, band_val),
+    # candidate distinct, per-video rollup + frame-count joins — the
+    # same exchange set as the decode twin, minus the Arrow pass
+    "video_frame_pairs_stored": 6,
+    # connected components materializes its rounds internally; the
+    # visible final stage is the label projection only
+    "dedup_videos_keepers_stored": 0,
 }
 
 
@@ -481,6 +489,28 @@ def test_pca_project_stored_zero_training_stages(spark, sf_dir):
     ]
     assert len(emb_blocks) == 1, stored  # one corpus pass, not per-step
     assert len(re.findall(r"\(\d+\) Generate", stored)) == 1, stored
+
+
+def test_video_stored_twins_zero_decode_stages(spark, sf_dir):
+    # The media-dedup-as-artifact serving claim: the stored twins read
+    # the persisted (media_id, frame_idx, dhash) parquet and band/refine
+    # in pure JVM — no Arrow decode stage, no checkpointed decode RDD.
+    # The decode twin is the yardstick: its plan starts from the eager
+    # localCheckpoint of the Arrow hash pass (an ExistingRDD scan).
+    stored = _plan(spark, sf_dir, "video_frame_pairs_stored")
+    decode = _plan(spark, sf_dir, "video_frame_pairs")
+    assert "video_frame_hashes_" in stored, stored
+    for marker in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                   "ExistingRDD"):
+        assert marker not in stored, (marker, stored)
+    assert "ExistingRDD" in decode  # the yardstick: decode pays Arrow
+
+    # the keeper twin's visible plan starts after connected_components'
+    # internal lineage cut, so the artifact scan shows in the PAIRS
+    # plan above; here we pin only that no Python stage survives
+    keep = _plan(spark, sf_dir, "dedup_videos_keepers_stored")
+    for marker in ("MapInPandas", "ArrowEval", "BatchEvalPython"):
+        assert marker not in keep, (marker, keep)
 
 
 def test_events_normalization_session_tz_independent(spark, sf_dir):

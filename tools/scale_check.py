@@ -115,6 +115,11 @@ QUERIES = [
     "dedup_videos_keepers",  # same shape, frame-aligned edges
     "domain_doc_quality",  # extract+explode + domain-keyed agg: linear
     "dup_rate_by_source",  # one (source, hash) agg: scan-linear
+    # the stored-index serving twins: banding + refine over the
+    # persisted frame-hash parquet, zero decode — candidates grow with
+    # the K× near-dup families like their decode twins, minus Arrow CPU
+    "video_frame_pairs_stored",
+    "dedup_videos_keepers_stored",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
