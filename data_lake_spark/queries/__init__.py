@@ -151,6 +151,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # current; appended as they land)
     "video_frame_pairs_stored",
     "dedup_videos_keepers_stored",
+    "takedown_screen",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

@@ -457,3 +457,72 @@ REGISTRY["exact_substr_pairs"] = QuerySpec(
     "ExactSubstr provenance: (copy doc, keeper doc) pairs with shared "
     "duplicated-gram counts — dedup lineage at inverted-index cost",
 )
+
+
+# ---------------------------------------------------------------------------
+# takedown_screen — the subtractable gram index, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def q_takedown_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr screen AFTER a takedown, answered from the FULL
+    corpus's gram postings with the deleted documents' rows subtracted
+    — never rebuilt from the surviving text. This is the operation a
+    GDPR/DMCA takedown forces on a lake-scale dedup index
+    (streaming/takedown.py: the index partials are per-(gram, document)
+    postings with the document id packed into ``keeper``, so deletion
+    is an exact filter), and the oracle proves subtract-then-fold ≡
+    rebuild-on-reduced-corpus: the SQL recomputes spans from scratch
+    over only the surviving documents. Deleted set: doc_id % 17 == 3
+    (deterministic, ~6% of the corpus — legal-request-sized).
+
+    Plan shape: one gram pass + one (h, doc) aggregate over the full
+    corpus (the index build, here in-plan for oracle pairing; in
+    production it is the already-persisted streaming index), a
+    map-side filter for the tombstones, the fold, and the survivors'
+    screen join — inverted-index cost throughout, no pair space."""
+    from data_lake_spark.operators.textdedup import (
+        _POS_BITS,
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.streaming.incremental import _gram_partials
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    partials = _gram_partials(docs, _K, "doc_id", "text")
+    live = partials.filter(F.expr(f"(keeper DIV {_POS_BITS}) % 17 <> 3"))
+    index = live.groupBy("h").agg(
+        F.min("keeper").alias("keeper"), F.sum("c").alias("c")
+    )
+    survivors = docs.filter(F.col("doc_id") % 17 != 3)
+    s = exact_substr_spans_from_index(
+        survivors, index, k=_K, min_tokens=_MIN_TOKENS
+    )
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")
+
+
+# rebuild-from-scratch on the reduced corpus: if the Spark side's
+# subtracted index produced anything else, the takedown machinery
+# would be leaking deleted content into dedup decisions
+ORACLE_TAKEDOWN_SCREEN = (
+    _ORACLE_SPANS_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 17 <> 3"
+    )
+    + """
+SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_tokens AS BIGINT) AS span_tokens
+FROM spans ORDER BY doc_id, span_start
+"""
+)
+
+REGISTRY["takedown_screen"] = QuerySpec(
+    q_takedown_screen,
+    ORACLE_TAKEDOWN_SCREEN,
+    "takedown propagation: ExactSubstr screen from the full-corpus "
+    "gram postings with deleted docs' rows SUBTRACTED (per-(gram,doc) "
+    "posting granularity) — oracle proves subtract-then-fold equals "
+    "rebuild-on-reduced-corpus",
+)

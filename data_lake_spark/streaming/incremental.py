@@ -450,9 +450,23 @@ def start_lsh_dedup_ingest(
             # against exactly the state the original batch N saw — its own
             # and later batches' entries would otherwise self-match every
             # doc. batch_id is a partition dir, so this prunes, not scans.
+            # takedown: a deleted document's persisted signature must
+            # stop suppressing lookalikes the moment the tombstone
+            # lands (the next genuine arrival of that content is
+            # accepted as the new canonical copy)
+            from data_lake_spark.streaming.takedown import (
+                filter_tombstoned,
+                read_tombstones,
+            )
+
             idx = (
-                idx_all
-                .filter(F.col("batch_id") < F.lit(int(batch_id)))
+                filter_tombstoned(
+                    idx_all.filter(
+                        F.col("batch_id") < F.lit(int(batch_id))
+                    ),
+                    read_tombstones(spark, index_root, id_col),
+                    [id_col],
+                )
                 .select("band_idx", "band_hash", F.col("sig").alias("idx_sig"))
             )
             hist_dups = (
@@ -619,6 +633,19 @@ def _start_hash_index_ingest(
             hist = idx.filter(
                 F.col("batch_id") < F.lit(int(batch_id))
             ).select("media_id", "dhash")
+            # takedown: deleted media stop pairing with new arrivals
+            # the moment the tombstone lands (a replayed batch after a
+            # takedown intentionally republishes the REDUCED pair set)
+            from data_lake_spark.streaming.takedown import (
+                filter_tombstoned,
+                read_tombstones,
+            )
+
+            hist = filter_tombstoned(
+                hist,
+                read_tombstones(spark, index_root, "media_id"),
+                ["media_id"],
+            )
             all_bands = band_rows(hist, n_bands).unionByName(new_bands)
         else:
             all_bands = new_bands
@@ -680,11 +707,40 @@ def read_dhash_pairs(spark: SparkSession, pairs_root: str) -> DataFrame:
     """Accumulated near-dup pairs from the per-batch dirs — distinct
     because a pair involving a re-ingested image can be rediscovered in
     a later batch (the index keeps every copy; replay within a batch is
-    handled by the overwrite convention)."""
-    return (
+    handled by the overwrite convention).
+
+    Pairs recorded BEFORE a takedown (takedown.delete_ids against this
+    pairs root) are filtered here: a deleted medium appears on neither
+    side, so downstream keeper assignment never links through it."""
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
+    )
+
+    pairs = (
         read_ingest_zone(spark, pairs_root)
         .select("media_a", "media_b", "hamming")
         .distinct()
+    )
+    return filter_tombstoned(
+        pairs,
+        read_tombstones(spark, pairs_root, "media_id"),
+        ["media_a", "media_b"],
+    )
+
+
+def read_hash_index(spark: SparkSession, index_root: str) -> DataFrame:
+    """The live (media_id, dhash) rows of a dHash/audio fingerprint
+    index — every batch dir, minus takedowns. The batch-side face of
+    what the ingest's history screen sees."""
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
+    )
+
+    idx = read_ingest_zone(spark, index_root).select("media_id", "dhash")
+    return filter_tombstoned(
+        idx, read_tombstones(spark, index_root, "media_id"), ["media_id"]
     )
 
 
@@ -738,16 +794,26 @@ def _gram_partials(
     docs: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:
     """One micro-batch's mergeable gram partials (h, keeper, c) —
-    shared by the text ingest above and the video ingest below."""
+    shared by the text ingest above and the video ingest below.
+
+    Granularity is per (gram, DOCUMENT), not per gram: ``keeper``
+    encodes (doc_id, pos) as doc_id·2²⁰ + pos, so the document id is
+    recoverable (keeper DIV 2²⁰) and a takedown can SUBTRACT one
+    document's rows exactly (streaming/takedown.py) — the Lucene
+    postings-plus-tombstones design. The reader's fold (MIN of
+    keepers, SUM of counts per h) is associative either way, so the
+    folded index is bit-identical to the old per-gram partials; only
+    deletability changes. Within one micro-batch a k-gram rarely spans
+    documents, so the finer key costs ≈ nothing in rows."""
     from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
 
     grams = token_kgrams(docs, k, id_col, text_col).withColumn(
         "enc", F.col(id_col) * F.lit(_POS_BITS) + F.col("pos")
     )
-    return grams.groupBy("h").agg(
+    return grams.groupBy("h", id_col).agg(
         F.min("enc").alias("keeper"),
         F.count(F.lit(1)).cast("long").alias("c"),
-    )
+    ).select("h", "keeper", "c")
 
 
 def start_video_gram_ingest(
@@ -816,6 +882,28 @@ def _gram_index_live_ids(index_root: str) -> tuple[list[int], list[int], int]:
     return live, superseded, m
 
 
+def read_vector_index(
+    spark: SparkSession, index_root: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The live rows of a streaming IVF / IVF-PQ codes index: every
+    batch dir, each vector's LATEST batch only (re-ingest supersedes),
+    minus takedowns (takedown.delete_ids against this root) — the
+    frame pq.codes_elems / pq.ivf_pq_topk_indexed expect. A deleted
+    vector stops surfacing as an ANN candidate the moment the
+    tombstone lands; its code bytes leave disk when the index is next
+    rewritten/retrained (the codebook-refresh schedule)."""
+    from data_lake_spark.operators.upsert import latest_batch
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
+    )
+
+    idx = latest_batch(spark.read.parquet(index_root), id_col)
+    return filter_tombstoned(
+        idx, read_tombstones(spark, index_root, id_col), [id_col]
+    )
+
+
 def read_gram_index(spark: SparkSession, index_root: str) -> DataFrame:
     """Fold the per-batch gram partials into the corpus-wide keeper
     index (h, keeper, c): keeper = MIN of batch keepers, c = SUM of
@@ -831,11 +919,34 @@ def read_gram_index(spark: SparkSession, index_root: str) -> DataFrame:
     never double-count. One groupBy over the gram-hash key space (far
     smaller than the corpus's positions); run
     :func:`compact_gram_index` periodically so the fold reads few
-    files."""
+    files.
+
+    Takedowns (streaming/takedown.delete_ids against this root) apply
+    HERE, before the fold: partials are per-(gram, document) postings
+    with the document id packed into ``keeper``, so a deleted
+    document's rows drop out exactly and the folded (keeper, c)
+    reflect only surviving occurrences — a gram whose other copies
+    were all deleted stops marking anyone, and a deleted keeper's
+    crown passes to the next-min survivor."""
+    from data_lake_spark.operators.textdedup import _POS_BITS
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
+    )
+
     live, _, _ = _gram_index_live_ids(index_root)
     partials = spark.read.option("basePath", index_root).parquet(
         *[f"{index_root}/batch_id={i}" for i in sorted(live)]
     )
+    tomb = read_tombstones(spark, index_root)
+    if tomb is not None:
+        partials = filter_tombstoned(
+            partials.withColumn(
+                "_doc", F.expr(f"keeper DIV {_POS_BITS}")
+            ),
+            tomb.select(F.col(tomb.columns[0]).alias("_doc")),
+            ["_doc"],
+        ).drop("_doc")
     return partials.groupBy("h").agg(
         F.min("keeper").alias("keeper"), F.sum("c").alias("c")
     )
@@ -886,9 +997,31 @@ def compact_gram_index(spark: SparkSession, index_root: str) -> int:
     partials = spark.read.option("basePath", index_root).parquet(
         *[f"{index_root}/batch_id={i}" for i in sorted(fold_ids)]
     )
-    merged = partials.groupBy("h").agg(
-        F.min("keeper").alias("keeper"), F.sum("c").alias("c")
+    # physical purge: tombstoned postings are dropped while folding —
+    # the bytes leave the disk on the maintenance schedule (Lucene's
+    # merge analogy); the tombstone files stay, still screening any
+    # stream dirs newer than this compaction
+    from data_lake_spark.operators.textdedup import _POS_BITS
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
     )
+
+    tomb = read_tombstones(spark, index_root)
+    if tomb is not None:
+        partials = filter_tombstoned(
+            partials.withColumn("_doc", F.expr(f"keeper DIV {_POS_BITS}")),
+            tomb.select(F.col(tomb.columns[0]).alias("_doc")),
+            ["_doc"],
+        ).drop("_doc")
+    # fold at per-(gram, document) granularity — the compacted dir must
+    # stay deletable for FUTURE takedowns, so documents are never
+    # merged together (the doc id is recoverable from keeper)
+    merged = partials.groupBy(
+        "h", F.expr(f"keeper DIV {_POS_BITS}").alias("_doc")
+    ).agg(
+        F.min("keeper").alias("keeper"), F.sum("c").alias("c")
+    ).select("h", "keeper", "c")
     merged.write.mode("overwrite").parquet(
         f"{index_root}/batch_id={_GRAM_COMPACT_NS + m2}"
     )

@@ -329,6 +329,9 @@ _SHUFFLE_BUDGET = {
     # connected components materializes its rounds internally; the
     # visible final stage is the label projection only
     "dedup_videos_keepers_stored": 0,
+    # gram pass + per-(h,doc) posting agg, the tombstone-subtracted
+    # fold (h), and the survivors' screen join share the h key space
+    "takedown_screen": 3,
 }
 
 

@@ -1,0 +1,403 @@
+"""Takedown propagation (streaming/takedown.py): delete_ids → every
+index family's reader stops surfacing the deleted content immediately;
+compaction purges the bytes; crash replay cannot resurrect a deleted
+document. One delete→screen round-trip per persisted index family
+(gram, dHash, LSH band, IVF codes), per the round-8 verdict item."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from data_lake_spark.streaming.takedown import (
+    delete_ids,
+    read_tombstones,
+)
+
+_K = 4
+_MIN = 6
+
+_RUN = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token dup run
+_GRAM_DOCS = [
+    (1, _RUN + " unique tail one two three"),
+    (2, "lead in words " + _RUN + " trailing words here"),
+    (3, _RUN + " something else entirely follows now"),
+    (4, "totally different tokens with no repeated run at all"),
+]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _write_batches(tmp_path, batches, sub="src"):
+    src = str(tmp_path / sub)
+    now = time.time()
+    for i, b in enumerate(batches):
+        before = set(glob.glob(src + "/*.parquet"))
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(src + "/*.parquet")) - before:
+            os.utime(f, (now - 60 + 30 * i,) * 2)
+    return src
+
+
+def _span_set(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_tokens"]) for r in df.collect()
+    }
+
+
+def _run_gram_ingest(spark, tmp_path, src):
+    from data_lake_spark.streaming.incremental import start_gram_index_ingest
+
+    index_root = str(tmp_path / "gram_index")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_gram_index_ingest(
+        stream, index_root, str(tmp_path / "gram_ckpt"), k=_K
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return index_root
+
+
+def test_gram_index_delete_screen_roundtrip(spark, tmp_path):
+    # The keeper itself is taken down: doc 1 holds the canonical
+    # occurrence of the duplicated run. After delete_ids(1) the index
+    # must behave as if doc 1 never existed — the keeper crown passes
+    # to doc 2 (new min), so doc 2's span VANISHES and doc 3's remains;
+    # i.e. the screen equals a from-scratch rebuild on the reduced
+    # corpus, bit for bit.
+    from data_lake_spark.operators.textdedup import (
+        exact_substr_spans,
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.streaming.incremental import read_gram_index
+
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(
+        tmp_path, [docs.filter("doc_id <= 2"), docs.filter("doc_id > 2")]
+    )
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+
+    survivors = docs.filter("doc_id <> 1")
+    before = _span_set(
+        exact_substr_spans_from_index(
+            docs, read_gram_index(spark, index_root), k=_K, min_tokens=_MIN
+        )
+    )
+    assert {d for d, _, _ in before} == {2, 3}  # doc 1 is the keeper
+
+    delete_ids(spark, index_root, [1])
+    after = _span_set(
+        exact_substr_spans_from_index(
+            survivors,
+            read_gram_index(spark, index_root),
+            k=_K,
+            min_tokens=_MIN,
+        )
+    )
+    want = _span_set(exact_substr_spans(survivors, k=_K, min_tokens=_MIN))
+    assert after == want  # rebuild-on-reduced-corpus equivalence
+    assert {d for d, _, _ in after} == {3}  # crown passed to doc 2
+
+
+def test_gram_compaction_purges_tombstoned_postings(spark, tmp_path):
+    from data_lake_spark.operators.textdedup import (
+        _POS_BITS,
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.streaming.incremental import (
+        compact_gram_index,
+        read_gram_index,
+    )
+
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(
+        tmp_path,
+        [docs.filter(f"doc_id = {i}") for i in (1, 2, 3, 4)],
+    )
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+    delete_ids(spark, index_root, [1])
+
+    survivors = docs.filter("doc_id <> 1")
+    before = _span_set(
+        exact_substr_spans_from_index(
+            survivors,
+            read_gram_index(spark, index_root),
+            k=_K,
+            min_tokens=_MIN,
+        )
+    )
+    assert compact_gram_index(spark, index_root) > 0
+    # logical view unchanged across compaction
+    after = _span_set(
+        exact_substr_spans_from_index(
+            survivors,
+            read_gram_index(spark, index_root),
+            k=_K,
+            min_tokens=_MIN,
+        )
+    )
+    assert after == before
+    # PHYSICAL purge: no posting in the compacted dir decodes to doc 1
+    comp_dirs = [
+        p
+        for p in glob.glob(os.path.join(index_root, "batch_id=*"))
+        if int(p.rsplit("=", 1)[1]) >= 3_000_000
+    ]
+    assert comp_dirs
+    comp = spark.read.parquet(*comp_dirs)
+    assert (
+        comp.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() == 0
+    )
+    # tombstones survive compaction (they must keep screening stream
+    # dirs newer than the compacted fold)
+    assert read_tombstones(spark, index_root) is not None
+
+
+def test_gram_replay_cannot_resurrect_deleted_doc(spark, tmp_path):
+    # Crash model: the micro-batch that ingested doc 1 is replayed
+    # AFTER doc 1's takedown (checkpoint loss / full-source replay).
+    # The replay republishes doc 1's postings into its batch dir —
+    # and the reader must still not surface them: the filter lives at
+    # read time, not write time.
+    from data_lake_spark.operators.textdedup import (
+        exact_substr_spans,
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.streaming.incremental import (
+        read_gram_index,
+        start_gram_index_ingest,
+    )
+
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(
+        tmp_path, [docs.filter("doc_id <= 2"), docs.filter("doc_id > 2")]
+    )
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+    delete_ids(spark, index_root, [1])
+
+    # wipe the checkpoint -> the whole source replays from scratch
+    shutil.rmtree(str(tmp_path / "gram_ckpt"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_gram_index_ingest(
+        stream, index_root, str(tmp_path / "gram_ckpt"), k=_K
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    survivors = docs.filter("doc_id <> 1")
+    got = _span_set(
+        exact_substr_spans_from_index(
+            survivors,
+            read_gram_index(spark, index_root),
+            k=_K,
+            min_tokens=_MIN,
+        )
+    )
+    want = _span_set(exact_substr_spans(survivors, k=_K, min_tokens=_MIN))
+    assert got == want
+
+
+def test_delete_ids_is_idempotent_and_mergeable(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    delete_ids(spark, root, [3, 1, 2])
+    n_dirs = len(glob.glob(os.path.join(root, "_tombstones", "del_*")))
+    delete_ids(spark, root, [1, 2, 3])  # same set, any order -> same dir
+    assert (
+        len(glob.glob(os.path.join(root, "_tombstones", "del_*"))) == n_dirs
+    )
+    delete_ids(spark, root, [9])  # a later, distinct takedown
+    tomb = read_tombstones(spark, root)
+    assert {r[0] for r in tomb.collect()} == {1, 2, 3, 9}
+    delete_ids(spark, root, [])  # empty request: no-op, no dir
+    assert read_tombstones(spark, root).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# dHash family (image shown; audio rides the same shared worker)
+# ---------------------------------------------------------------------------
+
+_BASE = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 16
+_IMG_DOCS = [
+    (1, _BASE),
+    (2, _BASE[:100] + "X" + _BASE[101:]),  # near-dup of 1
+    (3, "zz entirely different pixel payload content words here " * 16),
+]
+
+
+def _media_df(spark, rows):
+    from data_lake_spark.operators.imagehash import bmp_from_text_col
+
+    return bmp_from_text_col(_docs_df(spark, rows))
+
+
+def _run_dhash_ingest(spark, tmp_path, src):
+    from data_lake_spark.streaming.incremental import (
+        start_dhash_index_ingest,
+    )
+
+    pairs_root = str(tmp_path / "pairs")
+    index_root = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_dhash_index_ingest(
+        stream, pairs_root, index_root, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return pairs_root, index_root
+
+
+def test_dhash_delete_screen_roundtrip(spark, tmp_path):
+    from data_lake_spark.streaming.incremental import (
+        read_dhash_pairs,
+        read_hash_index,
+    )
+
+    src = _write_batches(tmp_path, [_media_df(spark, _IMG_DOCS)])
+    pairs_root, index_root = _run_dhash_ingest(spark, tmp_path, src)
+    pairs = read_dhash_pairs(spark, pairs_root)
+    assert {(r["media_a"], r["media_b"]) for r in pairs.collect()} == {(1, 2)}
+
+    # takedown of image 1: recorded pairs involving it vanish from the
+    # reader, its hash leaves the live index view...
+    delete_ids(spark, index_root, [1], id_col="media_id")
+    delete_ids(spark, pairs_root, [1], id_col="media_id")
+    assert read_dhash_pairs(spark, pairs_root).count() == 0
+    assert {
+        r["media_id"] for r in read_hash_index(spark, index_root).collect()
+    } == {2, 3}
+
+    # ...and a NEW near-dup of the banned image pairs only with the
+    # surviving copy (2), never the deleted one
+    late = _media_df(spark, [(4, _BASE[:200] + "Q" + _BASE[201:])])
+    now = time.time()
+    before = set(glob.glob(str(tmp_path / "src") + "/*.parquet"))
+    late.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+    for f in set(glob.glob(str(tmp_path / "src") + "/*.parquet")) - before:
+        os.utime(f, (now,) * 2)
+    _run_dhash_ingest(spark, tmp_path, str(tmp_path / "src"))
+    got = {
+        (r["media_a"], r["media_b"])
+        for r in read_dhash_pairs(spark, pairs_root).collect()
+    }
+    assert got == {(2, 4)}
+
+
+# ---------------------------------------------------------------------------
+# LSH band family
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_deleted_doc_stops_suppressing(spark, tmp_path):
+    from data_lake_spark.streaming.incremental import start_lsh_dedup_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the plain"
+    )
+
+    def run(batches_sub, ckpt_sub):
+        src = _write_batches(tmp_path, batches_sub, sub="lsh_src")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_lsh_dedup_ingest(
+            stream,
+            str(tmp_path / "accepted"),
+            str(tmp_path / "lsh_index"),
+            str(tmp_path / ckpt_sub),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run([_docs_df(spark, [(1, base)])], "lsh_ckpt")
+    # takedown of doc 1, then a near-copy arrives: without the
+    # tombstone it would be suppressed as a dup of banned content;
+    # with it, the copy is accepted as the new canonical occurrence
+    delete_ids(spark, str(tmp_path / "lsh_index"), [1])
+    run([_docs_df(spark, [(2, base.replace("plain", "coast"))])], "lsh_ckpt")
+    accepted = spark.read.parquet(str(tmp_path / "accepted"))
+    assert 2 in {r["doc_id"] for r in accepted.collect()}
+
+
+# ---------------------------------------------------------------------------
+# IVF codes family
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_delete_roundtrip(spark, tmp_path):
+    from data_lake_spark.streaming.incremental import (
+        read_vector_index,
+        start_ivf_index_ingest,
+    )
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.kmeans import hash_seeds
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    n = emb.count()
+    centroids = hash_seeds(emb, k=4)
+    src = _write_batches(
+        tmp_path,
+        [emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")],
+        sub="ivf_src",
+    )
+    index_root = str(tmp_path / "ivf_index")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ivf_index_ingest(
+        stream, index_root, centroids, str(tmp_path / "ivf_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live0 = read_vector_index(spark, index_root)
+    assert live0.count() == n
+    dead = [r["vec_id"] for r in live0.limit(3).collect()]
+    dead_cells = {
+        r["vec_id"]: r["cell"]
+        for r in live0.filter(F.col("vec_id").isin(dead)).collect()
+    }
+    delete_ids(spark, index_root, dead, id_col="vec_id")
+    live = read_vector_index(spark, index_root)
+    assert live.count() == n - 3
+    assert not {r["vec_id"] for r in live.collect()} & set(dead)
+    # survivors in the deleted vectors' cells are intact
+    for cell in set(dead_cells.values()):
+        want = live0.filter(
+            (F.col("cell") == cell) & ~F.col("vec_id").isin(dead)
+        ).count()
+        assert live.filter(F.col("cell") == cell).count() == want

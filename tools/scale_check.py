@@ -120,6 +120,9 @@ QUERIES = [
     # the K× near-dup families like their decode twins, minus Arrow CPU
     "video_frame_pairs_stored",
     "dedup_videos_keepers_stored",
+    # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
+    # fold + screen join — inverted-index linear like exact_substr
+    "takedown_screen",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
