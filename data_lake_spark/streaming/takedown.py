@@ -111,3 +111,70 @@ def filter_tombstoned(
             F.broadcast(tomb.select(F.col(tomb_id).alias(c))), c, "left_anti"
         )
     return df
+
+
+def rewrite_purged(
+    spark: SparkSession,
+    index_root: str,
+    dest_root: str,
+    id_cols: Sequence[str],
+    partition_by: Sequence[str] = ("batch_id",),
+) -> None:
+    """Physical purge for the row-level index families (dHash/audio
+    hashes, recorded pairs, LSH bands, IVF codes): rewrite the index
+    minus tombstoned rows into ``dest_root``, preserving the batch-dir
+    layout (and any inner partitioning, e.g. IVF's ``cell``), then the
+    caller swaps roots. The gram index purges in place on its
+    compaction schedule (``compact_gram_index``); these indexes purge
+    on THEIR natural rewrite schedule — retrain/re-layout — or on
+    demand with this, the Lucene force-merge analogy. Writing a fresh
+    root (never mutating dirs the ledger still references) keeps the
+    operation crash-safe: a half-finished rewrite is an unreferenced
+    directory, not a corrupted index. Tombstones are NOT copied — the
+    rewritten index has nothing left to screen; new takedowns start a
+    fresh set."""
+    df = spark.read.parquet(index_root)
+    tomb = read_tombstones(spark, index_root, id_cols[0])
+    out = filter_tombstoned(df, tomb, list(id_cols))
+    writer = out.write.mode("overwrite")
+    parts = [c for c in partition_by if c in df.columns]
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(dest_root)
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    table_root: str,
+    key: str,
+    index_roots: Sequence[str],
+    v_from: int,
+    v_to: Optional[int] = None,
+    id_col: Optional[str] = None,
+) -> int:
+    """CDC → takedown bridge: read the change feed between two
+    published versions of a lake table (versioned.version_diff) and
+    tombstone every DELETED key against the given index roots, so a
+    row removed from the table stops matching in every derived
+    dedup/ANN index without anyone hand-listing ids. Update-typed
+    changes are left alone — the content changed but the id lives on;
+    re-indexing updated content is the ingest stream's job.
+
+    The deleted key set is collected to the driver: takedowns are
+    legal-request-sized (the delete_ids contract). A bulk purge of a
+    whole source should rebuild the affected indexes instead — cheaper
+    than a tombstone set the size of the index. Returns the number of
+    deleted ids propagated."""
+    from data_lake_spark.versioned import version_diff
+
+    diff = version_diff(spark, table_root, [key], v_from, v_to)
+    deleted = [
+        r[key]
+        for r in diff.filter(F.col("_change_type") == "delete")
+        .select(key)
+        .distinct()
+        .collect()
+    ]
+    if deleted:
+        delete_ids(spark, index_roots, deleted, id_col or key)
+    return len(deleted)

@@ -401,3 +401,57 @@ def test_ivf_index_delete_roundtrip(spark, tmp_path):
             (F.col("cell") == cell) & ~F.col("vec_id").isin(dead)
         ).count()
         assert live.filter(F.col("cell") == cell).count() == want
+
+
+def test_rewrite_purged_drops_bytes_and_preserves_live_view(spark, tmp_path):
+    from data_lake_spark.streaming.incremental import read_hash_index
+
+    src = _write_batches(tmp_path, [_media_df(spark, _IMG_DOCS)])
+    pairs_root, index_root = _run_dhash_ingest(spark, tmp_path, src)
+    delete_ids(spark, index_root, [1], id_col="media_id")
+    live_before = {
+        r["media_id"] for r in read_hash_index(spark, index_root).collect()
+    }
+
+    from data_lake_spark.streaming.takedown import rewrite_purged
+
+    dest = str(tmp_path / "index_purged")
+    rewrite_purged(spark, index_root, dest, ["media_id"])
+    # the raw rewritten files contain NOTHING of the deleted medium...
+    raw = spark.read.parquet(dest)
+    assert raw.filter("media_id = 1").count() == 0
+    # ...the live view is unchanged, and the batch ledger survives
+    assert {
+        r["media_id"] for r in read_hash_index(spark, dest).collect()
+    } == live_before
+    assert "batch_id" in raw.columns
+    # no tombstones travel: the purged index has nothing left to screen
+    assert read_tombstones(spark, dest) is None
+
+
+def test_propagate_deletes_bridges_cdc_to_tombstones(spark, tmp_path):
+    from data_lake_spark.streaming.incremental import read_gram_index
+    from data_lake_spark.streaming.takedown import propagate_deletes
+    from data_lake_spark.versioned import write_version
+
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(
+        tmp_path, [docs.filter("doc_id <= 2"), docs.filter("doc_id > 2")]
+    )
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+
+    table_root = str(tmp_path / "documents_versioned")
+    v1 = write_version(docs, table_root)
+    v2 = write_version(docs.filter("doc_id <> 1"), table_root)  # takedown
+
+    n = propagate_deletes(
+        spark, table_root, "doc_id", [index_root], v1, v2
+    )
+    assert n == 1
+    tomb = read_tombstones(spark, index_root)
+    assert {r[0] for r in tomb.collect()} == {1}
+    # and the index reader no longer serves doc 1's postings
+    from data_lake_spark.operators.textdedup import _POS_BITS
+
+    idx = read_gram_index(spark, index_root)
+    assert idx.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() == 0
