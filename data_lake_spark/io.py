@@ -133,6 +133,46 @@ def read_json_payload(
     return reader.json(rdd)
 
 
+def fetch_json_payload(
+    spark: SparkSession,
+    url: str,
+    body: Optional[dict] = None,
+    headers: Optional[dict] = None,
+    schema: Optional[T.StructType] = None,
+    transport=None,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """S1, live form: POST ``body`` to ``url`` and land the JSON
+    response as a DataFrame — the ``requests.post`` + ``read.json``
+    step of the reference's bronze ingest
+    (bronze_ingest_streamate_mock.py:28-33) as one call.
+
+    ``transport`` is injectable — ``transport(url, body, headers,
+    timeout) -> str`` — so ingest jobs unit-test against a stub and
+    production swaps in its HTTP client (retries/auth live there, not
+    here). The default transport is stdlib urllib: a driver-side fetch
+    is the right shape for ONE control-plane payload per run (the
+    reference's cadence); bulk HTTP ingest belongs in a source listing
+    + distributed reads, never a driver loop."""
+    if transport is None:
+
+        def transport(u, b, h, t):  # pragma: no cover - needs network
+            import urllib.request
+
+            data = None if b is None else json.dumps(b).encode()
+            req = urllib.request.Request(
+                u,
+                data=data,
+                headers={"Content-Type": "application/json", **(h or {})},
+                method="POST" if data is not None else "GET",
+            )
+            with urllib.request.urlopen(req, timeout=t) as resp:
+                return resp.read().decode("utf-8")
+
+    text = transport(url, body, headers, timeout)
+    return read_json_payload(spark, text, schema)
+
+
 def read_records(
     spark: SparkSession,
     records: list[dict],

@@ -294,3 +294,38 @@ def test_mongo_reader_contract(spark):
             read_mongo_dim(
                 spark, "mongodb://localhost:27017", "db_users", "users"
             )
+
+
+def test_fetch_json_payload_with_injected_transport(spark):
+    # the live-HTTP form of S1: transport is injectable so the ingest
+    # job is testable without network; production swaps in its client
+    from data_lake_spark.io import fetch_json_payload
+
+    calls = {}
+
+    def stub(url, body, headers, timeout):
+        calls.update(url=url, body=body, headers=headers, timeout=timeout)
+        import json as _json
+
+        return _json.dumps(FEED)
+
+    df = fetch_json_payload(
+        spark,
+        "https://api.example.test/earnings",
+        body={"period": "2024-01"},
+        headers={"X-Auth": "token"},
+        schema=STREAMATE_FEED_SCHEMA,
+        transport=stub,
+    )
+    assert calls["url"] == "https://api.example.test/earnings"
+    assert calls["body"] == {"period": "2024-01"}
+    assert calls["headers"]["X-Auth"] == "token"
+    got = {
+        (r.studioId, r.date): r.payableAmount
+        for r in flatten_studio_earnings(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 10.5,
+        (1, "2024-01-02"): 20.0,
+        (2, "2024-01-01"): 7.0,
+    }
