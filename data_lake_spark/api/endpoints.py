@@ -256,8 +256,12 @@ def average_profitability(
         )
         .select(F.lit("Total").alias("transmissionType"), "e_m", "secs")
     )
-    base = users.sparkSession.createDataFrame(
-        [("Toy",), ("Privada",), ("Total",)], ["transmissionType"]
+    from data_lake_spark.functions.localframe import values_df
+
+    base = values_df(
+        users.sparkSession,
+        [("Toy",), ("Privada",), ("Total",)],
+        "transmissionType string",
     )
     amt = micros_to_amount(F.col("e_m"))
     return (
@@ -311,8 +315,12 @@ def total_profit_report(
         .agg(sum_micros(F.coalesce(F.col("total_earnings"), F.lit(0.0))).alias("m"))
         .select(F.lit("Total").alias("transmissionType"), "m")
     )
-    base = users.sparkSession.createDataFrame(
-        [("Toy",), ("Privada",), ("Total",)], ["transmissionType"]
+    from data_lake_spark.functions.localframe import values_df
+
+    base = values_df(
+        users.sparkSession,
+        [("Toy",), ("Privada",), ("Total",)],
+        "transmissionType string",
     )
     # broadcast the aggregate (right/build) side — a hint on the
     # preserved side of a left join is silently dropped by Spark
@@ -374,8 +382,12 @@ def profit_avg(
         .agg(sum_micros(F.coalesce(F.col("payableamount"), F.lit(0.0))).alias("m"))
         .select(F.lit("Otros").alias("transmissionType"), "m")
     )
-    base = users.sparkSession.createDataFrame(
-        [("Toy",), ("Privada",), ("Otros",)], ["transmissionType"]
+    from data_lake_spark.functions.localframe import values_df
+
+    base = values_df(
+        users.sparkSession,
+        [("Toy",), ("Privada",), ("Otros",)],
+        "transmissionType string",
     )
     # broadcast the aggregate (right/build) side — a hint on the
     # preserved side of a left join is silently dropped by Spark

@@ -74,9 +74,9 @@ def _driver_union_find(
     if not mapping:
         return out.withColumn("cluster_id", F.col("node"))
     schema = out.schema["node"].dataType.simpleString()
-    map_df = spark.createDataFrame(
-        mapping, f"node {schema}, __cid {schema}"
-    )
+    from data_lake_spark.functions.localframe import values_df
+
+    map_df = values_df(spark, mapping, f"node {schema}, __cid {schema}")
     return (
         out.join(F.broadcast(map_df), "node", "left")
         .select(

@@ -72,7 +72,9 @@ def global_row_number(
         offsets.append((pid, acc))
         acc += n
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    from data_lake_spark.functions.localframe import values_df
+
+    off_df = values_df(spark, offsets, f"{_PID} int, {_OFF} long")
     return (
         d.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, (F.col(_LRN) + F.col(_OFF)).cast("long"))

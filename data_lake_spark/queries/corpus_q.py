@@ -220,9 +220,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+    from data_lake_spark.functions.localframe import values_df
+
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "rank long, a string, b string, merged string"
+    return values_df(
+        spark, rows, "rank long, a string, b string, merged string"
     ).orderBy("rank")
 
 

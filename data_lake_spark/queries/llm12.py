@@ -213,8 +213,10 @@ def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tf")
         .agg(F.count(F.lit(1)).alias("n_types"))
     )
-    cuts = docs.sparkSession.createDataFrame(
-        [(c,) for c in _DF_CUTS], "min_tf long"
+    from data_lake_spark.functions.localframe import values_df
+
+    cuts = values_df(
+        docs.sparkSession, [(c,) for c in _DF_CUTS], "min_tf long"
     )
     # tf-histogram frame (one row per distinct frequency — far smaller
     # than the vocabulary) against the 6-row cut dim

@@ -342,7 +342,11 @@ def q_literal_dim_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 literal-dim driver + U2 inline VALUES + A10 COALESCE'd aggregate
     (reference totalProfitReport.py:81-97: 3-row dim LEFT JOIN aggregated
     subquery guarantees one row per category even when empty)."""
-    base = spark.createDataFrame([("O",), ("F",), ("Total",)], ["category"])
+    from data_lake_spark.functions.localframe import values_df
+
+    base = values_df(
+        spark, [("O",), ("F",), ("Total",)], "category string"
+    )
     li = _lineitem_dated(spark, sf_dir).filter(
         F.col("l_date").between("1997-01-01", "1997-03-31")
     )

@@ -101,15 +101,12 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = fit_linear_probe(_features(docs))
     # literal VALUES, not createDataFrame: a 4-row createDataFrame runs
     # a parallelize job through Python workers (~0.7 s of the r8 bench
-    # excursion); repr() is shortest-round-trip so the doubles parse
-    # back bit-identical
-    rows = ", ".join(
-        f"('{f}', CAST({wj!r} AS DOUBLE))" for f, wj in zip(_FEATURES, w)
-    )
-    return spark.sql(
-        f"SELECT col1 AS feature, col2 AS weight FROM (VALUES {rows}) "
-        "ORDER BY feature"
-    )
+    # excursion); repr() doubles parse back bit-identical
+    from data_lake_spark.functions.localframe import values_df
+
+    return values_df(
+        spark, list(zip(_FEATURES, w)), "feature string, weight double"
+    ).orderBy("feature")
 
 
 def _sql_feats() -> str:
