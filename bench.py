@@ -251,6 +251,8 @@ HEADLINE = [
     # to see what decode-once-at-ingest buys
     "video_frame_pairs_stored",
     "dedup_videos_keepers_stored",
+    "image_dhash_pairs_stored",
+    "audio_fp_pairs_stored",
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",

@@ -258,6 +258,7 @@ def hamming_pairs(
     n_bands: int = 8,
     max_bucket: int = 64,
     hash_col: str = "dhash",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-duplicate media pairs from a 64-bit hash frame: 8-bit band
     inverted index (8 bands over 64 bits ⇒ exhaustive for Hamming ≤ 7),
@@ -281,7 +282,13 @@ def hamming_pairs(
     # pass — without the checkpoint the per-image Python work runs 3×
     # (the dedup_clusters localCheckpoint precedent). The frame is
     # (id, hash): two longs per image, tiny relative to the images.
-    h = hashes.filter(F.col("dhash").isNotNull()).localCheckpoint()
+    # Callers whose hash frame is ALREADY at rest (the *_pairs_stored
+    # artifact readers) pass checkpoint=False: re-reading two pruned
+    # parquet columns costs less than a materialization, and the plan
+    # stays transparent for the zero-decode census tests.
+    h = hashes.filter(F.col("dhash").isNotNull())
+    if checkpoint:
+        h = h.localCheckpoint()
     bands = band_rows(h, n_bands)
     # hot-bucket cap: count per (band, band_val), keep human-sized buckets
     sized = bands.join(

@@ -152,6 +152,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "video_frame_pairs_stored",
     "dedup_videos_keepers_stored",
     "takedown_screen",
+    "image_dhash_pairs_stored",
+    "audio_fp_pairs_stored",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

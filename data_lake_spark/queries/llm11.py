@@ -501,3 +501,60 @@ REGISTRY["image_dhash_pairs"] = QuerySpec(
     "fully oracle-paired (the synthesis is deterministic from text, so "
     "SQL recomputes the dHash definition; container decode pytest-pinned)",
 )
+
+
+# ---------------------------------------------------------------------------
+# image_dhash_pairs_stored — the image family served from a persisted
+# hash index (the video_frame_pairs_stored argument, one modality down)
+# ---------------------------------------------------------------------------
+
+
+def stored_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lake_spark.artifacts import stored_artifact
+    from data_lake_spark.operators.imagehash import (
+        bmp_from_text_col,
+        dhash_table,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return dhash_table(bmp_from_text_col(docs)).filter(
+            F.col("dhash").isNotNull()
+        )
+
+    # version "1" = the 16x16 Rec.601 + 8x9-cell dHash definition
+    return stored_artifact(
+        spark, sf_dir, "image_dhash", ["documents"], build, version="1"
+    )
+
+
+def q_image_dhash_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs served from the persisted (media_id, dhash)
+    index: the Arrow decode ran once at ingest (the streaming twin is
+    start_dhash_index_ingest's at-rest format); every screen after that
+    is pure JVM banding + refine — zero decode stages in-plan, same
+    oracle verbatim."""
+    from data_lake_spark.operators.imagehash import hamming_pairs
+
+    pairs = hamming_pairs(
+        stored_image_hashes(spark, sf_dir), max_hamming=6, checkpoint=False
+    )
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+REGISTRY["image_dhash_pairs_stored"] = QuerySpec(
+    q_image_dhash_pairs_stored,
+    ORACLE_IMAGE_DHASH_PAIRS,
+    "image near-dup pairs served from the PERSISTED dHash index: pure "
+    "JVM banding + refine, zero Arrow decode stages in-plan (the "
+    "stored-artifact serving twin of image_dhash_pairs, same oracle "
+    "verbatim)",
+)

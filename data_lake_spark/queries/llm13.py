@@ -800,3 +800,60 @@ REGISTRY["dup_rate_by_source"] = QuerySpec(
     "docs / floored micro dup-rate — the what-will-dedup-buy audit, "
     "one scan + one map-side-combinable (source, hash) aggregate",
 )
+
+
+# ---------------------------------------------------------------------------
+# audio_fp_pairs_stored — the audio family served from a persisted
+# fingerprint index (the image/video stored-twin argument)
+# ---------------------------------------------------------------------------
+
+
+def stored_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lake_spark.artifacts import stored_artifact
+    from data_lake_spark.operators.audiofp import (
+        audiofp_table,
+        wav_from_text_col,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return (
+            audiofp_table(wav_from_text_col(docs))
+            .withColumnRenamed("afp", "dhash")
+            .filter(F.col("dhash").isNotNull())
+        )
+
+    # version "1" = the 65-window envelope-difference fingerprint
+    return stored_artifact(
+        spark, sf_dir, "audio_fp", ["documents"], build, version="1"
+    )
+
+
+def q_audio_fp_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs served from the persisted (media_id,
+    fingerprint) index — the stored-artifact serving twin of
+    q_audio_fp_pairs, zero decode stages in-plan, same oracle."""
+    from data_lake_spark.operators.imagehash import hamming_pairs
+
+    pairs = hamming_pairs(
+        stored_audio_fps(spark, sf_dir), max_hamming=6, checkpoint=False
+    )
+    return (
+        pairs.groupBy("media_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("media_b").alias("first_dup"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("media_a")
+    )
+
+
+REGISTRY["audio_fp_pairs_stored"] = QuerySpec(
+    q_audio_fp_pairs_stored,
+    ORACLE_AUDIO_FP_PAIRS,
+    "audio near-dup pairs served from the PERSISTED fingerprint index: "
+    "pure JVM banding + refine, zero Arrow decode stages in-plan (the "
+    "stored-artifact serving twin of audio_fp_pairs, same oracle "
+    "verbatim)",
+)

@@ -332,6 +332,11 @@ _SHUFFLE_BUDGET = {
     # gram pass + per-(h,doc) posting agg, the tombstone-subtracted
     # fold (h), and the survivors' screen join share the h key space
     "takedown_screen": 3,
+    # banding + refine over the persisted hash parquet (no checkpoint,
+    # no decode): bucket census, band self-join, candidate distinct,
+    # rollup — the image_dhash_pairs exchange set minus the Arrow pass
+    "image_dhash_pairs_stored": 4,
+    "audio_fp_pairs_stored": 4,
 }
 
 
@@ -514,6 +519,18 @@ def test_video_stored_twins_zero_decode_stages(spark, sf_dir):
     keep = _plan(spark, sf_dir, "dedup_videos_keepers_stored")
     for marker in ("MapInPandas", "ArrowEval", "BatchEvalPython"):
         assert marker not in keep, (marker, keep)
+
+    # image/audio stored twins: fully transparent plans — artifact
+    # parquet scans only, no Python stage, no checkpoint RDD
+    for name, artifact in (
+        ("image_dhash_pairs_stored", "image_dhash_"),
+        ("audio_fp_pairs_stored", "audio_fp_"),
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert artifact in p, (name, p)
+        for marker in ("MapInPandas", "ArrowEval", "BatchEvalPython",
+                       "ExistingRDD"):
+            assert marker not in p, (name, marker)
 
 
 def test_events_normalization_session_tz_independent(spark, sf_dir):

@@ -120,6 +120,8 @@ QUERIES = [
     # the K× near-dup families like their decode twins, minus Arrow CPU
     "video_frame_pairs_stored",
     "dedup_videos_keepers_stored",
+    "image_dhash_pairs_stored",
+    "audio_fp_pairs_stored",
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
