@@ -253,6 +253,8 @@ HEADLINE = [
     "dedup_videos_keepers_stored",
     "image_dhash_pairs_stored",
     "audio_fp_pairs_stored",
+    "dedup_images_keepers_stored",
+    "dedup_audio_keepers_stored",
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",

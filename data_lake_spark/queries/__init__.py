@@ -154,6 +154,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "takedown_screen",
     "image_dhash_pairs_stored",
     "audio_fp_pairs_stored",
+    "dedup_images_keepers_stored",
+    "dedup_audio_keepers_stored",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

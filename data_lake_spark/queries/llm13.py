@@ -857,3 +857,60 @@ REGISTRY["audio_fp_pairs_stored"] = QuerySpec(
     "stored-artifact serving twin of audio_fp_pairs, same oracle "
     "verbatim)",
 )
+
+
+def q_dedup_images_keepers_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The image dedup DECISION served from the persisted dHash index
+    (the dedup_videos_keepers_stored argument, one modality down):
+    banding + refine + connected components over the at-rest hashes,
+    zero decode stages. Node set from the corpus ids, so undecodable
+    media survive as their own keepers."""
+    from data_lake_spark.operators.imagehash import hamming_pairs
+    from data_lake_spark.operators.videofp import keepers_from_pairs
+    from data_lake_spark.queries.llm11 import stored_image_hashes
+
+    pairs = hamming_pairs(
+        stored_image_hashes(spark, sf_dir), max_hamming=6, checkpoint=False
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    return keepers_from_pairs(nodes, pairs).orderBy("media_id")
+
+
+def q_dedup_audio_keepers_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audio dedup DECISION served from the persisted fingerprint
+    index — same shape, same recursive-closure oracle verbatim."""
+    from data_lake_spark.operators.imagehash import hamming_pairs
+    from data_lake_spark.operators.videofp import keepers_from_pairs
+
+    pairs = hamming_pairs(
+        stored_audio_fps(spark, sf_dir), max_hamming=6, checkpoint=False
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    return keepers_from_pairs(nodes, pairs).orderBy("media_id")
+
+
+REGISTRY["dedup_images_keepers_stored"] = QuerySpec(
+    q_dedup_images_keepers_stored,
+    _img_keepers_oracle(),
+    "image dedup keeper assignment served from the persisted dHash "
+    "index: banding + refine + connected components, zero decode "
+    "stages (the serving twin of dedup_images_keepers, same "
+    "recursive-closure oracle verbatim)",
+)
+
+REGISTRY["dedup_audio_keepers_stored"] = QuerySpec(
+    q_dedup_audio_keepers_stored,
+    f"WITH RECURSIVE {AUD_PAIR_CORE_SQL}{_CC_TAIL_SQL}",
+    "audio dedup keeper assignment served from the persisted "
+    "fingerprint index: banding + refine + connected components, zero "
+    "decode stages (the serving twin of dedup_audio_keepers, same "
+    "recursive-closure oracle verbatim)",
+)

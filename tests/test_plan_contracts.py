@@ -337,6 +337,10 @@ _SHUFFLE_BUDGET = {
     # rollup — the image_dhash_pairs exchange set minus the Arrow pass
     "image_dhash_pairs_stored": 4,
     "audio_fp_pairs_stored": 4,
+    # keeper stored twins: connected components materializes its
+    # rounds internally; the visible final stage is the projection
+    "dedup_images_keepers_stored": 0,
+    "dedup_audio_keepers_stored": 0,
 }
 
 

@@ -122,6 +122,8 @@ QUERIES = [
     "dedup_videos_keepers_stored",
     "image_dhash_pairs_stored",
     "audio_fp_pairs_stored",
+    "dedup_images_keepers_stored",
+    "dedup_audio_keepers_stored",
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
