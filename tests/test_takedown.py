@@ -455,3 +455,64 @@ def test_propagate_deletes_bridges_cdc_to_tombstones(spark, tmp_path):
 
     idx = read_gram_index(spark, index_root)
     assert idx.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# video gram (recut-clip) family
+# ---------------------------------------------------------------------------
+
+
+def test_video_gram_takedown_unmarks_the_recut_clip(spark, tmp_path):
+    # Video 2 is a recut of video 1 (frames 1..3 at offset 0). Take
+    # video 1 down: its frame grams leave the index, video 2's run has
+    # no surviving other occurrence, and the recut span VANISHES —
+    # screening over frame tokens honors deletes exactly like text.
+    from data_lake_spark.operators.textdedup import (
+        exact_substr_spans_from_index,
+    )
+    from data_lake_spark.operators.videofp import (
+        avi_from_text_col,
+        frame_token_docs,
+    )
+    from data_lake_spark.streaming.incremental import (
+        read_gram_index,
+        start_video_gram_ingest,
+    )
+
+    total = 4 * 768
+    base = ("source reel lorem ipsum frame payload words " * 80)[:total]
+    clip = base[768:total] + ("zz fresh tail content " * 60)[:768]
+    other = ("unrelated clip body " * 80)[:total]
+    docs = spark.createDataFrame(
+        [(1, base), (2, clip), (3, other)], "doc_id long, text string"
+    )
+    media = avi_from_text_col(docs)
+    src = _write_batches(tmp_path, [media], sub="vsrc")
+    index_root = str(tmp_path / "vgrams")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_video_gram_ingest(stream, index_root, str(tmp_path / "vckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def spans():
+        tok = frame_token_docs(media.filter("media_id <> 1"))
+        return exact_substr_spans_from_index(
+            tok, read_gram_index(spark, index_root), k=2, min_tokens=2
+        ).count()
+
+    # before: the recut span exists (vs all history incl. video 1)
+    tok_all = frame_token_docs(media)
+    assert (
+        exact_substr_spans_from_index(
+            tok_all, read_gram_index(spark, index_root), k=2, min_tokens=2
+        ).count()
+        == 1
+    )
+    delete_ids(spark, index_root, [1], id_col="doc_id")
+    assert spans() == 0  # the banned source is gone; nothing left to match
