@@ -59,15 +59,22 @@ def values_df(
         fields.append((name, typ))
     if not rows:
         return spark.createDataFrame([], ddl)
-    rendered = []
+    # a filtered-out all-NULL sentinel row keeps every column NULLABLE,
+    # matching createDataFrame's schema exactly (all-literal VALUES
+    # would otherwise infer non-nullable columns and break schema
+    # comparisons downstream)
+    nulls = ", ".join(f"CAST(NULL AS {typ})" for _, typ in fields)
+    rendered = [f"(0, {nulls})"]
     for row in rows:
         if len(row) != len(fields):
             raise ValueError(f"row width {len(row)} != ddl width {len(fields)}")
         cells = ", ".join(
             _render(v, typ) for v, (_, typ) in zip(row, fields)
         )
-        rendered.append(f"({cells})")
+        rendered.append(f"(1, {cells})")
     cols = ", ".join(
-        f"col{i + 1} AS {name}" for i, (name, _) in enumerate(fields)
+        f"col{i + 2} AS {name}" for i, (name, _) in enumerate(fields)
     )
-    return spark.sql(f"SELECT {cols} FROM (VALUES {', '.join(rendered)})")
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {', '.join(rendered)}) WHERE col1 = 1"
+    )

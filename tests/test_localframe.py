@@ -56,3 +56,51 @@ def test_empty_and_errors(spark):
         values_df(spark, [(1, 2)], "a long")
     with pytest.raises(TypeError):
         values_df(spark, [([1],)], "a long")
+
+
+def test_property_values_df_equals_createdataframe(spark):
+    # hypothesis: for arbitrary scalar rows, values_df and
+    # createDataFrame agree on schema and values (incl. NULLs, quotes,
+    # backslashes, unicode, extreme doubles)
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_lake_spark.functions.localframe import values_df
+
+    cell_s = st.one_of(st.none(), st.text(max_size=12))
+    cell_l = st.one_of(
+        st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    )
+    cell_d = st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    rows = st.lists(st.tuples(cell_l, cell_s, cell_d), min_size=1, max_size=6)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows)
+    def check(rows):
+        ddl = "a long, b string, c double"
+        got = values_df(spark, rows, ddl)
+        want = spark.createDataFrame(rows, ddl)
+        assert got.schema == want.schema
+        import struct as _s
+
+        def canon(rs):
+            out = []
+            for r in rs:
+                c = r[2]
+                out.append(
+                    (r[0], r[1], None if c is None else _s.pack("<d", c))
+                )
+            return sorted(out, key=str)
+
+        assert canon(map(tuple, got.collect())) == canon(
+            map(tuple, want.collect())
+        )
+
+    check()
