@@ -255,6 +255,8 @@ HEADLINE = [
     "audio_fp_pairs_stored",
     "dedup_images_keepers_stored",
     "dedup_audio_keepers_stored",
+    # NFC hygiene audit: Arrow-batched normalization pass + lang agg
+    "unicode_nfc_audit",
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",

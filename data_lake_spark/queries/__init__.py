@@ -156,6 +156,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "audio_fp_pairs_stored",
     "dedup_images_keepers_stored",
     "dedup_audio_keepers_stored",
+    "unicode_nfc_audit",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

@@ -558,3 +558,93 @@ REGISTRY["image_dhash_pairs_stored"] = QuerySpec(
     "stored-artifact serving twin of image_dhash_pairs, same oracle "
     "verbatim)",
 )
+
+
+# ---------------------------------------------------------------------------
+# unicode_nfc_audit — normalization-form hygiene before dedup/hashing
+# ---------------------------------------------------------------------------
+#
+# Composed vs decomposed Unicode ('café' as U+00E9 vs 'e'+U+0301) makes
+# byte-identical-looking text hash differently, silently defeating
+# exact dedup, gram indexes, and MinHash. The audit measures, per
+# language: how many documents NFC changes, and the codepoint delta —
+# the go/no-go read before running normalization at bronze→silver.
+# The synthetic corpus is pure ASCII, so (the pii_scan salt
+# convention) deterministic non-ASCII suffixes are planted from
+# doc_id: every third doc gets DECOMPOSED marks (NFC changes it),
+# every third gets the COMPOSED forms (NFC is a no-op on it), the
+# rest stay ASCII — all three regimes cross-engine-checked rather
+# than vacuously zero.
+
+_NFC_DECOMP = " café Ångström"  # e+acute, A+ring, o+diaeresis
+_NFC_COMP = " café Ångström"  # the same text, precomposed
+
+
+def q_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language NFC audit: docs changed by normalization, codepoint
+    counts before/after, changed micro-share. One Arrow-batched NFC
+    pass (no JVM builtin exists — the honest-Python-stage argument of
+    the media decodes) + one lang-sized aggregate."""
+    from data_lake_spark.operators.textnorm import nfc_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(_NFC_DECOMP))
+            .when(F.col("doc_id") % 3 == 2, F.lit(_NFC_COMP))
+            .otherwise(F.lit("")),
+        ).alias("salted"),
+    )
+    normed = docs.withColumn("nfc", nfc_col(F.col("salted")))
+    return (
+        normed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("nfc") != F.col("salted"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_changed"),
+            F.sum(F.length("salted")).cast("long").alias("cp_before"),
+            F.sum(F.length("nfc")).cast("long").alias("cp_after"),
+        )
+        .withColumn(
+            "changed_micro",
+            F.expr(micro_share_sql("docs_changed", "n_docs")),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_UNICODE_NFC_AUDIT = f"""
+WITH salted AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 3 = 1 THEN ' café Ångström'
+                      WHEN doc_id % 3 = 2 THEN ' café Ångström'
+                      ELSE '' END AS salted
+  FROM documents
+),
+normed AS (
+  SELECT lang, salted, NFC_NORMALIZE(salted) AS nfc FROM salted
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nfc <> salted THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_changed,
+       CAST(SUM(LENGTH(salted)) AS BIGINT) AS cp_before,
+       CAST(SUM(LENGTH(nfc)) AS BIGINT) AS cp_after,
+       CAST({oracle_micro_share_sql("SUM(CASE WHEN nfc <> salted THEN 1 ELSE 0 END)", "COUNT(*)")} AS BIGINT)
+         AS changed_micro
+FROM normed GROUP BY lang ORDER BY lang
+"""
+
+REGISTRY["unicode_nfc_audit"] = QuerySpec(
+    q_unicode_nfc_audit,
+    ORACLE_UNICODE_NFC_AUDIT,
+    "Unicode NFC hygiene audit: per-language docs changed by "
+    "normalization + codepoint deltas — Arrow-batched NFC pass "
+    "(Python unicodedata vs DuckDB nfc_normalize, both Unicode NFC) "
+    "+ one lang aggregate; the read before normalizing at "
+    "bronze->silver so composed/decomposed twins stop defeating dedup",
+)

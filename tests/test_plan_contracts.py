@@ -341,6 +341,8 @@ _SHUFFLE_BUDGET = {
     # rounds internally; the visible final stage is the projection
     "dedup_images_keepers_stored": 0,
     "dedup_audio_keepers_stored": 0,
+    # one Arrow NFC pass + one lang-sized aggregate
+    "unicode_nfc_audit": 1,
 }
 
 

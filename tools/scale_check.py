@@ -124,6 +124,7 @@ QUERIES = [
     "audio_fp_pairs_stored",
     "dedup_images_keepers_stored",
     "dedup_audio_keepers_stored",
+    "unicode_nfc_audit",  # one Arrow NFC pass + lang agg: scan-linear
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
