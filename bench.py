@@ -257,6 +257,8 @@ HEADLINE = [
     "dedup_audio_keepers_stored",
     # NFC hygiene audit: Arrow-batched normalization pass + lang agg
     "unicode_nfc_audit",
+    # reliability diagram: one binned pass, can-scores-be-probabilities
+    "calibration_bins",
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",

@@ -305,3 +305,109 @@ REGISTRY["lang_confusion"] = QuerySpec(
     "confusion matrix of the heuristic language classifier vs gold "
     "labels with integer-exact per-cell precision/recall micro-shares",
 )
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins — the reliability diagram for the linear probe
+# ---------------------------------------------------------------------------
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) table for the integer linear
+    quality model: per score bin — population, empirical positive rate
+    (floored micro-share), mean model score (milli), the score mapped
+    to a predicted micro-probability (score / 4024, the model's max),
+    and the |gap| between predicted and empirical. Well-calibrated
+    bins have small gaps; classifier_eval picks the operating point,
+    THIS says whether the scores can be trusted as probabilities
+    (temperature-scale / recalibrate before using them as sampling
+    weights if not).
+
+    Same one-pass shape as classifier_eval: map-only features + one
+    map-side-combinable groupBy(bin) over ≤17 bins. Integer exactness:
+    avg_score_milli = sum_score·10³ div n is int64-safe to n ~2.3e12
+    docs per bin (sum_score ≤ 4024·n), and the milli→micro predicted
+    mapping divides AFTER the per-bin average so no term ever exceeds
+    4.024e9."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).select(
+        "pos",
+        F.expr(
+            "3 * (1000 * n_uniq div n_tok) + 2 * least(n_tok, 512)"
+        ).alias("score"),
+    )
+    b = (
+        feats.withColumn("bin", F.expr(f"score div {_BIN}"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+    )
+    return (
+        b.withColumn(
+            "pos_rate_micro", F.expr(micro_share_sql("n_pos", "n"))
+        )
+        .withColumn(
+            "avg_score_milli", F.expr("(sum_score * 1000) div n")
+        )
+        .withColumn(
+            "pred_micro", F.expr("(avg_score_milli * 1000) div 4024")
+        )
+        .withColumn(
+            "gap_micro", F.expr("abs(pred_micro - pos_rate_micro)")
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "pos_rate_micro",
+            "avg_score_milli",
+            "pred_micro",
+            "gap_micro",
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_CALIBRATION_BINS = f"""
+WITH feats AS (
+  SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+         3 * (1000 * LEN(ARRAY_DISTINCT(STRING_SPLIT(text, ' ')))
+              // LEN(STRING_SPLIT(text, ' ')))
+           + 2 * LEAST(LEN(STRING_SPLIT(text, ' ')), 512) AS score
+  FROM documents
+),
+b AS (
+  SELECT score // {_BIN} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(score) AS BIGINT) AS sum_score
+  FROM feats GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       CAST({oracle_micro_share_sql("n_pos", "n")} AS BIGINT)
+         AS pos_rate_micro,
+       CAST((sum_score * 1000) // n AS BIGINT) AS avg_score_milli,
+       CAST(((sum_score * 1000) // n * 1000) // 4024 AS BIGINT)
+         AS pred_micro,
+       CAST(ABS(((sum_score * 1000) // n * 1000) // 4024
+                - ({oracle_micro_share_sql("n_pos", "n")})) AS BIGINT)
+         AS gap_micro
+FROM b ORDER BY bin
+"""
+
+REGISTRY["calibration_bins"] = QuerySpec(
+    q_calibration_bins,
+    ORACLE_CALIBRATION_BINS,
+    "classifier calibration (reliability diagram): per score bin, "
+    "empirical positive rate vs the score as a predicted probability, "
+    "|gap| — one corpus pass into a <=17-row bin frame, all integer "
+    "micro-arithmetic (the classifier_eval histogram shape)",
+)

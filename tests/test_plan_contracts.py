@@ -343,6 +343,8 @@ _SHUFFLE_BUDGET = {
     "dedup_audio_keepers_stored": 0,
     # one Arrow NFC pass + one lang-sized aggregate
     "unicode_nfc_audit": 1,
+    # one map-only feature projection + one groupBy(bin) over <=17 bins
+    "calibration_bins": 1,
 }
 
 

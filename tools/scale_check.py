@@ -125,6 +125,7 @@ QUERIES = [
     "dedup_images_keepers_stored",
     "dedup_audio_keepers_stored",
     "unicode_nfc_audit",  # one Arrow NFC pass + lang agg: scan-linear
+    "calibration_bins",  # one binned agg pass: scan-linear
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
