@@ -259,6 +259,9 @@ HEADLINE = [
     "unicode_nfc_audit",
     # reliability diagram: one binned pass, can-scores-be-probabilities
     "calibration_bins",
+    # text near-dup served from the persisted signature table —
+    # compare against minhash_lsh for the signature-table-as-artifact
+    "minhash_pairs_stored",
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",

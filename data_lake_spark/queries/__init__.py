@@ -158,6 +158,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_audio_keepers_stored",
     "unicode_nfc_audit",
     "calibration_bins",
+    "minhash_pairs_stored",
     # (b) the 34 r05-stale rows displaced by the round-8 rotation —
     # oldest verdicts in the registry, CORRECTNESS_r05 window order
     "interval_overlap",

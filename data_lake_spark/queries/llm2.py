@@ -689,3 +689,54 @@ REGISTRY["ivf_balance"] = QuerySpec(
     "IVF inverted-list occupancy audit: per-cell share and load factor "
     "vs perfect balance (the ANN hot-cell twin of skew_report)",
 )
+
+
+# ---------------------------------------------------------------------------
+# minhash_pairs_stored — text near-dup served from a persisted
+# signature table (completes decode-once/serve-forever across text,
+# image, audio, and video)
+# ---------------------------------------------------------------------------
+
+
+def stored_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lake_spark.artifacts import stored_artifact
+    from data_lake_spark.operators.textdedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_signatures(shingles(docs, 3), 8)
+
+    # version "1" = md5('i:'||shingle) 8-hash family over 3-shingles
+    return stored_artifact(
+        spark, sf_dir, "minhash_sigs", ["documents"], build, version="1"
+    )
+
+
+def q_minhash_pairs_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from the PERSISTED signature table: banding
+    is a map-only projection of the stored (doc_id, sig0..sig7) rows
+    and the candidate join is the usual (band_idx, band_hash)
+    inverted index — the shingle explosion + signature aggregation
+    (the expensive part of minhash_lsh, and exactly what the streaming
+    ingest start_lsh_dedup_ingest persists incrementally) never run at
+    serving time. Same oracle as minhash_lsh verbatim."""
+    from data_lake_spark.operators.textdedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+    )
+
+    bands = lsh_bands(stored_minhash_sigs(spark, sf_dir), 2)
+    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+REGISTRY["minhash_pairs_stored"] = QuerySpec(
+    q_minhash_pairs_stored,
+    ORACLE_MINHASH_LSH,
+    "MinHash near-dup candidates served from the PERSISTED signature "
+    "table: map-only banding + the band inverted-index join, zero "
+    "shingle/signature stages in-plan (the stored-artifact serving "
+    "twin of minhash_lsh, same oracle verbatim)",
+)

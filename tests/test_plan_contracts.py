@@ -345,6 +345,9 @@ _SHUFFLE_BUDGET = {
     "unicode_nfc_audit": 1,
     # one map-only feature projection + one groupBy(bin) over <=17 bins
     "calibration_bins": 1,
+    # map-only banding over the stored signature parquet + the band
+    # self-join's pair groupBy (zero shingle/signature stages)
+    "minhash_pairs_stored": 1,
 }
 
 
@@ -528,11 +531,12 @@ def test_video_stored_twins_zero_decode_stages(spark, sf_dir):
     for marker in ("MapInPandas", "ArrowEval", "BatchEvalPython"):
         assert marker not in keep, (marker, keep)
 
-    # image/audio stored twins: fully transparent plans — artifact
+    # image/audio/text stored twins: fully transparent plans — artifact
     # parquet scans only, no Python stage, no checkpoint RDD
     for name, artifact in (
         ("image_dhash_pairs_stored", "image_dhash_"),
         ("audio_fp_pairs_stored", "audio_fp_"),
+        ("minhash_pairs_stored", "minhash_sigs_"),
     ):
         p = _plan(spark, sf_dir, name)
         assert artifact in p, (name, p)

@@ -126,6 +126,9 @@ QUERIES = [
     "dedup_audio_keepers_stored",
     "unicode_nfc_audit",  # one Arrow NFC pass + lang agg: scan-linear
     "calibration_bins",  # one binned agg pass: scan-linear
+    # stored-signature serving: map-only banding + band join; candidate
+    # OUTPUT grows with the Kx near-dup families like minhash_lsh
+    "minhash_pairs_stored",
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
