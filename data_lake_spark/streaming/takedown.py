@@ -37,6 +37,27 @@ entries already.
 At 100 TB: tombstone sets stay tiny (thousands of ids), so every
 filter is a broadcast anti-join appended to an existing scan — no new
 shuffle anywhere.
+
+**Two-lane coherence contract.** Deletion reaches derived state by two
+different mechanisms, on purpose:
+
+- *Incremental (batch-ledger) indexes* — gram postings, LSH bands,
+  dHash/audio hashes, IVF codes — cannot be rewritten cheaply (their
+  per-batch dirs are the replay ledger), so they take TOMBSTONES:
+  effective immediately at read, purged physically at compaction /
+  rewrite.
+- *Fingerprint-keyed serving artifacts* (``artifacts.stored_artifact``
+  — PCA component, BPE vocab, stored hash/signature tables) derive
+  from TABLES, and their path digests the table bytes: a takedown
+  becomes effective there through the table rewrite itself
+  (``versioned.apply_changes`` / compaction) — new fingerprint ⇒ the
+  next serving call rebuilds without the deleted rows, no tombstone
+  needed. The deleted content keeps serving from the OLD artifact only
+  until the table rewrite lands, which is exactly the window the
+  tombstoned incremental indexes cover (they answer "is this a dup of
+  deleted content" queries immediately).
+
+tests/test_takedown.py pins both lanes end to end.
 """
 
 from __future__ import annotations

@@ -516,3 +516,39 @@ def test_video_gram_takedown_unmarks_the_recut_clip(spark, tmp_path):
     )
     delete_ids(spark, index_root, [1], id_col="doc_id")
     assert spans() == 0  # the banned source is gone; nothing left to match
+
+
+# ---------------------------------------------------------------------------
+# the artifact lane: takedown reaches stored serving state through the
+# table rewrite -> fingerprint change -> rebuild (no tombstone needed)
+# ---------------------------------------------------------------------------
+
+
+def test_table_rewrite_propagates_takedown_to_stored_artifacts(
+    spark, tmp_path, monkeypatch
+):
+    import shutil as _sh
+
+    from data_lake_spark.queries.llm11 import stored_image_hashes
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "store"))
+    sf_dir = str(tmp_path / "sf")
+    docs = _docs_df(
+        spark, [(i, f"doc body {i} " + "lorem ipsum " * 80) for i in range(6)]
+    )
+    docs.write.parquet(sf_dir + "/documents.parquet")
+
+    before = stored_image_hashes(spark, sf_dir)
+    assert {r["media_id"] for r in before.collect()} == set(range(6))
+
+    # the takedown lands in the TABLE (CDC delete -> rewrite): the
+    # artifact fingerprint changes, so the next serving call rebuilds
+    # from the survivors — doc 3's hash is gone without any tombstone
+    survivors = spark.read.parquet(sf_dir + "/documents.parquet").filter(
+        "doc_id <> 3"
+    ).localCheckpoint()
+    _sh.rmtree(sf_dir + "/documents.parquet")
+    survivors.write.parquet(sf_dir + "/documents.parquet")
+
+    after = stored_image_hashes(spark, sf_dir)
+    assert {r["media_id"] for r in after.collect()} == {0, 1, 2, 4, 5}
