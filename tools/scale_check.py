@@ -361,6 +361,15 @@ def main() -> None:
                 "central_keeper (CC + PageRank on the LSH edge set) stays\n"
                 "sub-linear because both graph passes are joins against the\n"
                 "sparse candidate edges, never the document pair space.\n\n"
+                "The *_stored serving twins show LOW bases, not bad\n"
+                "slopes: a stored probe skips the big flat stage (decode /\n"
+                "shingling / signatures), so its 1× time is tiny and the\n"
+                "remaining cost is the candidate join — whose OUTPUT grows\n"
+                "with the K× near-dup families by construction.\n"
+                "minhash_pairs_stored at ~4-5× is the clearest case: its\n"
+                "ABSOLUTE 8× time stays below minhash_lsh's; the ratio\n"
+                "difference is the amortized-fixed-cost denominator, not a\n"
+                "scale defect.\n\n"
                 f"| query | t(1×) s | t({k}×) s | ratio | ratio/{k} |\n"
                 "|---|---|---|---|---|\n"
             )
