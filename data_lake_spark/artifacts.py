@@ -158,12 +158,25 @@ def _publish(staging: str, path: str, marker: str) -> None:
         os.rename(path, aside)
     except OSError:
         aside = ""  # competitor already claimed/moved it
+    if aside and os.path.exists(os.path.join(aside, "_SUCCESS")):
+        # what we yanked was a competitor's JUST-COMMITTED artifact
+        # (it won between the marker re-check and the rename): put it
+        # straight back and serve it — never publish over a committed
+        # winner, and never leave its readers staring at a moved dir
+        # longer than the two renames. (A reader that resolved file
+        # paths inside that window can still fail and retry — POSIX
+        # rename gives no multi-dir atomicity; the window is two
+        # syscalls wide, down from the old rmtree-then-write.)
+        try:
+            os.rename(aside, path)
+            return
+        except OSError:
+            pass  # path reoccupied by another committed publish
     try:
         os.rename(staging, path)
     except OSError:
-        # lost a publish race after moving the occupant aside; if what
-        # we grabbed was a COMMITTED artifact and the path is free
-        # again, put it back rather than deleting it
+        # lost a publish race after moving an UNCOMMITTED husk aside;
+        # if the path is somehow free again, restore rather than drop
         if (
             aside
             and os.path.exists(os.path.join(aside, "_SUCCESS"))

@@ -33,7 +33,12 @@ def _render(v, typ: str) -> str:
     elif isinstance(v, str):
         lit = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     elif isinstance(v, float):
-        lit = repr(v)
+        if v != v:  # nan
+            lit = "'NaN'"
+        elif v in (float("inf"), float("-inf")):
+            lit = "'Infinity'" if v > 0 else "'-Infinity'"
+        else:
+            lit = repr(v)
     elif isinstance(v, int):
         lit = str(v)
     else:

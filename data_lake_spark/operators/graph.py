@@ -74,9 +74,18 @@ def _driver_union_find(
     if not mapping:
         return out.withColumn("cluster_id", F.col("node"))
     schema = out.schema["node"].dataType.simpleString()
-    from data_lake_spark.functions.localframe import values_df
+    # VALUES literal only for small mappings (values_df's contract);
+    # the driver union-find path admits up to DRIVER_MAX_EDGES edges,
+    # whose node set would render as a multi-hundred-MB SQL string —
+    # past the threshold the parallelize path is the right tool
+    if len(mapping) <= 10_000:
+        from data_lake_spark.functions.localframe import values_df
 
-    map_df = values_df(spark, mapping, f"node {schema}, __cid {schema}")
+        map_df = values_df(spark, mapping, f"node {schema}, __cid {schema}")
+    else:
+        map_df = spark.createDataFrame(
+            mapping, f"node {schema}, __cid {schema}"
+        )
     return (
         out.join(F.broadcast(map_df), "node", "left")
         .select(

@@ -403,6 +403,21 @@ def start_lsh_dedup_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # takedown write-side guard: the accepted zone holds FULL
+        # document text, so a crash-replayed batch must never re-write
+        # a taken-down document's content to disk (read-side filtering
+        # is enough for derived hashes, not for the content itself) —
+        # tombstone the ACCEPTED root to retire an id permanently
+        from data_lake_spark.streaming.takedown import (
+            filter_tombstoned,
+            read_tombstones,
+        )
+
+        batch_df = filter_tombstoned(
+            batch_df, read_tombstones(spark, accepted_root, id_col), [id_col]
+        )
+        if batch_df.isEmpty():
+            return
         sig_cols = [f"sig{i}" for i in range(n_hashes)]
         sigs = (
             minhash_signatures(shingles(batch_df, n, id_col, text_col), n_hashes, id_col)
@@ -880,6 +895,26 @@ def _gram_index_live_ids(index_root: str) -> tuple[list[int], list[int], int]:
         live.append(newest)
     superseded = [i for i in ids if i not in live]
     return live, superseded, m
+
+
+def read_accepted(
+    spark: SparkSession, accepted_root: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The live rows of an LSH accepted zone: every batch dir minus
+    takedowns (takedown.delete_ids against this root). The write-side
+    guard in start_lsh_dedup_ingest keeps a replay from re-writing
+    deleted CONTENT; this reader hides rows written before the
+    takedown until the zone's next compaction/rewrite purges them
+    (takedown.rewrite_purged)."""
+    from data_lake_spark.streaming.takedown import (
+        filter_tombstoned,
+        read_tombstones,
+    )
+
+    df = read_ingest_zone(spark, accepted_root)
+    return filter_tombstoned(
+        df, read_tombstones(spark, accepted_root, id_col), [id_col]
+    )
 
 
 def read_vector_index(

@@ -32,7 +32,15 @@ The gram index is deletable because its partials are per-(gram,
 document) postings — ``keeper = doc_id·2²⁰ + pos`` makes the document
 id recoverable from every row (``incremental._gram_partials``). The
 hash/LSH/IVF indexes store row-level (media_id / doc_id / vec_id)
-entries already.
+entries already. **Granularity prerequisite**: a gram index whose
+dirs were written by the old per-GRAM partials (one row per hash,
+keeper = min over all docs) cannot be subtracted exactly — the
+keeper-decoded filter would over-delete where the deleted doc held
+the min and under-delete where it did not. Rebuild such an index
+(re-ingest, or one compaction of re-derived partials) before relying
+on tombstones; every writer in this codebase has emitted posting
+granularity since the format changed, so only indexes predating it
+need the rebuild.
 
 At 100 TB: tombstone sets stay tiny (thousands of ids), so every
 filter is a broadcast anti-join appended to an existing scan — no new
@@ -62,7 +70,6 @@ tests/test_takedown.py pins both lanes end to end.
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 from typing import Iterable, Optional, Sequence
@@ -96,7 +103,13 @@ def delete_ids(
     digest = hashlib.sha1(
         (id_col + ":" + ",".join(map(str, uniq))).encode()
     ).hexdigest()[:16]
-    df = spark.createDataFrame([(i,) for i in uniq], f"{id_col} long")
+    # the on-disk column is ALWAYS 'id' regardless of id_col: tombstone
+    # dirs under one root must union cleanly even when recorded with
+    # different caller-side id names (a doc_id/media_id mix would
+    # otherwise schema-merge to NULLs and silently stop screening);
+    # id_col still salts the digest so distinct-name replays stay
+    # distinct dirs
+    df = spark.createDataFrame([(i,) for i in uniq], "id long")
     roots = [index_roots] if isinstance(index_roots, str) else index_roots
     for root in roots:
         df.coalesce(1).write.mode("overwrite").parquet(
@@ -109,13 +122,25 @@ def read_tombstones(
 ) -> Optional[DataFrame]:
     """The union of every takedown recorded under ``index_root``, as a
     one-column (``id_col``) frame — or None when no takedown exists
-    (the common case; callers skip the join entirely)."""
-    dirs = sorted(glob.glob(os.path.join(index_root, TOMB_DIR, "del_*")))
-    if not dirs:
-        return None
-    df = spark.read.parquet(*dirs)
-    src_col = df.columns[0]
-    return df.select(F.col(src_col).alias(id_col)).distinct()
+    (the common case; callers skip the join entirely).
+
+    Discovery goes through the SPARK reader, never a driver-local
+    glob: index roots live on any Hadoop-visible filesystem (HDFS/S3),
+    where an os-level listing is silently empty — which for a takedown
+    would mean silently serving deleted content (the same trap
+    start_lsh_dedup_ingest's existence probe documents). All tombstone
+    files share the canonical single 'id' column (see delete_ids), so
+    a recursive read of the _tombstones subtree unions cleanly."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(index_root, TOMB_DIR))
+        )
+    except AnalysisException:
+        return None  # no takedown ever recorded under this root
+    return df.select(F.col("id").alias(id_col)).distinct()
 
 
 def filter_tombstoned(
@@ -139,16 +164,20 @@ def rewrite_purged(
     index_root: str,
     dest_root: str,
     id_cols: Sequence[str],
-    partition_by: Sequence[str] = ("batch_id",),
+    partition_by: Sequence[str] = ("batch_id", "cell"),
 ) -> None:
     """Physical purge for the row-level index families (dHash/audio
     hashes, recorded pairs, LSH bands, IVF codes): rewrite the index
     minus tombstoned rows into ``dest_root``, preserving the batch-dir
     layout (and any inner partitioning, e.g. IVF's ``cell``), then the
-    caller swaps roots. The gram index purges in place on its
-    compaction schedule (``compact_gram_index``); these indexes purge
-    on THEIR natural rewrite schedule — retrain/re-layout — or on
-    demand with this, the Lucene force-merge analogy. Writing a fresh
+    caller swaps roots. The default ``partition_by`` covers both lake
+    layouts — plain ``batch_id=`` ledgers and the IVF family's nested
+    ``batch_id=/cell=`` (absent names are skipped), so cell-pruned
+    probes keep pruning over the rewritten root. The gram index purges
+    in place on its compaction schedule (``compact_gram_index``);
+    these indexes purge on THEIR natural rewrite schedule —
+    retrain/re-layout — or on demand with this, the Lucene force-merge
+    analogy. Writing a fresh
     root (never mutating dirs the ledger still references) keeps the
     operation crash-safe: a half-finished rewrite is an unreferenced
     directory, not a corrupted index. Tombstones are NOT copied — the

@@ -104,3 +104,21 @@ def test_property_values_df_equals_createdataframe(spark):
         )
 
     check()
+
+
+def test_non_finite_doubles(spark):
+    # inf/nan weights from a divergent training run must round-trip,
+    # not throw unresolved-identifier AnalysisExceptions (bare repr()
+    # would emit CAST(inf AS DOUBLE) and resolve 'inf' as a column)
+    from data_lake_spark.functions.localframe import values_df
+
+    rows = [
+        (1, float("inf")),
+        (2, float("-inf")),
+        (3, float("nan")),
+        (4, 1.5),
+    ]
+    got = {r["k"]: r["v"] for r in values_df(spark, rows, "k int, v double").collect()}
+    assert got[1] == float("inf") and got[2] == float("-inf")
+    assert got[3] != got[3]  # nan
+    assert got[4] == 1.5

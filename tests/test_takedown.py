@@ -552,3 +552,54 @@ def test_table_rewrite_propagates_takedown_to_stored_artifacts(
 
     after = stored_image_hashes(spark, sf_dir)
     assert {r["media_id"] for r in after.collect()} == {0, 1, 2, 4, 5}
+
+
+def test_lsh_replay_after_takedown_never_rewrites_content(spark, tmp_path):
+    # The accepted zone holds FULL text: after a takedown, a
+    # checkpoint-loss replay must not re-write the deleted document's
+    # content to disk (write-side guard), and read_accepted must hide
+    # rows written before the takedown (read-side guard).
+    from data_lake_spark.streaming.incremental import (
+        read_accepted,
+        start_lsh_dedup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the plain"
+    )
+    accepted_root = str(tmp_path / "accepted")
+    index_root = str(tmp_path / "lsh_index")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "lsh_src"))
+        )
+        q = start_lsh_dedup_ingest(
+            stream, accepted_root, index_root, str(tmp_path / ckpt)
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_batches(
+        tmp_path,
+        [_docs_df(spark, [(1, base), (2, "other unrelated body of text")])],
+        sub="lsh_src",
+    )
+    run("ck1")
+    assert {r["doc_id"] for r in read_accepted(spark, accepted_root).collect()} == {1, 2}
+
+    delete_ids(spark, [accepted_root, index_root], [1])
+    # read-side: the pre-takedown row is hidden immediately
+    assert {r["doc_id"] for r in read_accepted(spark, accepted_root).collect()} == {2}
+
+    # checkpoint loss -> full replay: the write-side guard keeps doc
+    # 1's text out of the rewritten batch dirs entirely
+    run("ck2")
+    raw = spark.read.parquet(accepted_root)
+    assert raw.filter("doc_id = 1").count() == 0
+    assert {r["doc_id"] for r in read_accepted(spark, accepted_root).collect()} == {2}
