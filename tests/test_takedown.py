@@ -603,3 +603,47 @@ def test_lsh_replay_after_takedown_never_rewrites_content(spark, tmp_path):
     raw = spark.read.parquet(accepted_root)
     assert raw.filter("doc_id = 1").count() == 0
     assert {r["doc_id"] for r in read_accepted(spark, accepted_root).collect()} == {2}
+
+
+def test_rewrite_purged_preserves_ivf_cell_partitioning(spark, tmp_path):
+    # the IVF family nests cell= inside batch_id=: the purge rewrite
+    # must keep BOTH levels so cell-pruned probes keep pruning
+    import glob as _g
+
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.kmeans import hash_seeds
+    from data_lake_spark.streaming.incremental import (
+        read_vector_index,
+        start_ivf_index_ingest,
+    )
+    from data_lake_spark.streaming.takedown import rewrite_purged
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(32)
+    centroids = hash_seeds(emb, k=4)
+    src = _write_batches(tmp_path, [emb], sub="ivfp_src")
+    index_root = str(tmp_path / "ivfp_index")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ivf_index_ingest(
+        stream, index_root, centroids, str(tmp_path / "ivfp_ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    live = read_vector_index(spark, index_root)
+    dead = [r["vec_id"] for r in live.limit(2).collect()]
+    delete_ids(spark, index_root, dead, id_col="vec_id")
+
+    dest = str(tmp_path / "ivfp_purged")
+    rewrite_purged(spark, index_root, dest, ["vec_id"])
+    # nested layout survives the rewrite (default partition_by)
+    assert _g.glob(os.path.join(dest, "batch_id=*", "cell=*"))
+    raw = spark.read.parquet(dest)
+    assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+    want = {r["vec_id"] for r in live.collect()} - set(dead)
+    assert {r["vec_id"] for r in read_vector_index(spark, dest).collect()} == want
