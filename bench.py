@@ -265,6 +265,9 @@ HEADLINE = [
     # takedown propagation: screen from the full-corpus postings with
     # deleted docs SUBTRACTED (never a rebuild) — the GDPR/DMCA path
     "takedown_screen",
+    # S9 offline form: mongodump BSON dim ingest — binaryFile scan +
+    # one Arrow-batched pure-Python spec walk per file + projection
+    "mongo_dim_conform",
 ]
 
 # Headline growth policy (decided round 9, before the wall forces it):

@@ -117,6 +117,8 @@ def stored_artifact(
     path = artifact_path(sf_dir, kind, tables, version)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        _restore_committed_husk(path, marker)
+    if not os.path.exists(marker):
         staging = f"{path}.tmp-{os.getpid()}"
         try:
             writer = build().write.mode("overwrite")
@@ -129,6 +131,26 @@ def stored_artifact(
             # dir must never leak
             shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+def _restore_committed_husk(path: str, marker: str) -> None:
+    """Recovery sweep for the one _publish corner that parks a
+    COMMITTED artifact aside instead of deleting it (see _publish's
+    final branch): before training from scratch, rename any
+    ``<path>.husk-*`` dir that holds ``_SUCCESS`` back into place —
+    the artifact is digest-addressed, so any committed copy is THE
+    artifact, and restoring it skips a full retrain."""
+    import glob
+
+    for husk in glob.glob(f"{path}.husk-*"):
+        if not os.path.exists(os.path.join(husk, "_SUCCESS")):
+            continue
+        try:
+            os.rename(husk, path)
+            return
+        except OSError:
+            if os.path.exists(marker):
+                return  # someone else committed meanwhile; keep theirs
 
 
 def _publish(staging: str, path: str, marker: str) -> None:
@@ -188,4 +210,16 @@ def _publish(staging: str, path: str, marker: str) -> None:
             except OSError:
                 pass
     if aside:
-        shutil.rmtree(aside, ignore_errors=True)
+        # drop the aside dir ONLY when it is provably expendable: it
+        # was an uncommitted husk, or a committed winner now occupies
+        # the final path. If the aside holds _SUCCESS and no winner is
+        # committed (three-writer corner: both restore renames lost to
+        # a reoccupying uncommitted husk), deleting it would destroy
+        # the only committed copy — leave it on disk instead; the next
+        # writer's husk-restore sweep (stored_artifact) renames it
+        # back into place. A leaked dir is recoverable; lost committed
+        # data is not.
+        if not os.path.exists(os.path.join(aside, "_SUCCESS")) or os.path.exists(
+            marker
+        ):
+            shutil.rmtree(aside, ignore_errors=True)

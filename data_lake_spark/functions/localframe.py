@@ -20,6 +20,7 @@ the ``classifier_train`` oracle pins this.
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,7 +32,18 @@ def _render(v, typ: str) -> str:
     if isinstance(v, bool):
         lit = "TRUE" if v else "FALSE"
     elif isinstance(v, str):
-        lit = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        # plain printable-ASCII strings render as plain literals; any
+        # string containing a quote, backslash, control char, or
+        # non-ASCII renders as unhex(<utf-8 hex>) instead — escaping
+        # rules DIFFER between Spark's default parser and the legacy
+        # spark.sql.parser.escapedStringLiterals=true raw mode (where
+        # a lone quote is not even representable in a '...' literal),
+        # while the hex form parses identically under both and still
+        # folds to a LocalRelation
+        if all(32 <= ord(c) < 127 and c not in "'\"\\" for c in v):
+            lit = "'" + v + "'"
+        else:
+            lit = f"CAST(unhex('{v.encode('utf-8').hex()}') AS STRING)"
     elif isinstance(v, float):
         if v != v:  # nan
             lit = "'NaN'"
@@ -41,9 +53,30 @@ def _render(v, typ: str) -> str:
             lit = repr(v)
     elif isinstance(v, int):
         lit = str(v)
+    elif isinstance(v, _Decimal):
+        lit = f"'{v}'"  # exact decimal string, CAST does the scaling
     else:
         raise TypeError(f"values_df is scalar-only, got {type(v).__name__}")
     return f"CAST({lit} AS {typ})"
+
+
+def _split_ddl(ddl: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only, so
+    parameterized scalar types — ``decimal(10,2)`` — parse as one
+    field instead of two broken ones. '<' (nested generics) is still
+    rejected by the caller; '(' only ever opens a type's precision
+    list in scalar DDL."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    return parts
 
 
 def values_df(
@@ -51,13 +84,17 @@ def values_df(
 ) -> DataFrame:
     """``createDataFrame(rows, ddl)`` for small SCALAR frames, as a
     VALUES literal — no parallelize job. ``ddl`` is the usual
-    ``"name type, name type"`` string (scalar types only: the comma
-    split does not understand nested generics). Every cell is CAST to
-    its declared type, so the schema is exactly the DDL's regardless
-    of the Python values. Empty ``rows`` fall back to an empty
-    createDataFrame (VALUES needs at least one row)."""
+    ``"name type, name type"`` string, scalar types only (nested
+    generics are rejected; parameterized scalars like
+    ``decimal(10,2)`` are fine). Every cell is CAST to its declared
+    type, so the schema is exactly the DDL's regardless of the Python
+    values. Empty ``rows`` fall back to an empty createDataFrame
+    (VALUES needs at least one row). Strings needing escapes render
+    via ``unhex`` (see ``_render``), so values round-trip
+    bit-identical under BOTH the default parser and the legacy
+    ``spark.sql.parser.escapedStringLiterals`` raw mode."""
     fields = []
-    for part in ddl.split(","):
+    for part in _split_ddl(ddl):
         name, typ = part.strip().split(None, 1)
         if "<" in typ:
             raise ValueError(f"values_df is scalar-only: {typ}")

@@ -294,12 +294,15 @@ def read_mongo_dim(
     data-lake-stack.yml:62-148, connection 205-216).
 
     HONESTY CONTRACT: this sandbox does not ship the MongoDB Spark
-    connector, so here this raises RuntimeError with a clear message —
-    the S9 crosswalk row is OUT OF SCOPE in-sandbox and the dimension
-    tables are modeled as parquet inputs (SURVEY §1.5). On a cluster with
-    ``org.mongodb.spark:mongo-spark-connector`` on the classpath the same
-    call becomes the real partitioned reader (connector splits on _id
-    ranges; predicates/projections push down to Mongo aggregation)."""
+    connector, so here this raises RuntimeError with a clear message.
+    On a cluster with ``org.mongodb.spark:mongo-spark-connector`` on
+    the classpath the same call becomes the real partitioned reader
+    (connector splits on _id ranges; predicates/projections push down
+    to Mongo aggregation). The OFFLINE form of S9 — the same
+    collections as mongodump ``.bson`` interchange files — is fully
+    implemented in-sandbox by ``data_lake_spark.bsondump.read_bson_dump``
+    (dependency-free public-spec walker; oracle-paired via
+    ``queries/mongo_q.mongo_dim_conform``)."""
     if not mongo_connector_available(spark):
         raise RuntimeError(
             "MongoDB Spark connector not on the classpath; S9 dims are "

@@ -208,6 +208,9 @@ def pretrain_prepare(
     min_tokens: int = 5,
     max_tokens: int = 100_000,
     min_jaccard: float = 0.5,
+    bench: "DataFrame | None" = None,
+    decontam_k: int = 5,
+    decontam_min_tokens: int = 13,
 ) -> dict:
     """The whole corpus→training-shards preparation as ONE call —
     the integration surface a pretraining user actually runs, composing
@@ -220,10 +223,17 @@ def pretrain_prepare(
     manifest + _SUMMARY commit point (export.export_training_shards,
     grouped by language).
 
+    With ``bench`` given, a benchmark-decontamination stage runs
+    between dedup and export (drop survivors sharing a verbatim
+    >= ``decontam_min_tokens`` token run with the eval set — broadcast
+    gram semi-join, see the inline note).
+
     Returns the retention funnel every production pipeline publishes
-    ({n_raw, n_gated, n_kept, n_candidate_pairs, n_verified_edges,
-    export: {...}}) — counts monotone by construction, export totals
-    equal to the dedup survivors (tests/test_pretrain_prepare.py).
+    ({n_raw, n_gated, n_kept, n_clean, n_candidate_pairs,
+    n_verified_edges, export: {...}}) — counts monotone by
+    construction (n_raw >= n_gated >= n_kept >= n_clean), export totals
+    equal to the post-decontam survivors
+    (tests/test_pretrain_prepare.py).
 
     Scale posture is inherited, not re-argued: every stage is an
     equi-join or map-side-combinable aggregate (see each operator's
@@ -248,6 +258,28 @@ def pretrain_prepare(
     ).localCheckpoint(eager=False)  # dedup and export both read it
 
     kept, dd = dedup_corpus(gated, min_jaccard=min_jaccard)
+    n_clean = dd["n_kept"]
+    if bench is not None:
+        # benchmark decontamination (GPT-3 Brown et al. 2020 §C,
+        # whole-doc form): drop any survivor sharing a >=
+        # decontam_min_tokens verbatim run with the eval set. The
+        # bench side is a broadcast gram-hash set (tiny by definition);
+        # the train side pays one positioned-gram build + broadcast
+        # semi-join — no corpus shuffle (operators/textdedup.
+        # decontam_spans). Span-level excision stays available as the
+        # surgical alternative; the pipeline takes the standard
+        # conservative drop.
+        from data_lake_spark.operators.textdedup import decontam_spans
+
+        contaminated = (
+            decontam_spans(
+                kept, bench, k=decontam_k, min_tokens=decontam_min_tokens
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+        n_clean = kept.count()
     export = export_training_shards(
         kept,
         dst,
@@ -261,5 +293,6 @@ def pretrain_prepare(
         "n_candidate_pairs": dd["n_candidate_pairs"],
         "n_verified_edges": dd["n_verified_edges"],
         "n_kept": dd["n_kept"],
+        "n_clean": n_clean,
         "export": export,
     }

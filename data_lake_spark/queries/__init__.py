@@ -46,6 +46,7 @@ def full_registry() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         mleval_q,
+        mongo_q,
         quality_q,
         relational,
         relational2,
@@ -89,6 +90,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(llm12.REGISTRY)
     reg.update(llm13.REGISTRY)
     reg.update(mleval_q.REGISTRY)
+    reg.update(mongo_q.REGISTRY)
     reg.update(quality_q.REGISTRY)
     reg.update(entity_q.REGISTRY)
     reg.update(temporal.REGISTRY)
@@ -124,85 +126,32 @@ def full_registry() -> dict[str, QuerySpec]:
 # r05–r07 each ran the rotation discipline (additions first, then the
 # stalest blocks oldest-first) and scored 100% green.
 #
-# Round 9 (this list; blocks computed from CORRECTNESS_r01-r08
-# latest-green rounds, recomputed this session — r05-stale: 34,
-# r06-stale: 50, r07-green: 49, r08-green: 50; the 34-row r05 block
-# matches the ROUND 9 TODO recorded by the round-8 session and the
-# round-8 VERDICT verbatim):
-# (a) round-9 additions — first driver row THIS round (appended as
-#     they land);
-# (b) the 34 displaced r05-green (c)-tail rows from the round-8
-#     rotation — the oldest verdicts in the registry (last green four
-#     rounds back by r09), incl. all six core api_* serving endpoints,
-#     in their CORRECTNESS_r05 window order: interval_overlap ...
-#     api_dow;
-# (c) the 50 r06-stale rows in their CORRECTNESS_r06 window order
-#     (oldest-first discipline): rank 50 cuts inside this block; each
-#     round-9 addition in (a) displaces one row off this tail into the
-#     ROUND 10 TODO.
+# Round 10 (this list; stale blocks recomputed this session from all
+# nine CORRECTNESS files — staleness histogram r06:44 / r07:49 /
+# r08:50 / r09:50, plus image_dhash_pairs whose only driver row,
+# r07, predates its oracle — never driver-green):
+# (a) round-10 additions — first driver row THIS round (appended
+#     as they land);
+# (a') image_dhash_pairs PINNED in the top 10 per the round-9
+#     verdict: its oracle MATCH is judge-verified twice but has no
+#     driver-green CORRECTNESS record;
+# (b) the 44 r06-stale rows in their CORRECTNESS_r06 window order
+#     (oldest verdicts in the registry);
+# (c) the 49 r07-stale rows in their CORRECTNESS_r07 window order —
+#     rank 50 cuts inside this block; each round-10 addition in (a)
+#     displaces one row off this tail into the ROUND 11 TODO.
 #
-# ROUND 10 TODO: recompute the stale blocks from all nine CORRECTNESS
+# ROUND 11 TODO: recompute the stale blocks from all ten CORRECTNESS
 # files at round start (the standing discipline): lead with the
-# displaced (c)-tail rows (r06-green by then, the oldest verdicts in
-# the registry), then the r07-stale rows oldest-first; round-10
-# additions slot in at the top as they land.
+# displaced (c)-tail rows (r07-green by then), then the r08-stale
+# rows oldest-first; round-11 additions slot in at the top as they
+# land.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-9 additions — first driver row this round (keep
-    # current; appended as they land)
-    "video_frame_pairs_stored",
-    "dedup_videos_keepers_stored",
-    "takedown_screen",
-    "image_dhash_pairs_stored",
-    "audio_fp_pairs_stored",
-    "dedup_images_keepers_stored",
-    "dedup_audio_keepers_stored",
-    "unicode_nfc_audit",
-    "calibration_bins",
-    "minhash_pairs_stored",
-    # (b) the 34 r05-stale rows displaced by the round-8 rotation —
-    # oldest verdicts in the registry, CORRECTNESS_r05 window order
-    "interval_overlap",
-    "lang_fit",
-    "sliding_distinct",
-    "anomaly_days",
-    "bpe_encode",
-    "negative_pairs",
-    "curriculum_order",
-    "dq_checks",
-    "epoch_plan",
-    "triangle_count",
-    "classifier_eval",
-    "quality_tradeoff",
-    "source_lift",
-    "label_affinity",
-    "mirror_matrix",
-    "rolling_corr",
-    "k_anonymity",
-    "windowed_rollup",
-    "asof_join",
-    "sliding_rollup",
-    "funnel",
-    "cohort_retention",
-    "json_props",
-    "scd2_history",
-    "top_paths",
-    "date_spine_fill",
-    "unpivot_metrics",
-    "session_native",
-    "api_earnings",
-    "api_needle",
-    "api_avg_profitability",
-    "api_total_profit",
-    "api_profit_avg",
-    "api_dow",
-    # (c) the 50 r06-stale rows, CORRECTNESS_r06 window order — rank 50
-    # cuts inside this block; the displaced tail goes to the ROUND 10 TODO
-    "exact_substr",
-    "exact_substr_clean",
-    "dist_drift",
-    "decontam_substr",
-    "lang_confusion",
-    "embedding_coverage",
+    # (a) round-10 additions — first driver row this round
+    "mongo_dim_conform",
+    # (a') the one never-driver-green row, pinned (round-9 verdict #1)
+    "image_dhash_pairs",
+    # (b) the 44 r06-stale rows, CORRECTNESS_r06 window order
     "dup_histogram",
     "bpe_fertility",
     "exact_substr_pairs",
@@ -247,4 +196,55 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh",
     "mixture_weights",
     "multi_agg_attrs",
+    # (c) the 49 r07-stale rows, CORRECTNESS_r07 window order — rank
+    #     50 cuts inside this block
+    "pii_scan",
+    "url_domains",
+    "html_strip",
+    "embedding_norms",
+    "mixture_audit",
+    "vocab_prune",
+    "ngram_coverage",
+    "embedding_pca",
+    "bpe_encode_stored",
+    "ntile_deciles",
+    "or_key_join",
+    "pagination",
+    "percentile_report",
+    "profile_orders",
+    "rank_models",
+    "ratio_profitability",
+    "repetition_stats",
+    "revenue_by_region",
+    "rollup_report",
+    "shingle_pairs",
+    "text_stats",
+    "top5_distribution",
+    "topk_per_group",
+    "trailing_7d",
+    "weekly_agg",
+    "ivf_stored",
+    "ivf_pq_stored",
+    "semantic_dedup",
+    "semantic_dedup_capped",
+    "ann_recall",
+    "classifier_train",
+    "doc_topk",
+    "proj_filter_compute",
+    "or_filter_dim",
+    "point_lookup",
+    "global_sum",
+    "date_parts",
+    "json_payload",
+    "string_funcs",
+    "array_funcs",
+    "set_ops_halves",
+    "cube_report",
+    "semi_join_active",
+    "anti_join_inactive",
+    "running_total",
+    "hash_sample",
+    "train_split",
+    "mom_change",
+    "lang_id",
 ]

@@ -392,11 +392,11 @@ def q_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provenance costs ONE extra groupBy over the marked frame — no new
     pair space (pairs only exist where the inverted index already
     placed both docs on one hash)."""
-    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+    from data_lake_spark.operators.textdedup import _POS_BITS, pack_doc_pos, token_kgrams
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = token_kgrams(docs, _K).withColumn(
-        "enc", F.col("doc_id") * F.lit(_POS_BITS) + F.col("pos")
+        "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"))
     )
     keep = (
         grams.groupBy("h")

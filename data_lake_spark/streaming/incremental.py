@@ -262,6 +262,13 @@ def start_ivf_index_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # write-side takedown guard: a crash-replayed batch must not
+        # re-land a deleted vector's rows (takedown.screen_batch)
+        from data_lake_spark.streaming.takedown import screen_batch
+
+        batch_df = screen_batch(batch_df, index_root, [id_col])
+        if batch_df.isEmpty():
+            return
         assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
         out = batch_df.join(assigned.select(id_col, "cell"), id_col)
         out.write.mode("overwrite").partitionBy("cell").parquet(
@@ -313,6 +320,11 @@ def start_ivfpq_index_ingest(
     values, present, subdim = codebook
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from data_lake_spark.streaming.takedown import screen_batch
+
+        batch_df = screen_batch(batch_df, index_root, [id_col])
         if batch_df.isEmpty():
             return
         assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
@@ -634,6 +646,15 @@ def _start_hash_index_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # write-side takedown guard BEFORE the Arrow decode: a
+        # crash-replayed batch neither re-hashes nor re-lands a deleted
+        # medium's rows (takedown.screen_batch); both roots are
+        # tombstoned together by the delete_ids contract
+        from data_lake_spark.streaming.takedown import screen_batch
+
+        batch_df = screen_batch(batch_df, index_root, ["media_id"])
+        if batch_df.isEmpty():
+            return
         hashes = (
             hash_table_fn(batch_df)
             .filter(F.col("dhash").isNotNull())
@@ -793,6 +814,13 @@ def start_gram_index_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # write-side takedown guard: replay after a delete writes the
+        # REDUCED posting set (takedown.screen_batch)
+        from data_lake_spark.streaming.takedown import screen_batch
+
+        batch_df = screen_batch(batch_df, index_root, [id_col])
+        if batch_df.isEmpty():
+            return
         _gram_partials(batch_df, k, id_col, text_col).write.mode(
             "overwrite"
         ).parquet(f"{index_root}/batch_id={int(batch_id)}")
@@ -820,10 +848,10 @@ def _gram_partials(
     folded index is bit-identical to the old per-gram partials; only
     deletability changes. Within one micro-batch a k-gram rarely spans
     documents, so the finer key costs ≈ nothing in rows."""
-    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+    from data_lake_spark.operators.textdedup import pack_doc_pos, token_kgrams
 
     grams = token_kgrams(docs, k, id_col, text_col).withColumn(
-        "enc", F.col(id_col) * F.lit(_POS_BITS) + F.col("pos")
+        "enc", pack_doc_pos(F.col(id_col), F.col("pos"))
     )
     return grams.groupBy("h", id_col).agg(
         F.min("enc").alias("keeper"),
@@ -851,6 +879,13 @@ def start_video_gram_ingest(
     from data_lake_spark.operators.videofp import frame_token_docs
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # write-side takedown guard BEFORE the Arrow decode (the gram
+        # doc_id IS the media_id; on-disk tombstones are id-named)
+        from data_lake_spark.streaming.takedown import screen_batch
+
+        batch_df = screen_batch(batch_df, index_root, ["media_id"])
         if batch_df.isEmpty():
             return
         docs = frame_token_docs(batch_df, ignore_hashes)

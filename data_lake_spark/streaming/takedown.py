@@ -81,6 +81,31 @@ from pyspark.sql import functions as F
 #: the subtree from Spark's partition discovery of the index root
 TOMB_DIR = "_tombstones"
 
+#: read_tombstones memo for the common NO-takedown case: index_root →
+#: the os-level signature of its _tombstones subtree observed when a
+#: Spark probe last came back empty. Steady-state micro-batches then
+#: skip the per-batch driver-side spark.read probe entirely; any
+#: delete_ids call changes the subtree's mtime (and pops the entry
+#: in-process), invalidating the memo. Only the NEGATIVE result is
+#: cached — once tombstones exist, every read goes to Spark.
+_NO_TOMB_MEMO: dict = {}
+
+
+def _tomb_sig(index_root: str):
+    """Driver-local signature of ``<index_root>/_tombstones``, or None
+    when the root is not visible to local ``os`` (HDFS/S3, or a
+    scheme-prefixed path) — memoization is DISABLED there, because an
+    os-level check on such a root is silently empty and caching it
+    would mean silently serving deleted content (the trap the
+    read_tombstones docstring documents)."""
+    d = os.path.join(index_root, TOMB_DIR)
+    try:
+        return os.stat(d).st_mtime_ns
+    except OSError:
+        # no tombstone subtree — but only trust that when the ROOT
+        # itself is locally visible; otherwise we simply can't see
+        return 0 if os.path.isdir(index_root) else None
+
 
 def delete_ids(
     spark: SparkSession,
@@ -93,10 +118,21 @@ def delete_ids(
     touched (e.g. the dHash family's ``index_root`` AND ``pairs_root``)
     — each root owns its tombstones so its readers stay self-contained.
 
-    Idempotent: the dir name digests the sorted id set, and the write
-    is an overwrite — replaying the same takedown republishes identical
-    files. Distinct takedowns get distinct dirs; the reader unions
-    them."""
+    Idempotent: the dir name digests the sorted id set; a digest dir
+    that already holds ``_SUCCESS`` is left untouched (replaying the
+    same takedown is a no-op). Distinct takedowns get distinct dirs;
+    the reader unions them.
+
+    Publication is ATOMIC where the filesystem allows: the set is
+    written to a dot-prefixed staging dir (hidden from Spark's
+    recursive listing) and ``os.rename``d into ``del_<digest>``, so a
+    concurrent :func:`read_tombstones` can never observe a
+    partially-written tombstone set or fail on a vanishing file
+    mid-overwrite — briefly serving deleted content. On an object
+    store where the rename fails, the write falls back to the direct
+    (non-atomic) overwrite rather than losing the takedown."""
+    import shutil
+
     uniq = sorted({int(i) for i in ids})
     if not uniq:
         return
@@ -112,9 +148,25 @@ def delete_ids(
     df = spark.createDataFrame([(i,) for i in uniq], "id long")
     roots = [index_roots] if isinstance(index_roots, str) else index_roots
     for root in roots:
-        df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, TOMB_DIR, f"del_{digest}")
+        final = os.path.join(root, TOMB_DIR, f"del_{digest}")
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            _NO_TOMB_MEMO.pop(root, None)
+            continue  # identical set already committed (replay)
+        staging = os.path.join(
+            root, TOMB_DIR, f".stage_del_{digest}_{os.getpid()}"
         )
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            # either a concurrent writer committed the same digest
+            # (keep theirs), or the root is not os-renameable (object
+            # store) — then fall back to the direct overwrite
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                df.coalesce(1).write.mode("overwrite").parquet(final)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        _NO_TOMB_MEMO.pop(root, None)
 
 
 def read_tombstones(
@@ -130,15 +182,29 @@ def read_tombstones(
     would mean silently serving deleted content (the same trap
     start_lsh_dedup_ingest's existence probe documents). All tombstone
     files share the canonical single 'id' column (see delete_ids), so
-    a recursive read of the _tombstones subtree unions cleanly."""
+    a recursive read of the _tombstones subtree unions cleanly.
+
+    The common NO-takedown case is memoized per root (``_NO_TOMB_MEMO``)
+    so steady-state micro-batches don't pay a driver-side Spark probe
+    per batch forever: when the root is locally visible, an unchanged
+    ``_tombstones`` mtime signature short-circuits to None without
+    touching Spark. The memo is only ever a cache of a NEGATIVE Spark
+    probe, keyed by the subtree's os signature — any delete_ids
+    changes the signature (and pops the entry in-process), and on
+    non-local roots (signature None) every call still goes to Spark."""
     from pyspark.errors import AnalysisException
 
+    sig = _tomb_sig(index_root)
+    if sig is not None and _NO_TOMB_MEMO.get(index_root) == sig:
+        return None
     try:
         df = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(os.path.join(index_root, TOMB_DIR))
         )
     except AnalysisException:
+        if sig is not None:
+            _NO_TOMB_MEMO[index_root] = sig
         return None  # no takedown ever recorded under this root
     return df.select(F.col("id").alias(id_col)).distinct()
 
@@ -157,6 +223,24 @@ def filter_tombstoned(
             F.broadcast(tomb.select(F.col(tomb_id).alias(c))), c, "left_anti"
         )
     return df
+
+
+def screen_batch(
+    batch_df: DataFrame, index_root: str, id_cols: Sequence[str]
+) -> DataFrame:
+    """Write-side takedown guard for every streaming ingest: drop rows
+    whose id is tombstoned against ``index_root`` BEFORE any index
+    bytes are written. Read-side filtering keeps query results correct
+    regardless, but without this a crash-REPLAYED micro-batch re-lands
+    a deleted id's rows on disk (hashes, signatures, codes, gram
+    postings — or, in the LSH accepted zone, full document text),
+    where they sit until the next compaction/rewrite. The guard makes
+    replay-after-delete write the REDUCED set: deleted content never
+    returns to disk. Costs one memoized tombstone probe per batch
+    (nothing in the steady no-takedown state) plus a broadcast
+    anti-join when tombstones exist."""
+    tomb = read_tombstones(batch_df.sparkSession, index_root, id_cols[0])
+    return filter_tombstoned(batch_df, tomb, list(id_cols))
 
 
 def rewrite_purged(

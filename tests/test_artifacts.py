@@ -133,3 +133,84 @@ def test_failed_build_cleans_staging_and_husk_is_moved_not_deleted(
     assert not [
         d for d in os.listdir(store) if ".tmp-" in d or ".husk-" in d
     ]
+
+
+def test_committed_husk_is_restored_not_rebuilt(spark, tmp_path, monkeypatch):
+    # a committed artifact parked aside by a lost publish race must be
+    # found and renamed back before any retrain (round-9 advice)
+    sf_dir = str(tmp_path / "sf")
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", store)
+    _write_source(spark, sf_dir, 10)
+    path = artifact_path(sf_dir, "restore", TABLES)
+
+    def build():
+        return spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+
+    stored_artifact(spark, sf_dir, "restore", TABLES, build)
+    # park the committed artifact aside, as _publish's corner does
+    os.rename(path, f"{path}.husk-99999")
+
+    def never():
+        raise AssertionError("retrained despite a committed husk on disk")
+
+    got = stored_artifact(spark, sf_dir, "restore", TABLES, never)
+    assert got.count() == 3
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not [d for d in os.listdir(store) if ".husk-" in d]
+
+
+def test_three_writer_race_never_deletes_the_committed_copy(
+    spark, tmp_path, monkeypatch
+):
+    # round-9 advice: when BOTH restore renames lose to a reoccupying
+    # uncommitted husk, the old code rmtree'd the aside dir — the only
+    # committed copy. The guard now leaves a committed aside on disk.
+    from data_lake_spark.artifacts import _publish, _restore_committed_husk
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    path = os.path.join(store, "art_x")
+    marker = os.path.join(path, "_SUCCESS")
+    aside = f"{path}.husk-{os.getpid()}"
+
+    # competitor's JUST-committed artifact occupies the final path...
+    os.makedirs(path)
+    open(os.path.join(path, "part-c.parquet"), "w").write("C")
+    open(marker, "w").close()
+    # ...and our staging dir holds a complete write of the same digest
+    staging = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-s.parquet"), "w").write("S")
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    real_exists, real_rename = os.path.exists, os.rename
+    marker_misses = {"n": 2}  # the competitor commits between our checks
+
+    def fake_exists(p):
+        if p == marker and marker_misses["n"] > 0:
+            marker_misses["n"] -= 1
+            return False
+        return real_exists(p)
+
+    def fake_rename(src, dst):
+        if src == aside and dst == path:
+            # reoccupation: an uncommitted husk grabs the path first
+            if not real_exists(path):
+                os.makedirs(path)
+                open(os.path.join(path, "junk"), "w").write("j")
+            raise OSError("path reoccupied")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os.path, "exists", fake_exists)
+    monkeypatch.setattr(os, "rename", fake_rename)
+    _publish(staging, path, marker)
+    monkeypatch.undo()
+
+    # the committed copy survived — parked aside, never rmtree'd
+    assert os.path.exists(os.path.join(aside, "_SUCCESS"))
+    # recovery: clear the junk husk, and the sweep restores the copy
+    shutil.rmtree(path, ignore_errors=True)
+    _restore_committed_husk(path, marker)
+    assert os.path.exists(marker)
+    assert open(os.path.join(path, "part-c.parquet")).read() == "C"

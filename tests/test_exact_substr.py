@@ -129,3 +129,26 @@ def test_decontam_spans_locates_benchmark_crossover(spark):
     assert [(r["doc_id"], r["span_start"], r["span_tokens"]) for r in spans] == [
         (10, 8, 15)
     ]
+
+
+def test_pack_doc_pos_overflow_raises_not_bleeds(spark):
+    # round-9 advice (medium): a token position >= 2^20 used to bleed
+    # into the next doc_id, silently corrupting takedown's keeper-
+    # decoded doc filter; the packing now raises at compute/write time
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.operators.textdedup import _POS_BITS, pack_doc_pos
+
+    ok = spark.createDataFrame(
+        [(7, 0), (7, _POS_BITS - 1)], "doc_id long, pos long"
+    ).select(pack_doc_pos(F.col("doc_id"), F.col("pos")).alias("enc"))
+    assert [r["enc"] for r in ok.collect()] == [
+        7 * _POS_BITS,
+        8 * _POS_BITS - 1,
+    ]
+    bad = spark.createDataFrame(
+        [(7, _POS_BITS)], "doc_id long, pos long"
+    ).select(pack_doc_pos(F.col("doc_id"), F.col("pos")).alias("enc"))
+    with pytest.raises(Exception, match="pack_doc_pos overflow"):
+        bad.collect()

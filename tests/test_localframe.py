@@ -122,3 +122,46 @@ def test_non_finite_doubles(spark):
     assert got[1] == float("inf") and got[2] == float("-inf")
     assert got[3] != got[3]  # nan
     assert got[4] == 1.5
+
+
+def test_legacy_escaped_string_literals_mode(spark):
+    # round-9 advice: with the legacy raw-literal parser config the old
+    # backslash-escaped rendering silently doubled every backslash
+    from data_lake_spark.functions.localframe import values_df
+
+    rows = [
+        (1, r"a\b"),
+        (2, r"c\\d"),
+        (3, "it's"),
+        (4, "mix\\'n\"all"),
+        (5, "tab\tnew\nünïcode"),
+        (6, ""),
+    ]
+    ddl = "k long, s string"
+    want = [tuple(r) for r in spark.createDataFrame(rows, ddl).collect()]
+    key = "spark.sql.parser.escapedStringLiterals"
+    old = spark.conf.get(key, "false")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set(key, mode)
+            got = [tuple(r) for r in values_df(spark, rows, ddl).collect()]
+            assert sorted(got) == sorted(want), mode
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_parameterized_decimal_type(spark):
+    # round-9 advice: the bare comma split broke decimal(10,2) into two
+    # fields; the depth-aware split keeps parameterized scalars whole
+    from decimal import Decimal
+
+    from data_lake_spark.functions.localframe import values_df
+
+    ddl = "k long, amt decimal(10,2), s string"
+    rows = [(1, Decimal("12.50"), "x"), (2, None, "y"), (3, Decimal("-0.01"), None)]
+    got = values_df(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )

@@ -61,3 +61,48 @@ def test_quality_gate_actually_gates(spark, tmp_path):
     assert stats["export"]["n_shards"] == 0
     # empty export reports proper zeros, not SQL-NULL Nones
     assert stats["export"]["n_docs"] == 0 and stats["export"]["n_tokens"] == 0
+
+
+def test_decontam_stage_drops_contaminated_survivors(spark, tmp_path):
+    # a benchmark set drawn FROM the corpus: every bench doc's keeper
+    # (or the doc itself) shares a verbatim run and must be dropped
+    from data_lake_spark.catalog import load_table
+
+    bench = (
+        load_table(spark, SF, "documents")
+        .filter("doc_id % 97 = 0")
+        .select("doc_id", "text")
+    )
+    n_bench = bench.count()
+    assert n_bench > 0
+    s = pretrain_prepare(
+        spark, SF, str(tmp_path / "clean"), tokens_per_shard=2000, bench=bench
+    )
+    assert s["n_raw"] >= s["n_gated"] >= s["n_kept"] >= s["n_clean"]
+    assert s["n_clean"] < s["n_kept"]  # contamination is real here
+    assert s["export"]["n_docs"] == s["n_clean"]
+    # no exported doc shares a >=13-token verbatim run with the bench
+    from data_lake_spark.operators.textdedup import decontam_spans
+
+    back = spark.read.parquet(os.path.join(tmp_path / "clean", "data"))
+    assert decontam_spans(back, bench, k=5, min_tokens=13).count() == 0
+
+
+def test_final_pack_stage_shuffle_budget(spark):
+    # the composed pipeline's last stage (token-budgeted packing) must
+    # stay ONE exchange — the per-group running-sum window — at any
+    # corpus size; pinned here like tests/test_plan_contracts.py pins
+    # the registry queries (round-9 verdict #8)
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, budget=2048, group_cols=["lang"], order_cols=["doc_id"]
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

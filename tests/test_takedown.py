@@ -168,9 +168,11 @@ def test_gram_compaction_purges_tombstoned_postings(spark, tmp_path):
 def test_gram_replay_cannot_resurrect_deleted_doc(spark, tmp_path):
     # Crash model: the micro-batch that ingested doc 1 is replayed
     # AFTER doc 1's takedown (checkpoint loss / full-source replay).
-    # The replay republishes doc 1's postings into its batch dir —
-    # and the reader must still not surface them: the filter lives at
-    # read time, not write time.
+    # Since round 10 the write-side guard keeps doc 1's postings out of
+    # the rewritten batch dirs entirely (pinned in
+    # test_gram_replay_after_takedown_writes_reduced_postings); this
+    # test pins the READER outcome either way: deleted content never
+    # surfaces in spans.
     from data_lake_spark.operators.textdedup import (
         exact_substr_spans,
         exact_substr_spans_from_index,
@@ -647,3 +649,134 @@ def test_rewrite_purged_preserves_ivf_cell_partitioning(spark, tmp_path):
     assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
     want = {r["vec_id"] for r in live.collect()} - set(dead)
     assert {r["vec_id"] for r in read_vector_index(spark, dest).collect()} == want
+
+
+def test_tombstone_publish_is_atomic_and_staging_invisible(spark, tmp_path):
+    # round-9 advice: delete_ids used a non-atomic overwrite a racing
+    # reader could catch half-written. It now stages to a dot-prefixed
+    # dir (hidden from Spark's recursive listing) and renames into
+    # place; replays of an already-committed digest are no-ops.
+    from data_lake_spark.streaming.takedown import TOMB_DIR
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    delete_ids(spark, root, [3, 1, 2])
+    tomb_root = os.path.join(root, TOMB_DIR)
+    dels = [d for d in os.listdir(tomb_root) if d.startswith("del_")]
+    assert len(dels) == 1
+    assert os.path.exists(os.path.join(tomb_root, dels[0], "_SUCCESS"))
+    # no staging leftovers
+    assert not [d for d in os.listdir(tomb_root) if d.startswith(".stage")]
+    # a replay leaves the committed dir untouched (same mtime)
+    before = os.stat(os.path.join(tomb_root, dels[0])).st_mtime_ns
+    delete_ids(spark, root, [1, 2, 3])
+    assert os.stat(os.path.join(tomb_root, dels[0])).st_mtime_ns == before
+
+    # a planted in-flight staging dir (mid-publish crash) must be
+    # INVISIBLE to the reader — this pins the hidden-dir assumption
+    # the atomicity argument rests on
+    stage = os.path.join(tomb_root, ".stage_del_deadbeef_1")
+    spark.createDataFrame([(99,)], "id long").coalesce(1).write.parquet(stage)
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_read_tombstones_memoizes_only_the_empty_probe(spark, tmp_path):
+    # round-9 advice: every micro-batch paid a driver-side Spark probe
+    # even with no takedown ever recorded; the empty result is now
+    # memoized per root and invalidated by delete_ids
+    from data_lake_spark.streaming import takedown as td
+
+    root = str(tmp_path / "idx2")
+    os.makedirs(root)
+    assert read_tombstones(spark, root) is None
+    assert root in td._NO_TOMB_MEMO
+    # memoized second call (still None) — and the memo never survives
+    # a delete: the ids must be visible immediately afterwards
+    assert read_tombstones(spark, root) is None
+    delete_ids(spark, root, [42])
+    assert root not in td._NO_TOMB_MEMO
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {42}
+    # cross-process invalidation: even with a stale memo entry planted,
+    # the _tombstones mtime signature differs, forcing a real probe
+    td._NO_TOMB_MEMO[root] = 12345
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {42}
+
+
+# ---------------------------------------------------------------------------
+# write-side guard on replay, per ledger family (round-9 verdict #3):
+# after a takedown, a checkpoint-loss replay writes the REDUCED row set
+# — deleted ids never return to disk, not just to the readers
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_replay_after_takedown_writes_reduced_index(spark, tmp_path):
+    src = _write_batches(tmp_path, [_media_df(spark, _IMG_DOCS)])
+    pairs_root, index_root = _run_dhash_ingest(spark, tmp_path, src)
+    assert spark.read.parquet(index_root).filter("media_id = 1").count() > 0
+
+    delete_ids(spark, [index_root, pairs_root], [1], id_col="media_id")
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run_dhash_ingest(spark, tmp_path, src)
+
+    raw_idx = spark.read.parquet(index_root)
+    assert raw_idx.filter("media_id = 1").count() == 0
+    assert {r["media_id"] for r in raw_idx.collect()} == {2, 3}
+    raw_pairs = spark.read.parquet(pairs_root)
+    assert raw_pairs.filter("media_a = 1 OR media_b = 1").count() == 0
+
+
+def test_ivf_replay_after_takedown_writes_reduced_index(spark, tmp_path):
+    from data_lake_spark.catalog import load_table
+    from data_lake_spark.operators.kmeans import hash_seeds
+    from data_lake_spark.streaming.incremental import start_ivf_index_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(32)
+    centroids = hash_seeds(emb, k=4)
+    src = _write_batches(tmp_path, [emb], sub="ivf_src")
+    index_root = str(tmp_path / "ivf_index")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_ivf_index_ingest(
+            stream, index_root, centroids, str(tmp_path / ckpt)
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("ck1")
+    dead = [
+        r["vec_id"]
+        for r in spark.read.parquet(index_root).limit(2).collect()
+    ]
+    delete_ids(spark, index_root, dead, id_col="vec_id")
+    run("ck2")  # checkpoint loss -> full replay
+    raw = spark.read.parquet(index_root)
+    assert raw.filter(F.col("vec_id").isin(dead)).count() == 0
+    assert raw.count() == 32 - len(dead)
+
+
+def test_gram_replay_after_takedown_writes_reduced_postings(spark, tmp_path):
+    from data_lake_spark.operators.textdedup import _POS_BITS
+
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(tmp_path, [docs])
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+    raw0 = spark.read.parquet(index_root)
+    assert raw0.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() > 0
+
+    delete_ids(spark, index_root, [1])
+    shutil.rmtree(str(tmp_path / "gram_ckpt"))
+    _run_gram_ingest(spark, tmp_path, src)
+    raw = spark.read.parquet(index_root)
+    assert raw.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() == 0
+    # survivors' postings are intact
+    assert raw.filter(F.expr(f"keeper DIV {_POS_BITS}") == 2).count() > 0

@@ -402,7 +402,78 @@ def main() -> None:
                 f"(x{cr:.1f} at {k}x data)",
                 file=sys.stderr,
             )
-        print(f"wrote SCALING.md ({len(rows)} queries + compaction, K={k})")
+
+            # composed pipeline end-to-end (round-9 verdict #8): the
+            # full curation→shards handoff — quality funnel → LSH
+            # near-dup dedup → benchmark decontam → token-budgeted
+            # pack → distributed manifest — timed as ONE run, so the
+            # flat-growth claim for the composition is measured, not
+            # inferred from the per-stage rows above. The benchmark
+            # set is drawn FROM the corpus (doc_id % 97) so the
+            # decontam stage does real span work. The final pack
+            # stage's shuffle budget (one exchange) is CI-pinned in
+            # tests/test_pretrain_prepare.py.
+            from data_lake_spark.catalog import load_table
+            from data_lake_spark.pipelines import pretrain_prepare
+
+            def _time_prepare(sf_path: str) -> float:
+                bench = (
+                    load_table(spark, sf_path, "documents")
+                    .filter("doc_id % 97 = 0")
+                    .select("doc_id", "text")
+                )
+                out = tempfile.mkdtemp(prefix="prep_out_")
+                t0 = time.perf_counter()
+                pretrain_prepare(spark, sf_path, out, bench=bench)
+                dt = time.perf_counter() - t0
+                shutil.rmtree(out, ignore_errors=True)
+                return dt
+
+            p1 = _time_prepare(src)
+            pk = _time_prepare(dst)
+            pr = pk / p1 if p1 > 0 else float("inf")
+            fh.write(
+                f"| pretrain_prepare (funnel→dedup→decontam→pack→manifest, end-to-end incl. write) | "
+                f"{p1:.2f} | {pk:.2f} | {pr:.1f} | {pr / k:.2f} |\n"
+            )
+            print(
+                f"# pretrain_prepare: {p1:.2f}s -> {pk:.2f}s "
+                f"(x{pr:.1f} at {k}x data)",
+                file=sys.stderr,
+            )
+
+            # minhash_pairs_stored ratio settle (round-9 verdict #5):
+            # its K× ratio is computed against a ~0.4 s base dominated
+            # by fixed per-query cost (artifact open, plan setup), so
+            # the headline ratio over-reads the slope. The MARGINAL
+            # ratio t(2K×)/t(K×) — data exactly doubled at a large
+            # base — isolates the asymptotic slope: ≈2 means linear.
+            # minhash_lsh rides along as the family reference.
+            dst2k = tempfile.mkdtemp(prefix="scale_corpus_2k_")
+            try:
+                _scale_corpus(spark, src, dst2k, 2 * k)
+                fh.write(
+                    f"\nMarginal slope at large base (data ×2: {k}× → {2 * k}×;"
+                    " ≈2.0 = linear asymptotically — settles the low-base"
+                    f" ratio artifact in the {k}× table above):\n\n"
+                    f"| query | t({k}×) s | t({2 * k}×) s | marginal ratio |\n"
+                    "|---|---|---|---|\n"
+                )
+                for name in ("minhash_pairs_stored", "minhash_lsh"):
+                    tk8 = _time(reg[name].fn, spark, dst)
+                    tk16 = _time(reg[name].fn, spark, dst2k)
+                    mr = tk16 / tk8 if tk8 > 0 else float("inf")
+                    fh.write(
+                        f"| {name} | {tk8:.2f} | {tk16:.2f} | {mr:.2f} |\n"
+                    )
+                    print(
+                        f"# {name} marginal: {tk8:.2f}s -> {tk16:.2f}s "
+                        f"(x{mr:.2f} for 2x data)",
+                        file=sys.stderr,
+                    )
+            finally:
+                shutil.rmtree(dst2k, ignore_errors=True)
+        print(f"wrote SCALING.md ({len(rows)} queries + composed pipeline + compaction, K={k})")
     finally:
         shutil.rmtree(dst, ignore_errors=True)
 
