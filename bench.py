@@ -268,6 +268,9 @@ HEADLINE = [
     # S9 offline form: mongodump BSON dim ingest — binaryFile scan +
     # one Arrow-batched pure-Python spec walk per file + projection
     "mongo_dim_conform",
+    # packing decision table: ONE window exchange (reused by the lang
+    # rollup) — splits/waste/fill-ppm per language, integer-exact
+    "pack_efficiency",
 ]
 
 # Headline growth policy (decided round 9, before the wall forces it):

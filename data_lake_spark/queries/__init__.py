@@ -149,6 +149,7 @@ def full_registry() -> dict[str, QuerySpec]:
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-10 additions — first driver row this round
     "mongo_dim_conform",
+    "pack_efficiency",
     # (a') the one never-driver-green row, pinned (round-9 verdict #1)
     "image_dhash_pairs",
     # (b) the 44 r06-stale rows, CORRECTNESS_r06 window order

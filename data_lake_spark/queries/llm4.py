@@ -81,6 +81,95 @@ FROM packed GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# pack_efficiency — the packing DECISION table (seq_pack's rollup)
+# ---------------------------------------------------------------------------
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language packing efficiency audit — the numbers that decide
+    whether the 2048-token budget is right for this corpus: sequence
+    count, boundary-SPLIT documents (a doc spanning two sequences
+    leaks cross-document attention unless masked — the count is the
+    masking workload), padding waste in the final sequence, and the
+    integer-exact fill rate (ppm). Same one-window plan as seq_pack
+    (per-group running sum, one exchange) plus a language-sized
+    rollup; integer arithmetic throughout so any engine agrees."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs, budget=_BUDGET, group_cols=["lang"], order_cols=["doc_id"]
+    ).select(
+        "lang",
+        "n_tokens",
+        F.expr(f"start_off DIV {_BUDGET}").alias("first_seq"),
+        F.expr(f"(start_off + n_tokens - 1) DIV {_BUDGET}").alias(
+            "last_seq"
+        ),
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("last_seq") + F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum(
+                (F.col("last_seq") > F.col("first_seq")).cast("long")
+            ).alias("n_split_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_seqs",
+            "n_split_docs",
+            "total_tokens",
+            (F.col("n_seqs") * F.lit(_BUDGET) - F.col("total_tokens"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.expr(
+                f"total_tokens * 1000000 DIV (n_seqs * {_BUDGET})"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PACK_EFFICIENCY = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_off
+  FROM t
+),
+d AS (
+  SELECT lang, n_tokens,
+         start_off // {_BUDGET} AS first_seq,
+         (start_off + n_tokens - 1) // {_BUDGET} AS last_seq
+  FROM packed
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_split_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((MAX(last_seq) + 1) * {_BUDGET} - SUM(n_tokens)
+            AS BIGINT) AS waste_tokens,
+       CAST(SUM(n_tokens) * 1000000 // ((MAX(last_seq) + 1) * {_BUDGET})
+            AS BIGINT) AS fill_ppm
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # pii_redact — regex scrub with audit counts
 # ---------------------------------------------------------------------------
 
@@ -309,6 +398,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "seq_pack": QuerySpec(
         q_seq_pack, ORACLE_SEQ_PACK,
         "contiguous-fill 2048-token sequence packing per language",
+    ),
+    "pack_efficiency": QuerySpec(
+        q_pack_efficiency, ORACLE_PACK_EFFICIENCY,
+        "per-language packing decision table: sequences, boundary-split "
+        "docs (the attention-masking workload), padding waste, "
+        "integer-exact fill ppm",
     ),
     "pii_redact": QuerySpec(
         q_pii_redact, ORACLE_PII_REDACT,

@@ -348,6 +348,9 @@ _SHUFFLE_BUDGET = {
     # map-only banding over the stored signature parquet + the band
     # self-join's pair groupBy (zero shingle/signature stages)
     "minhash_pairs_stored": 1,
+    # packing audit: the per-lang running-sum window's ONE exchange is
+    # REUSED by the lang rollup (same partitioning key)
+    "pack_efficiency": 1,
 }
 
 

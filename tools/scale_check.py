@@ -33,6 +33,7 @@ QUERIES = [
     "bpe_tokens",  # regex-heavy projection
     "classifier_filter",  # feature + threshold projection
     "seq_pack",  # running-sum window per group
+    "pack_efficiency",  # same window + lang rollup (exchange reused)
     "tfidf_topterms",  # two aggs + broadcast join
     "minhash_lsh",  # shingle → minhash → band join (dedup load)
     "bigram_lm_score",  # corpus count + equi-join back
@@ -366,10 +367,12 @@ def main() -> None:
                 "shingling / signatures), so its 1× time is tiny and the\n"
                 "remaining cost is the candidate join — whose OUTPUT grows\n"
                 "with the K× near-dup families by construction.\n"
-                "minhash_pairs_stored at ~4-5× is the clearest case: its\n"
-                "ABSOLUTE 8× time stays below minhash_lsh's; the ratio\n"
-                "difference is the amortized-fixed-cost denominator, not a\n"
-                "scale defect.\n\n"
+                "minhash_pairs_stored is the clearest case: its ABSOLUTE 8×\n"
+                "time stays below minhash_lsh's, and the marginal-slope\n"
+                "section at the bottom SETTLES the ratio with a measurement —\n"
+                "t(16×)/t(8×) ≈ 2 for exactly doubled data, the same slope as\n"
+                "minhash_lsh, so the elevated 8×-table ratio is the\n"
+                "amortized-fixed-cost denominator, not a scale defect.\n\n"
                 f"| query | t(1×) s | t({k}×) s | ratio | ratio/{k} |\n"
                 "|---|---|---|---|---|\n"
             )
