@@ -130,21 +130,34 @@ def stored_artifact(
             # loser of the race, or build()/write raised: the staging
             # dir must never leak
             shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(marker):
+            # _publish could not land a committed copy (three-writer
+            # corner: an uncommitted husk occupies the path and OUR
+            # committed copy is parked aside) — sweep it back rather
+            # than reading whatever junk sits at the final path
+            _restore_committed_husk(path, marker)
     return spark.read.parquet(path)
 
 
 def _restore_committed_husk(path: str, marker: str) -> None:
     """Recovery sweep for the one _publish corner that parks a
     COMMITTED artifact aside instead of deleting it (see _publish's
-    final branch): before training from scratch, rename any
-    ``<path>.husk-*`` dir that holds ``_SUCCESS`` back into place —
-    the artifact is digest-addressed, so any committed copy is THE
-    artifact, and restoring it skips a full retrain."""
+    final branch): before training from scratch (and before the final
+    read), rename any ``<path>.husk-*`` dir that holds ``_SUCCESS``
+    back into place — the artifact is digest-addressed, so any
+    committed copy is THE artifact, and restoring it skips a full
+    retrain. An UNCOMMITTED occupant blocking the final path is
+    cleared first: anything complete arrives at ``path`` via rename
+    with ``_SUCCESS`` inside, so a marker-less occupant is by
+    construction a husk — expendable, never a committed copy."""
     import glob
+    import shutil
 
     for husk in glob.glob(f"{path}.husk-*"):
         if not os.path.exists(os.path.join(husk, "_SUCCESS")):
             continue
+        if os.path.exists(path) and not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(husk, path)
             return

@@ -32,7 +32,6 @@ import struct
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # BSON element type tags (bsonspec.org). Deprecated/unsupported tags
@@ -53,19 +52,32 @@ _INT64 = 0x12
 
 
 def _read_cstring(buf: bytes, off: int) -> tuple[str, int]:
-    end = buf.index(b"\x00", off)
+    try:
+        end = buf.index(b"\x00", off)
+    except ValueError:
+        raise ValueError(f"unterminated BSON cstring at offset {off}")
     return buf[off:end].decode("utf-8"), end + 1
 
 
-def _read_value(buf: bytes, off: int, tag: int):
+def _read_value(buf: bytes, off: int, tag: int, limit: int):
+    """Decode one element value; every variable-length read is bounds-
+    checked against ``limit`` (the END of the enclosing document), so a
+    corrupt size field raises ValueError instead of reading across
+    document boundaries or dying with IndexError."""
     if tag == _DOUBLE:
         return struct.unpack_from("<d", buf, off)[0], off + 8
     if tag == _STRING:
         (n,) = struct.unpack_from("<i", buf, off)
+        if n < 1 or off + 4 + n > limit:
+            raise ValueError(f"BSON string length {n} at {off} overruns")
         s = buf[off + 4 : off + 4 + n - 1].decode("utf-8")
         return s, off + 4 + n
     if tag in (_DOCUMENT, _ARRAY):
         (n,) = struct.unpack_from("<i", buf, off)
+        if n < 5 or off + n > limit:
+            raise ValueError(
+                f"nested BSON document size {n} at {off} overruns its parent"
+            )
         inner = _parse_document(buf, off, off + n)
         if tag == _ARRAY:
             # arrays are documents keyed '0','1',... in order
@@ -73,6 +85,8 @@ def _read_value(buf: bytes, off: int, tag: int):
         return inner, off + n
     if tag == _BINARY:
         (n,) = struct.unpack_from("<i", buf, off)
+        if n < 0 or off + 5 + n > limit:
+            raise ValueError(f"BSON binary length {n} at {off} overruns")
         subtype = buf[off + 4]
         data = bytes(buf[off + 5 : off + 5 + n])
         if subtype == 0x02:  # legacy "old binary": payload is len-prefixed
@@ -107,7 +121,12 @@ def _parse_document(buf: bytes, start: int, end: int) -> dict:
     """One document: int32 total size (includes itself and the trailing
     0x00), then elements ``tag cstring value`` until EOO."""
     (size,) = struct.unpack_from("<i", buf, start)
-    if size != end - start or size < 5 or buf[end - 1] != _EOO:
+    if (
+        size != end - start
+        or size < 5
+        or end > len(buf)
+        or buf[end - 1] != _EOO
+    ):
         raise ValueError(f"malformed BSON document at offset {start}")
     out: dict = {}
     off = start + 4
@@ -120,7 +139,7 @@ def _parse_document(buf: bytes, start: int, end: int) -> dict:
                 )
             return out
         name, off = _read_cstring(buf, off + 1)
-        out[name], off = _read_value(buf, off, tag)
+        out[name], off = _read_value(buf, off, tag, end)
 
 
 def iter_bson_docs(buf: bytes) -> Iterator[dict]:
@@ -149,7 +168,13 @@ def _conform_cell(v, dtype: T.DataType):
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, _dt.datetime):
-            return v.isoformat(sep=" ")
+            # canonical 'YYYY-MM-DD HH:MM:SS.mmm': BSON datetimes are
+            # ms-precision, so the string form carries exactly that —
+            # fixed width, no parser-dependent fraction trimming
+            return (
+                v.strftime("%Y-%m-%d %H:%M:%S")
+                + f".{v.microsecond // 1000:03d}"
+            )
         if isinstance(v, (dict, list)):
             # nested docs conform to string as canonical JSON — the
             # raw-payload bronze convention (sort_keys: deterministic)

@@ -279,7 +279,6 @@ def pretrain_prepare(
             .distinct()
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
-        n_clean = kept.count()
     export = export_training_shards(
         kept,
         dst,
@@ -287,6 +286,12 @@ def pretrain_prepare(
         order_cols=["doc_id"],
         group_cols=["lang"],
     )
+    if bench is not None:
+        # the export already counted the post-decontam survivors — a
+        # separate kept.count() would re-execute the whole LSH-dedup +
+        # decontam lineage a second time just to report a number the
+        # shard manifest carries anyway
+        n_clean = export["n_docs"]
     return {
         "n_raw": n_raw,
         "n_gated": dd["n_docs"],

@@ -266,9 +266,12 @@ def start_ivf_index_ingest(
         # re-land a deleted vector's rows (takedown.screen_batch)
         from data_lake_spark.streaming.takedown import screen_batch
 
+        # no early return on a fully-screened batch: the overwrite
+        # below must still run so a crash REPLAY of a batch whose docs
+        # were since deleted EMPTIES the previously-written dir — an
+        # early return would leave the deleted rows on disk, exactly
+        # the window the guard exists to close
         batch_df = screen_batch(batch_df, index_root, [id_col])
-        if batch_df.isEmpty():
-            return
         assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
         out = batch_df.join(assigned.select(id_col, "cell"), id_col)
         out.write.mode("overwrite").partitionBy("cell").parquet(
@@ -324,9 +327,12 @@ def start_ivfpq_index_ingest(
             return
         from data_lake_spark.streaming.takedown import screen_batch
 
+        # no early return on a fully-screened batch: the overwrite
+        # below must still run so a crash REPLAY of a batch whose docs
+        # were since deleted EMPTIES the previously-written dir — an
+        # early return would leave the deleted rows on disk, exactly
+        # the window the guard exists to close
         batch_df = screen_batch(batch_df, index_root, [id_col])
-        if batch_df.isEmpty():
-            return
         assigned = assign_cells(_elems(batch_df, id_col, vec_col), cent, id_col)
         codes = pq_codes_array(
             batch_df, values, present, subdim, id_col, vec_col
@@ -425,11 +431,12 @@ def start_lsh_dedup_ingest(
             read_tombstones,
         )
 
+        # no early return when fully screened: the accepted-zone
+        # overwrite below must still run so a replayed batch whose
+        # docs were all deleted EMPTIES its previously-written dir
         batch_df = filter_tombstoned(
             batch_df, read_tombstones(spark, accepted_root, id_col), [id_col]
         )
-        if batch_df.isEmpty():
-            return
         sig_cols = [f"sig{i}" for i in range(n_hashes)]
         sigs = (
             minhash_signatures(shingles(batch_df, n, id_col, text_col), n_hashes, id_col)
@@ -652,9 +659,9 @@ def _start_hash_index_ingest(
         # tombstoned together by the delete_ids contract
         from data_lake_spark.streaming.takedown import screen_batch
 
+        # no early return when fully screened — see start_gram_index_
+        # ingest: the replay must overwrite the dir with the reduced set
         batch_df = screen_batch(batch_df, index_root, ["media_id"])
-        if batch_df.isEmpty():
-            return
         hashes = (
             hash_table_fn(batch_df)
             .filter(F.col("dhash").isNotNull())
@@ -818,9 +825,12 @@ def start_gram_index_ingest(
         # REDUCED posting set (takedown.screen_batch)
         from data_lake_spark.streaming.takedown import screen_batch
 
+        # no early return on a fully-screened batch: the overwrite
+        # below must still run so a crash REPLAY of a batch whose docs
+        # were since deleted EMPTIES the previously-written dir — an
+        # early return would leave the deleted rows on disk, exactly
+        # the window the guard exists to close
         batch_df = screen_batch(batch_df, index_root, [id_col])
-        if batch_df.isEmpty():
-            return
         _gram_partials(batch_df, k, id_col, text_col).write.mode(
             "overwrite"
         ).parquet(f"{index_root}/batch_id={int(batch_id)}")
@@ -885,9 +895,9 @@ def start_video_gram_ingest(
         # doc_id IS the media_id; on-disk tombstones are id-named)
         from data_lake_spark.streaming.takedown import screen_batch
 
+        # no early return when fully screened — see start_gram_index_
+        # ingest: the replay must overwrite the dir with the reduced set
         batch_df = screen_batch(batch_df, index_root, ["media_id"])
-        if batch_df.isEmpty():
-            return
         docs = frame_token_docs(batch_df, ignore_hashes)
         _gram_partials(docs, 2, "doc_id", "text").write.mode(
             "overwrite"

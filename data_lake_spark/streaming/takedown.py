@@ -128,9 +128,12 @@ def delete_ids(
     recursive listing) and ``os.rename``d into ``del_<digest>``, so a
     concurrent :func:`read_tombstones` can never observe a
     partially-written tombstone set or fail on a vanishing file
-    mid-overwrite — briefly serving deleted content. On an object
-    store where the rename fails, the write falls back to the direct
-    (non-atomic) overwrite rather than losing the takedown."""
+    mid-overwrite — briefly serving deleted content. On a root that
+    is not os-visible (object store / scheme path) the staging detour
+    is skipped entirely — it could neither rename atomically nor
+    clean up its staging dir there — and the write is the direct
+    (non-atomic) overwrite; production swaps that for a
+    conditional-put manifest."""
     import shutil
 
     uniq = sorted({int(i) for i in ids})
@@ -152,6 +155,15 @@ def delete_ids(
         if os.path.exists(os.path.join(final, "_SUCCESS")):
             _NO_TOMB_MEMO.pop(root, None)
             continue  # identical set already committed (replay)
+        if not os.path.isdir(root):
+            # root not os-visible (object store / scheme path): the
+            # staging detour would leak an un-rmtree-able remote dir
+            # per call and the rename can't be atomic there anyway —
+            # write directly (the documented non-atomic fallback;
+            # production swaps this for a conditional-put manifest)
+            df.coalesce(1).write.mode("overwrite").parquet(final)
+            _NO_TOMB_MEMO.pop(root, None)
+            continue
         staging = os.path.join(
             root, TOMB_DIR, f".stage_del_{digest}_{os.getpid()}"
         )
@@ -159,9 +171,9 @@ def delete_ids(
         try:
             os.rename(staging, final)
         except OSError:
-            # either a concurrent writer committed the same digest
-            # (keep theirs), or the root is not os-renameable (object
-            # store) — then fall back to the direct overwrite
+            # a concurrent writer committed the same digest (keep
+            # theirs), or a crashed direct write left a marker-less
+            # dir at final — overwrite it
             if not os.path.exists(os.path.join(final, "_SUCCESS")):
                 df.coalesce(1).write.mode("overwrite").parquet(final)
         finally:

@@ -209,8 +209,10 @@ def test_three_writer_race_never_deletes_the_committed_copy(
 
     # the committed copy survived — parked aside, never rmtree'd
     assert os.path.exists(os.path.join(aside, "_SUCCESS"))
-    # recovery: clear the junk husk, and the sweep restores the copy
-    shutil.rmtree(path, ignore_errors=True)
+    # recovery: the sweep itself clears the uncommitted junk occupant
+    # (a marker-less dir at the final path is a husk by construction)
+    # and restores the committed copy — no manual cleanup needed
     _restore_committed_husk(path, marker)
     assert os.path.exists(marker)
     assert open(os.path.join(path, "part-c.parquet")).read() == "C"
+    assert not os.path.exists(aside)

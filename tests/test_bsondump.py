@@ -183,3 +183,39 @@ def test_conform_is_loud_on_type_mismatch(spark):
 
     with pytest.raises(Exception, match="BSON str into|PythonException"):
         read_bson_dump(spark, FIXTURE, "artisticname long").collect()
+
+
+def test_corrupt_nested_sizes_raise_valueerror_not_indexerror():
+    from tools.make_bson_fixture import _cstring, _doc, _elem_string
+
+    inner = _doc(_elem_string("k", "v"))
+    # nested doc whose size field overruns the parent: ValueError, and
+    # never a silent read across document boundaries / IndexError
+    blown = bytearray(_doc(b"\x03" + _cstring("sub") + inner))
+    pos = bytes(blown).index(inner)
+    blown[pos : pos + 4] = struct.pack("<i", 9999)
+    with pytest.raises(ValueError, match="overruns|malformed"):
+        list(iter_bson_docs(bytes(blown)))
+    # string length overrun inside a document
+    s_doc = bytearray(_doc(_elem_string("s", "hello")))
+    s_pos = bytes(s_doc).index(struct.pack("<i", 6))  # len('hello')+1
+    s_doc[s_pos : s_pos + 4] = struct.pack("<i", 5000)
+    with pytest.raises(ValueError, match="overruns|malformed"):
+        list(iter_bson_docs(bytes(s_doc)))
+    # unterminated cstring name
+    with pytest.raises(ValueError, match="cstring|malformed"):
+        list(iter_bson_docs(struct.pack("<i", 7) + b"\x08ab"))
+
+
+def test_datetime_string_conform_is_ms_canonical(spark):
+    # BSON datetimes are ms-precision; the string conform must carry
+    # exactly that, fixed width, for whole and fractional seconds alike
+    df = read_bson_dump(spark, FIXTURE, "_id string, created string")
+    vals = [r["created"] for r in df.collect()]
+    import re
+
+    assert all(
+        re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}", v)
+        for v in vals
+    )
+    assert any(not v.endswith(".000") for v in vals)  # ms are real here

@@ -780,3 +780,18 @@ def test_gram_replay_after_takedown_writes_reduced_postings(spark, tmp_path):
     assert raw.filter(F.expr(f"keeper DIV {_POS_BITS}") == 1).count() == 0
     # survivors' postings are intact
     assert raw.filter(F.expr(f"keeper DIV {_POS_BITS}") == 2).count() > 0
+
+
+def test_full_delete_replay_empties_the_batch_dirs(spark, tmp_path):
+    # every ingested doc is taken down, then the whole source replays:
+    # the write-side guard must OVERWRITE each batch dir with the empty
+    # set — an early return would leave the deleted postings on disk
+    docs = _docs_df(spark, _GRAM_DOCS)
+    src = _write_batches(tmp_path, [docs])
+    index_root = _run_gram_ingest(spark, tmp_path, src)
+    assert spark.read.parquet(index_root).count() > 0
+
+    delete_ids(spark, index_root, [1, 2, 3, 4])
+    shutil.rmtree(str(tmp_path / "gram_ckpt"))
+    _run_gram_ingest(spark, tmp_path, src)
+    assert spark.read.parquet(index_root).count() == 0

@@ -99,7 +99,13 @@ def make_rows():
         active = next(rnd) % 3 != 0
         score = (next(rnd) % 10_000) / 100.0
         sessions = next(rnd) % 500
-        created_ms = EPOCH_MS + (next(rnd) % (365 * 24 * 3600)) * 1000
+        # ms-precision on purpose: real mongodump datetimes are almost
+        # never whole-second, and the canonical string form carries ms
+        created_ms = (
+            EPOCH_MS
+            + (next(rnd) % (365 * 24 * 3600)) * 1000
+            + next(rnd) % 1000
+        )
         tags = sorted(
             {CITIES[next(rnd) % len(CITIES)].lower() for _ in range(next(rnd) % 3)}
         )
