@@ -157,7 +157,39 @@ def _restore_committed_husk(path: str, marker: str) -> None:
         if not os.path.exists(os.path.join(husk, "_SUCCESS")):
             continue
         if os.path.exists(path) and not os.path.exists(marker):
-            shutil.rmtree(path, ignore_errors=True)
+            # a marker-less occupant blocks the restore. CLAIM it by
+            # rename first — never rmtree in place: between our marker
+            # check and a delete, a competitor could rename a committed
+            # artifact into the path, and an in-place rmtree would
+            # destroy it (the _publish invariant). After the claim we
+            # re-check what we actually got.
+            claimed = f"{path}.claim-{os.getpid()}"
+            try:
+                os.rename(path, claimed)
+            except OSError:
+                claimed = ""  # competitor moved/claimed it first
+            if claimed:
+                if os.path.exists(os.path.join(claimed, "_SUCCESS")):
+                    # we yanked a JUST-committed competitor: put it
+                    # back and serve it (our own parked copy is now
+                    # redundant — a committed winner is in place)
+                    try:
+                        os.rename(claimed, path)
+                        shutil.rmtree(husk, ignore_errors=True)
+                        return
+                    except OSError:
+                        # path reoccupied again — park the committed
+                        # copy under the husk pattern so the next
+                        # sweep finds it; never delete it
+                        try:
+                            os.rename(
+                                claimed, f"{path}.husk-c{os.getpid()}"
+                            )
+                        except OSError:
+                            pass
+                        claimed = ""
+                if claimed:
+                    shutil.rmtree(claimed, ignore_errors=True)
         try:
             os.rename(husk, path)
             return

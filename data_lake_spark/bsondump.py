@@ -51,28 +51,51 @@ _TIMESTAMP = 0x11
 _INT64 = 0x12
 
 
-def _read_cstring(buf: bytes, off: int) -> tuple[str, int]:
+def _read_cstring(buf: bytes, off: int, limit: int) -> tuple[str, int]:
+    """NUL-terminated element name, bounded by the enclosing document:
+    a terminator found at/after ``limit`` means the name ran off the
+    document — raising here (not at the next tag read) keeps corrupt
+    input on the ValueError contract and off the next document's
+    bytes."""
     try:
         end = buf.index(b"\x00", off)
     except ValueError:
         raise ValueError(f"unterminated BSON cstring at offset {off}")
+    if end >= limit - 1:
+        # the terminator landed on (or past) the document's EOO byte:
+        # the name ran off the element stream — an in-bounds name must
+        # leave room for the trailing EOO after its value
+        raise ValueError(
+            f"BSON cstring at offset {off} overruns its document"
+        )
     return buf[off:end].decode("utf-8"), end + 1
 
 
+def _fits(off: int, n: int, limit: int, what: str) -> None:
+    if off + n > limit:
+        raise ValueError(
+            f"BSON {what} at offset {off} overruns its document"
+        )
+
+
 def _read_value(buf: bytes, off: int, tag: int, limit: int):
-    """Decode one element value; every variable-length read is bounds-
-    checked against ``limit`` (the END of the enclosing document), so a
-    corrupt size field raises ValueError instead of reading across
-    document boundaries or dying with IndexError."""
+    """Decode one element value; EVERY read — fixed-width and
+    variable-length alike — is bounds-checked against ``limit`` (the
+    END of the enclosing document), so corrupt or truncated input
+    raises ValueError instead of reading across document boundaries or
+    dying with IndexError/struct.error."""
     if tag == _DOUBLE:
+        _fits(off, 8, limit, "double")
         return struct.unpack_from("<d", buf, off)[0], off + 8
     if tag == _STRING:
+        _fits(off, 4, limit, "string header")
         (n,) = struct.unpack_from("<i", buf, off)
         if n < 1 or off + 4 + n > limit:
             raise ValueError(f"BSON string length {n} at {off} overruns")
         s = buf[off + 4 : off + 4 + n - 1].decode("utf-8")
         return s, off + 4 + n
     if tag in (_DOCUMENT, _ARRAY):
+        _fits(off, 4, limit, "document header")
         (n,) = struct.unpack_from("<i", buf, off)
         if n < 5 or off + n > limit:
             raise ValueError(
@@ -84,6 +107,7 @@ def _read_value(buf: bytes, off: int, tag: int, limit: int):
             inner = [inner[str(i)] for i in range(len(inner))]
         return inner, off + n
     if tag == _BINARY:
+        _fits(off, 5, limit, "binary header")
         (n,) = struct.unpack_from("<i", buf, off)
         if n < 0 or off + 5 + n > limit:
             raise ValueError(f"BSON binary length {n} at {off} overruns")
@@ -93,10 +117,13 @@ def _read_value(buf: bytes, off: int, tag: int, limit: int):
             data = data[4:]
         return data, off + 5 + n
     if tag == _OBJECTID:
+        _fits(off, 12, limit, "objectid")
         return bytes(buf[off : off + 12]).hex(), off + 12
     if tag == _BOOL:
+        _fits(off, 1, limit, "bool")
         return buf[off] != 0, off + 1
     if tag == _DATETIME:
+        _fits(off, 8, limit, "datetime")
         (ms,) = struct.unpack_from("<q", buf, off)
         return (
             _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=ms),
@@ -105,10 +132,13 @@ def _read_value(buf: bytes, off: int, tag: int, limit: int):
     if tag == _NULL:
         return None, off
     if tag == _INT32:
+        _fits(off, 4, limit, "int32")
         return struct.unpack_from("<i", buf, off)[0], off + 4
     if tag == _TIMESTAMP:  # internal replication ts: expose raw uint64
+        _fits(off, 8, limit, "timestamp")
         return struct.unpack_from("<Q", buf, off)[0], off + 8
     if tag == _INT64:
+        _fits(off, 8, limit, "int64")
         return struct.unpack_from("<q", buf, off)[0], off + 8
     raise ValueError(
         f"unsupported BSON element type 0x{tag:02x} at offset {off} — "
@@ -138,7 +168,7 @@ def _parse_document(buf: bytes, start: int, end: int) -> dict:
                     f"BSON document terminated early at offset {off}"
                 )
             return out
-        name, off = _read_cstring(buf, off + 1)
+        name, off = _read_cstring(buf, off + 1, end)
         out[name], off = _read_value(buf, off, tag, end)
 
 

@@ -431,12 +431,39 @@ def start_lsh_dedup_ingest(
             read_tombstones,
         )
 
-        # no early return when fully screened: the accepted-zone
-        # overwrite below must still run so a replayed batch whose
-        # docs were all deleted EMPTIES its previously-written dir
         batch_df = filter_tombstoned(
             batch_df, read_tombstones(spark, accepted_root, id_col), [id_col]
         )
+        if batch_df.isEmpty():
+            # fully-screened replay: the overwrites must still run so
+            # the previously-written dirs are EMPTIED — but the full
+            # candidate lineage (two eager localCheckpoints + the
+            # history-screen read) would pay several Spark jobs for
+            # nothing. Write the two empty frames directly, with
+            # schemas derived from the SAME expressions the normal
+            # path writes (lazy on an empty input — two tiny jobs).
+            empty = batch_df.limit(0)
+            empty.write.mode("overwrite").parquet(
+                f"{accepted_root}/batch_id={batch_id}"
+            )
+            sc = [f"sig{i}" for i in range(n_hashes)]
+            sigs0 = minhash_signatures(
+                shingles(empty, n, id_col, text_col), n_hashes, id_col
+            ).select(F.col(id_col), F.array(*sc).alias("sig"))
+            bands0 = lsh_bands(
+                sigs0.select(
+                    id_col,
+                    *[F.col("sig")[i].alias(f"sig{i}") for i in range(n_hashes)],
+                ),
+                rows_per_band,
+                id_col,
+            ).join(sigs0, id_col).select(
+                id_col, "band_idx", "band_hash", "sig"
+            )
+            bands0.write.mode("overwrite").partitionBy("band_idx").parquet(
+                f"{index_root}/batch_id={batch_id}"
+            )
+            return
         sig_cols = [f"sig{i}" for i in range(n_hashes)]
         sigs = (
             minhash_signatures(shingles(batch_df, n, id_col, text_col), n_hashes, id_col)
@@ -972,13 +999,26 @@ def read_vector_index(
     vector stops surfacing as an ANN candidate the moment the
     tombstone lands; its code bytes leave disk when the index is next
     rewritten/retrained (the codebook-refresh schedule)."""
+    from pyspark.errors import AnalysisException
+
     from data_lake_spark.operators.upsert import latest_batch
     from data_lake_spark.streaming.takedown import (
         filter_tombstoned,
         read_tombstones,
     )
 
-    idx = latest_batch(spark.read.parquet(index_root), id_col)
+    try:
+        raw = spark.read.parquet(index_root)
+    except AnalysisException:
+        # reachable state since full-delete replays EMPTY batch dirs:
+        # partitionBy on an empty frame writes _SUCCESS but no parquet
+        # footer, so a root whose every dir was emptied has no schema
+        # to infer — that is an empty index, not an error (the LSH and
+        # hash readers guard the same way)
+        return spark.createDataFrame(
+            [], f"{id_col} long, cell int, batch_id int"
+        )
+    idx = latest_batch(raw, id_col)
     return filter_tombstoned(
         idx, read_tombstones(spark, index_root, id_col), [id_col]
     )

@@ -72,6 +72,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from typing import Iterable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -155,8 +156,8 @@ def delete_ids(
         if os.path.exists(os.path.join(final, "_SUCCESS")):
             _NO_TOMB_MEMO.pop(root, None)
             continue  # identical set already committed (replay)
-        if not os.path.isdir(root):
-            # root not os-visible (object store / scheme path): the
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//)?", root):
+            # scheme-prefixed root (object store / remote FS): the
             # staging detour would leak an un-rmtree-able remote dir
             # per call and the rename can't be atomic there anyway —
             # write directly (the documented non-atomic fallback;
@@ -164,6 +165,10 @@ def delete_ids(
             df.coalesce(1).write.mode("overwrite").parquet(final)
             _NO_TOMB_MEMO.pop(root, None)
             continue
+        # local root (even one the first ingest hasn't created yet —
+        # a takedown may legitimately arrive ahead of the stream):
+        # the atomic staging+rename publish applies
+        os.makedirs(os.path.join(root, TOMB_DIR), exist_ok=True)
         staging = os.path.join(
             root, TOMB_DIR, f".stage_del_{digest}_{os.getpid()}"
         )

@@ -219,3 +219,22 @@ def test_datetime_string_conform_is_ms_canonical(spark):
         for v in vals
     )
     assert any(not v.endswith(".000") for v in vals)  # ms are real here
+
+
+def test_truncated_fixed_width_values_raise_valueerror():
+    from tools.make_bson_fixture import _cstring
+
+    # a document claiming a double at its tail with only 4 payload
+    # bytes left: must be ValueError, never struct.error or a silent
+    # read into the next document's bytes
+    elems = b"\x01" + _cstring("a") + b"\x00\x00\x00\x00"  # 4 of 8 bytes
+    size = 4 + len(elems) + 1
+    doc = struct.pack("<i", size) + elems + b"\x00"
+    with pytest.raises(ValueError, match="overruns"):
+        list(iter_bson_docs(doc))
+    # element NAME whose terminator is the EOO byte itself: the name
+    # scan must not consume the document terminator (or bytes of the
+    # FOLLOWING document)
+    bad_name = struct.pack("<i", 10) + b"\x0a" + b"abcd" + b"\x00"
+    with pytest.raises(ValueError, match="cstring|overruns|malformed"):
+        list(iter_bson_docs(bad_name))

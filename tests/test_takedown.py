@@ -795,3 +795,33 @@ def test_full_delete_replay_empties_the_batch_dirs(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "gram_ckpt"))
     _run_gram_ingest(spark, tmp_path, src)
     assert spark.read.parquet(index_root).count() == 0
+
+
+def test_delete_ids_before_first_ingest_is_atomic(spark, tmp_path):
+    # a takedown may arrive before the stream ever created the root:
+    # a local-but-missing root must still take the atomic staged
+    # publish (not the object-store direct-write fallback)
+    from data_lake_spark.streaming.takedown import TOMB_DIR
+
+    root = str(tmp_path / "not_yet_created")
+    assert not os.path.exists(root)
+    delete_ids(spark, root, [7, 8])
+    dels = glob.glob(os.path.join(root, TOMB_DIR, "del_*"))
+    assert len(dels) == 1
+    assert os.path.exists(os.path.join(dels[0], "_SUCCESS"))
+    assert not glob.glob(os.path.join(root, TOMB_DIR, ".stage*"))
+    got = {r["doc_id"] for r in read_tombstones(spark, root).collect()}
+    assert got == {7, 8}
+
+
+def test_read_vector_index_survives_all_empty_root(spark, tmp_path):
+    # full-delete replay empties every IVF batch dir (no parquet
+    # footers anywhere): the reader must return an empty frame, not
+    # raise 'unable to infer schema'
+    from data_lake_spark.streaming.incremental import read_vector_index
+
+    root = str(tmp_path / "ivf_empty")
+    spark.createDataFrame([], "vec_id long, cell int").limit(0).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(root, "batch_id=0"))
+    assert read_vector_index(spark, root).count() == 0
