@@ -228,19 +228,20 @@ HEADLINE = [
     # projection onto the PERSISTED top principal component — compare
     # against embedding_pca to see what the stored component buys
     "pca_project_stored",
-    # perceptual audio dedup: real RIFF/PCM decode + integer envelope
-    # fingerprint (one Arrow pass), 8-band Hamming LSH, bit_count refine
-    "audio_fp_pairs",
-    # perceptual video dedup: real RIFF/AVI frame extraction + image
-    # dHash per frame, frame-aligned banding, every-frame refine
-    "video_frame_pairs",
+    # ROUND-10 EVICTIONS (the cap policy below, first exercised here):
+    # audio_fp_pairs, video_frame_pairs and dedup_videos_keepers left
+    # the headline — each is superseded by its *_stored serving twin
+    # below, and each decode cost stays pinned by its own SCALING.md
+    # row (audio 0.9→1.1 s, video pairs 5.2 s, video keepers 6.0 s at
+    # 8×) plus CORRECTNESS rotation coverage. image_dhash_pairs (the
+    # round-9 verdict's watch row) and the image/audio keeper decodes
+    # stay: each family keeps a decode representative in the headline.
     # recut-clip detection: ExactSubstr over frame-hash tokens
     "video_clip_spans",
     # the dedup DECISIONS: pairs -> connected components -> keepers,
     # CC label set oracle-checked via recursive closure
     "dedup_images_keepers",
     "dedup_audio_keepers",
-    "dedup_videos_keepers",
     # per-domain blocklist decision table (url_domains' sequel):
     # link census + linking-doc quality, integer-exact
     "domain_doc_quality",
@@ -271,6 +272,20 @@ HEADLINE = [
     # packing decision table: ONE window exchange (reused by the lang
     # rollup) — splits/waste/fill-ppm per language, integer-exact
     "pack_efficiency",
+    # scale-posture family (queries/scale_q.py, round 10):
+    # decontam with the benchmark membership set broadcast as a Bloom
+    # BIT ARRAY (8 KB literal, zero-join codegen probe) + exact confirm
+    # on survivors only — compare against decontam for the sketch win
+    "decontam_bloom",
+    # blocked-dedup candidate-pair census from per-block counts only
+    # (the pair space is never materialized)
+    "pair_space_audit",
+    # Morton/Z-order vs date clustering: file-envelope skipping audit
+    # on a fixed 2-D box (4/64 vs 16/64 files at every sf)
+    "zorder_layout",
+    # integer-exact Simpson char-collision junk signal — JVM
+    # higher-order functions, map-only
+    "char_diversity",
 ]
 
 # Headline growth policy (decided round 9, before the wall forces it):

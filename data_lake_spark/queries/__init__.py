@@ -54,6 +54,7 @@ def full_registry() -> dict[str, QuerySpec]:
         relational4,
         relational5,
         retrieval_q,
+        scale_q,
         sketches,
         sketches2,
         sqlcompat_q,
@@ -103,6 +104,7 @@ def full_registry() -> dict[str, QuerySpec]:
     reg.update(sqlcompat_q.REGISTRY)
     reg.update(retrieval_q.REGISTRY)
     reg.update(corpus_q.REGISTRY)
+    reg.update(scale_q.REGISTRY)
 
     ordered: dict[str, QuerySpec] = {}
     for name in _DRIVER_WINDOW_PRIORITY:
@@ -150,6 +152,14 @@ _DRIVER_WINDOW_PRIORITY = [
     # (a) round-10 additions — first driver row this round
     "mongo_dim_conform",
     "pack_efficiency",
+    # scale-posture family (queries/scale_q.py): Bloom-bit-array
+    # decontam prefilter (exact-confirmed — same oracle as decontam),
+    # blocked-pair census, Z-order skipping audit, Simpson
+    # char-collision signal
+    "decontam_bloom",
+    "pair_space_audit",
+    "zorder_layout",
+    "char_diversity",
     # (a') the one never-driver-green row, pinned (round-9 verdict #1)
     "image_dhash_pairs",
     # (b) the 44 r06-stale rows, CORRECTNESS_r06 window order

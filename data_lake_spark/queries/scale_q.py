@@ -1,0 +1,459 @@
+"""Scale-posture operators: the pre-flight audits and broadcast-sketch
+rewrites an engineer reaches for before running a 100 TB job.
+
+Four families, each oracle-paired and each chosen because its *shape*
+is what changes at cluster scale, not just its constants:
+
+- ``decontam_bloom`` — benchmark decontamination where the broadcast
+  object is a Bloom BIT ARRAY instead of the benchmark's distinct n-gram
+  strings. ``curation.q_decontam`` broadcasts the gram set itself, which
+  is right while the eval suite is small; a full eval stack (every
+  benchmark for every task) reaches 10^8+ grams whose string hashmap no
+  longer broadcasts, while the Bloom encoding of the same membership set
+  is ~10 bits/gram (125 MB at 10^8 — still a broadcast). The corpus scan
+  stays map-only; only the bloom SURVIVORS (true hits + ~1% false
+  positives at the chosen geometry) reach the exact confirm join, so the
+  shuffled volume is the survivor fraction, not the corpus. The result
+  is EXACT — false positives die in the confirm join — so the oracle is
+  the same SQL as plain ``decontam``. Reference parity: same query
+  surface as decontam (reference has no bloom path; this is the scale
+  rewrite the 1 GB Athena scan cutoff would eventually force).
+
+- ``pair_space_audit`` — the pre-LSH blocking audit: for the standard
+  (lang, size-band) blocking of the documents table, the exact number of
+  candidate pairs a blocked all-pairs compare would generate, per
+  language, next to the unblocked n·(n-1)/2. Computed entirely from
+  per-block COUNTS (one map-side-combinable aggregate) — the pair space
+  itself is never materialized. This is the number that decides between
+  blocked-compare and MinHash/LSH before anyone launches a week-long
+  join.
+
+- ``zorder_layout`` — data-layout skipping audit: quantize orders onto
+  a 256×256 (custkey × order-day) grid, derive a 16-bit Morton (Z-order)
+  interleave entirely with integer arithmetic, and compare two 64-file
+  layouts — Z-order-clustered vs date-clustered — on a fixed 2-D
+  predicate box, counting how many files' min/max envelopes a scan must
+  touch and how many rows those files hold. The Morton key is the
+  DataSource-level clustering (Delta OPTIMIZE ZORDER / Hudi space-curve
+  layout) that turns 2-D point/box lookups from "read the whole date
+  range" into "read the overlapped cells"; the audit makes the win a
+  measured number instead of folklore.
+
+- ``char_diversity`` — Simpson/collision index over characters per
+  document, integer-exact (ppm fixed-point, no floats): a
+  low-diversity (high-collision) document is binary junk, padding, or
+  template spam. Map-only higher-order-function arithmetic (JVM lambda,
+  no explode shuffle, no Python) — the per-row cost is
+  O(alphabet × len), bounded by the ~hundreds-symbol alphabet of real
+  text.
+
+Scale notes are in each docstring; plan contracts in
+tests/test_plan_contracts.py (zorder_layout's one-row stats frame is a
+registered broadcast-crossJoin shape) and behavioral tests in
+tests/test_scale_q.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries import QuerySpec
+from data_lake_spark.queries.curation import ORACLE_DECONTAM
+
+# ---------------------------------------------------------------------------
+# decontam_bloom — Bloom-bit-array broadcast prefilter + exact confirm
+# ---------------------------------------------------------------------------
+
+_NGRAM = 5  # matches curation.decontam for comparability
+_BLOOM_BITS = 1 << 16  # m: 65536 bits = 1024 longs = 8 KB broadcast
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_SEEDS = (1, 2, 3)  # k = 3 hash functions
+
+
+def _corpus_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) 5-grams — same construction as curation.q_decontam
+    (gram sliced AFTER posexplode so Catalyst's infer-filters rewrite
+    cannot triplicate the gram-array build)."""
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return (
+        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+        .filter(F.col("i") <= F.size("toks") - _NGRAM)
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(toks, i + 1, {_NGRAM}))").alias("g"),
+        )
+    )
+
+
+def _bloom_hash(col, seed: int):
+    """Bit position of `col` under hash `seed`: pmod(xxhash64(g, seed), m).
+    xxhash64 is JVM-side and codegen'd; pmod keeps the position
+    non-negative."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_BITS))
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast Bloom prefilter.
+
+    Pipeline: (1) distinct benchmark 5-grams → their k·m bit positions →
+    a driver-side bit array (the collect is bounded by k × |benchmark
+    grams| — benchmark-suite-sized by definition, the same justified
+    class as tombstone-id collects); (2) the bit array ships as ONE
+    array<bigint> literal (8 KB) — membership tests are pure integer
+    expressions inside whole-stage codegen, zero joins, zero Python;
+    (3) corpus grams that pass all k bit probes (~1% of misses at this
+    geometry, every true hit) go to the exact confirm join against the
+    benchmark grams, which removes false positives — output is
+    bit-identical to plain decontam.
+
+    At 100 TB: the corpus-side scan + bloom probe is map-only; the
+    confirm join shuffles only the survivor fraction. The join is left
+    unhinted on purpose: at test scale AQE broadcasts the benchmark
+    side, at eval-stack scale it degrades to a shuffle of survivors —
+    both correct, both cheap. m/k are module constants; resize m to
+    ~10 bits per benchmark gram to hold the ~1% false-positive rate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _corpus_grams(docs)
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+
+    pos_rows = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_hash(F.col("g"), s) for s in _BLOOM_SEEDS])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement fold so every word fits Spark's signed LongType
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    corpus = grams.filter(F.col("doc_id") >= 10).withColumn(
+        "_bloom", F.lit(words).cast("array<bigint>")
+    )
+    for s in _BLOOM_SEEDS:
+        corpus = corpus.withColumn("_p%d" % s, _bloom_hash(F.col("g"), s))
+    probe = " AND ".join(
+        "((shiftrightunsigned(element_at(_bloom, "
+        "cast(shiftrightunsigned(_p%d, 6) as int) + 1), "
+        "cast((_p%d & 63) as int)) & 1) = 1" % (s, s) + ")"
+        for s in _BLOOM_SEEDS
+    )
+    survivors = corpus.filter(F.expr(probe)).select("doc_id", "g")
+    return (
+        survivors.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test hook: the corpus (doc_id, g) rows that pass the Bloom probe
+    BEFORE the exact confirm join (superset of the true hits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _corpus_grams(docs)
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    pos_rows = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_hash(F.col("g"), s) for s in _BLOOM_SEEDS])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    corpus = grams.filter(F.col("doc_id") >= 10).withColumn(
+        "_bloom", F.lit(words).cast("array<bigint>")
+    )
+    for s in _BLOOM_SEEDS:
+        corpus = corpus.withColumn("_p%d" % s, _bloom_hash(F.col("g"), s))
+    probe = " AND ".join(
+        "((shiftrightunsigned(element_at(_bloom, "
+        "cast(shiftrightunsigned(_p%d, 6) as int) + 1), "
+        "cast((_p%d & 63) as int)) & 1) = 1" % (s, s) + ")"
+        for s in _BLOOM_SEEDS
+    )
+    return corpus.filter(F.expr(probe)).select("doc_id", "g")
+
+
+# ---------------------------------------------------------------------------
+# pair_space_audit — blocked-candidate-pair preflight, counts only
+# ---------------------------------------------------------------------------
+
+
+def q_pair_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact candidate-pair census for (lang, digit-band-of-n_chars)
+    blocking, computed from per-block counts only — the pair space is
+    never built. One map-side-combinable shuffle on the block key, then
+    a language-sized rollup. ``n_pairs`` vs ``n_pairs_unblocked`` is the
+    blocking reduction factor; ``max_block`` is the straggler bound (the
+    largest single block a blocked compare would still have to expand).
+    At 100 TB this costs one aggregate over the corpus — the audit that
+    decides blocked-compare vs LSH before a week-long join is launched."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = docs.groupBy(
+        "lang",
+        F.length(F.col("n_chars").cast("string")).alias("band"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        blocks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("c").alias("n_docs"),
+            F.max("c").alias("max_block"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("n_pairs"),
+        )
+        .withColumn(
+            "n_pairs_unblocked", F.expr("n_docs * (n_docs - 1) div 2")
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PAIR_SPACE_AUDIT = """
+WITH b AS (
+  SELECT lang, LENGTH(CAST(n_chars AS VARCHAR)) AS band, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(MAX(c) AS BIGINT) AS max_block,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+       CAST(SUM(c) * (SUM(c) - 1) // 2 AS BIGINT) AS n_pairs_unblocked
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout — Morton-interleave clustering vs date clustering
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = "1995-01-01"  # testdata orders start here; dy >= 0 by data
+_Z_GRID = 256  # per-dimension quantization (8 bits)
+_Z_FILES = 64  # files per layout (top 6 Morton bits / qy div 4)
+# the audited predicate box, in QUANTIZED grid coordinates: the second
+# quarter of each dimension (a quarter×quarter rectangle, ~1/16 of the
+# grid). Quantization maps each dimension's min/max onto 0..255, so the
+# box is non-vacuous at EVERY sf — a raw-coordinate box went vacuous at
+# sf0.001 where custkey never reached it. A quantized box is still a
+# rectangle in raw coordinates (the quantizer is monotone), so the
+# skipping measure is the same one a raw BETWEEN predicate would see.
+_Z_QX_LO, _Z_QX_HI = 64, 127
+_Z_QY_LO, _Z_QY_HI = 64, 127
+
+
+def _morton_terms(qx: str, qy: str, intdiv: str) -> str:
+    """16-bit Morton interleave of two 8-bit ints as pure integer
+    arithmetic — the same generated expression text serves Spark
+    (`div`) and DuckDB (`//`), so the oracle is the construction
+    itself, not a reimplementation. x occupies even bit positions,
+    y odd."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({qx} {intdiv} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({qy} {intdiv} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping audit: Z-order vs date clustering on a 2-D box.
+
+    One corpus scan derives both bucket assignments: dims are min/max
+    quantized onto a 256×256 grid (the one-row stats frame attaches via
+    broadcast crossJoin — the registered scalar-subquery shape), the
+    Morton key is 16 integer-arithmetic terms inside whole-stage
+    codegen, and ``stack`` unpivots each row into its two layouts. Per
+    (layout, file-bucket) min/max envelopes — exactly the footer stats
+    a parquet reader prunes with — then one 2-row rollup: how many
+    files does the box predicate touch, holding how many rows.
+
+    At scale: writing the layout is `repartitionByRange(morton)` at
+    ingest; this audit is the cheap (two small aggregates) justification
+    for doing so. The box is fixed so the number is comparable across
+    rounds; rows_total must agree between layouts (same scan) — pinned
+    in tests."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(_Z_EPOCH).cast("date")
+        ).cast("long").alias("dy"),
+    )
+    stats = o.agg(
+        F.min("ck").alias("ck0"),
+        F.max("ck").alias("ck1"),
+        F.min("dy").alias("dy0"),
+        F.max("dy").alias("dy1"),
+    )
+    q = o.crossJoin(F.broadcast(stats)).select(
+        "ck",
+        "dy",
+        F.expr(f"((ck - ck0) * {_Z_GRID}) div (ck1 - ck0 + 1)").alias("qx"),
+        F.expr(f"((dy - dy0) * {_Z_GRID}) div (dy1 - dy0 + 1)").alias("qy"),
+    )
+    m = q.select(
+        "qx",
+        "qy",
+        F.expr(_morton_terms("qx", "qy", "div")).alias("z"),
+    )
+    lay = m.select(
+        "qx",
+        "qy",
+        F.expr(
+            "stack(2, 'bydate', qy div 4, 'zorder', z div 1024) "
+            "as (layout, bucket)"
+        ),
+    )
+    per = lay.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("qx").alias("qx_min"),
+        F.max("qx").alias("qx_max"),
+        F.min("qy").alias("qy_min"),
+        F.max("qy").alias("qy_max"),
+    )
+    hit = per.withColumn(
+        "hit",
+        (
+            (F.col("qx_max") >= _Z_QX_LO)
+            & (F.col("qx_min") <= _Z_QX_HI)
+            & (F.col("qy_max") >= _Z_QY_LO)
+            & (F.col("qy_min") <= _Z_QY_HI)
+        ).cast("long"),
+    )
+    return (
+        hit.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("hit").alias("n_files_hit"),
+            F.sum(F.expr("hit * n_rows")).alias("rows_scanned"),
+            F.sum("n_rows").alias("rows_total"),
+        )
+        .orderBy("layout")
+    )
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         DATE_DIFF('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+s AS (SELECT MIN(ck) ck0, MAX(ck) ck1, MIN(dy) dy0, MAX(dy) dy1 FROM o),
+q AS (
+  SELECT ck, dy,
+         ((ck - ck0) * {_Z_GRID}) // (ck1 - ck0 + 1) AS qx,
+         ((dy - dy0) * {_Z_GRID}) // (dy1 - dy0 + 1) AS qy
+  FROM o, s
+),
+m AS (SELECT qx, qy, {_morton_terms('qx', 'qy', '//')} AS z FROM q),
+lay AS (
+  SELECT qx, qy, 'bydate' AS layout, qy // 4 AS bucket FROM m
+  UNION ALL
+  SELECT qx, qy, 'zorder' AS layout, z // 1024 AS bucket FROM m
+),
+per AS (
+  SELECT layout, bucket, COUNT(*) AS n_rows,
+         MIN(qx) qx_min, MAX(qx) qx_max, MIN(qy) qy_min, MAX(qy) qy_max
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN qx_max >= {_Z_QX_LO} AND qx_min <= {_Z_QX_HI}
+                      AND qy_max >= {_Z_QY_LO} AND qy_min <= {_Z_QY_HI}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit,
+       CAST(SUM(CASE WHEN qx_max >= {_Z_QX_LO} AND qx_min <= {_Z_QX_HI}
+                      AND qy_max >= {_Z_QY_LO} AND qy_min <= {_Z_QY_HI}
+                 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# char_diversity — integer-exact Simpson (collision) index per document
+# ---------------------------------------------------------------------------
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-collision quality signal, ppm fixed-point.
+
+    simpson_ppm = 10^6 · Σ cᵢ² / n² where cᵢ are per-character counts —
+    high values mean a few symbols dominate (padding runs, template
+    spam, binary-ish junk); uniform text sits near 10^6/alphabet. All
+    arithmetic is JVM higher-order functions over the char array
+    (transform/filter/aggregate inside codegen): map-only, zero
+    shuffles besides the output sort, zero Python. Per-row cost is
+    O(|alphabet| · len) and the 10^6 · n² intermediate fits int64 for
+    docs up to ~3 M chars — chunk longer docs upstream (chunk_docs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return (
+        docs.withColumn("ch", F.split("text", ""))
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_text"),
+            F.expr("cast(size(array_distinct(ch)) as bigint)").alias(
+                "n_distinct_chars"
+            ),
+            F.expr(
+                "aggregate(transform(array_distinct(ch), "
+                "c -> cast(size(filter(ch, x -> x = c)) as bigint)), "
+                "cast(0 as bigint), (a, v) -> a + v * v)"
+            ).alias("sum_ci2"),
+        )
+        .withColumn(
+            "simpson_ppm",
+            F.expr("(1000000 * sum_ci2) div (n_chars_text * n_chars_text)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHAR_DIVERSITY = """
+WITH t AS (
+  SELECT doc_id, LENGTH(text) AS n, STRING_SPLIT(text, '') AS w
+  FROM documents WHERE LENGTH(text) > 0
+),
+u AS (SELECT doc_id, UNNEST(w) AS c FROM t),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM u GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_distinct_chars, SUM(k * k) AS sum_ci2
+  FROM cnt GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars_text,
+       CAST(a.n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       CAST(a.sum_ci2 AS BIGINT) AS sum_ci2,
+       CAST((1000000 * a.sum_ci2) // (t.n * t.n) AS BIGINT) AS simpson_ppm
+FROM t JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    "decontam_bloom": QuerySpec(
+        q_decontam_bloom, ORACLE_DECONTAM,
+        "decontamination via broadcast Bloom bit-array prefilter + exact confirm",
+    ),
+    "pair_space_audit": QuerySpec(
+        q_pair_space_audit, ORACLE_PAIR_SPACE_AUDIT,
+        "blocked-dedup candidate-pair census from per-block counts only",
+    ),
+    "zorder_layout": QuerySpec(
+        q_zorder_layout, ORACLE_ZORDER_LAYOUT,
+        "Morton/Z-order vs date clustering file-skipping audit",
+    ),
+    "char_diversity": QuerySpec(
+        q_char_diversity, ORACLE_CHAR_DIVERSITY,
+        "integer-exact Simpson character-collision quality signal",
+    ),
+}

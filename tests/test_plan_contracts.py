@@ -87,6 +87,10 @@ _BNLJ_OK = {
     # one-row total-slots frame attached via broadcast crossJoin to the
     # 1000-row top-bigram frame (the bm25_topk scalar shape)
     "ngram_coverage",
+    # one-row min/max stats frame (the quantizer bounds) attached via
+    # broadcast crossJoin before the Morton interleave — the standard
+    # scalar-subquery shape
+    "zorder_layout",
 }
 
 

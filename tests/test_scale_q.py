@@ -1,0 +1,166 @@
+"""Behavioral tests for the scale-posture family (queries/scale_q.py).
+
+Oracle parity is covered by tools/acceptance.py / the driver; these pin
+the properties that parity alone cannot see — the Bloom prefilter's
+losslessness AND its pruning power, the pair-census invariants, the
+Z-order layout actually beating the date layout, and the
+char-diversity arithmetic against an independent Python computation.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_spark.catalog import load_table
+from data_lake_spark.queries.curation import q_decontam
+from data_lake_spark.queries.scale_q import (
+    _corpus_grams,
+    bloom_candidates,
+    q_char_diversity,
+    q_decontam_bloom,
+    q_pair_space_audit,
+    q_zorder_layout,
+)
+
+
+# ---------------------------------------------------------------------------
+# decontam_bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontam_equals_exact(spark, sf_dir):
+    """The Bloom prefilter is lossless: bloom-then-confirm produces the
+    byte-identical hit table of the plain broadcast-join decontam."""
+    exact = sorted(map(tuple, q_decontam(spark, sf_dir).collect()))
+    bloom = sorted(map(tuple, q_decontam_bloom(spark, sf_dir).collect()))
+    assert bloom == exact
+    assert len(bloom) > 0  # non-vacuous: the planted overlap is found
+
+
+def test_bloom_prefilter_prunes_and_never_drops(spark, sf_dir):
+    """The candidate set after the bit-array probe is a small fraction
+    of the corpus gram stream (the shuffle the confirm join is spared)
+    yet a superset of every true benchmark collision."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _corpus_grams(docs)
+    corpus_n = grams.filter(F.col("doc_id") >= 10).count()
+    cand = bloom_candidates(spark, sf_dir)
+    cand_n = cand.count()
+    # pruning power: >90% of corpus grams never reach the join at the
+    # module's m/k geometry (observed ~99% at sf0.001)
+    assert cand_n < corpus_n * 0.10
+    # no false negatives: every exact hit gram survives the probe
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    true_hits = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(bench, "g")
+        .select("doc_id", "g")
+    )
+    missing = true_hits.exceptAll(cand).count()
+    assert missing == 0
+
+
+# ---------------------------------------------------------------------------
+# pair_space_audit
+# ---------------------------------------------------------------------------
+
+
+def test_pair_space_audit_invariants(spark, sf_dir):
+    rows = {r.lang: r for r in q_pair_space_audit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    true_counts = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(rows) == set(true_counts)
+    for lang, r in rows.items():
+        assert r.n_docs == true_counts[lang]
+        assert r.n_pairs_unblocked == r.n_docs * (r.n_docs - 1) // 2
+        # blocking can only shrink the pair space, and the biggest block
+        # bounds the per-block expansion
+        assert r.n_pairs <= r.n_pairs_unblocked
+        assert r.max_block <= r.n_docs
+        assert r.n_pairs >= r.max_block * (r.max_block - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_beats_date_clustering(spark, sf_dir):
+    rows = {r.layout: r for r in q_zorder_layout(spark, sf_dir).collect()}
+    assert set(rows) == {"bydate", "zorder"}
+    z, d = rows["zorder"], rows["bydate"]
+    # same scan underneath: totals agree; both layouts fill 64 files
+    assert z.rows_total == d.rows_total > 0
+    assert z.n_files == d.n_files == 64
+    # the audit is non-vacuous (the box matches data at every sf) …
+    assert d.n_files_hit > 0 and z.n_files_hit > 0
+    # … and Z-order prunes strictly better on the 2-D box: the quarter×
+    # quarter box covers 4 of 64 Morton cells vs 16 of 64 date stripes
+    assert z.n_files_hit < d.n_files_hit
+    assert z.rows_scanned < d.rows_scanned
+
+
+# ---------------------------------------------------------------------------
+# char_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_char_diversity_matches_python(spark, sf_dir):
+    got = {r.doc_id: r for r in q_char_diversity(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(25)
+        .collect()
+    }
+    checked = 0
+    for doc_id, text in docs.items():
+        if not text:
+            assert doc_id not in got
+            continue
+        cnt = collections.Counter(text)
+        n = len(text)
+        sum_ci2 = sum(v * v for v in cnt.values())
+        r = got[doc_id]
+        assert r.n_chars_text == n
+        assert r.n_distinct_chars == len(cnt)
+        assert r.sum_ci2 == sum_ci2
+        assert r.simpson_ppm == (1_000_000 * sum_ci2) // (n * n)
+        checked += 1
+    assert checked > 0
+
+
+def test_char_diversity_flags_low_diversity(spark, sf_dir):
+    """A degenerate single-symbol document scores ~10^6 ppm; real text
+    sits far lower — the signal separates junk from prose."""
+    from data_lake_spark.queries.scale_q import q_char_diversity as q
+
+    real_max = (
+        q(spark, sf_dir).agg(F.max("simpson_ppm").alias("m")).collect()[0].m
+    )
+    junk = spark.createDataFrame(
+        [(10**9, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")], "doc_id long, text string"
+    )
+    j = (
+        junk.withColumn("ch", F.split("text", ""))
+        .select(
+            F.expr(
+                "aggregate(transform(array_distinct(ch), "
+                "c -> cast(size(filter(ch, x -> x = c)) as bigint)), "
+                "cast(0 as bigint), (a, v) -> a + v * v)"
+            ).alias("s"),
+            F.length("text").cast("long").alias("n"),
+        )
+        .select(F.expr("(1000000 * s) div (n * n)").alias("ppm"))
+        .collect()[0]
+        .ppm
+    )
+    assert j == 1_000_000
+    assert real_max < 500_000
