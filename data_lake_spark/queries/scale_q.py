@@ -259,7 +259,10 @@ def _morton_terms(qx: str, qy: str, intdiv: str) -> str:
     arithmetic — the same generated expression text serves Spark
     (`div`) and DuckDB (`//`), so the oracle is the construction
     itself, not a reimplementation. x occupies even bit positions,
-    y odd."""
+    y odd — bit-identical to ``layout.morton_code`` (the shiftleft JVM
+    form used by the actual ``layout.write_zordered`` write path;
+    equality is pinned in tests/test_scale_q.py). This arithmetic twin
+    exists solely because DuckDB must evaluate the identical text."""
     terms = []
     for i in range(8):
         terms.append(f"(({qx} {intdiv} {1 << i}) % 2) * {4 ** i}")

@@ -91,6 +91,32 @@ def test_pair_space_audit_invariants(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def test_morton_arithmetic_twin_matches_layout_morton_code(spark, sf_dir):
+    """The oracle-shareable integer-arithmetic Morton in scale_q is
+    bit-identical to layout.morton_code (the shiftleft form behind
+    write_zordered) over the full 8-bit grid — the audit and the write
+    path cluster on the same curve."""
+    from data_lake_spark.layout import morton_code
+    from data_lake_spark.queries.scale_q import _morton_terms
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") % 256).alias("qx"),
+            F.expr("id div 256").alias("qy"),
+        )
+    )
+    mism = (
+        grid.select(
+            F.expr(_morton_terms("qx", "qy", "div")).alias("a"),
+            morton_code("qx", "qy", bits=8).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+
+
 def test_zorder_beats_date_clustering(spark, sf_dir):
     rows = {r.layout: r for r in q_zorder_layout(spark, sf_dir).collect()}
     assert set(rows) == {"bydate", "zorder"}

@@ -133,11 +133,21 @@ QUERIES = [
     # subtract-then-fold takedown screen: gram pass + (h,doc) agg +
     # fold + screen join — inverted-index linear like exact_substr
     "takedown_screen",
+    # Bloom-prefilter decontam: constant 8 KB bit-array broadcast +
+    # map-only probe; only the survivor fraction reaches the confirm
+    # join — must track decontam_substr's scan-linear shape
+    "decontam_bloom",
+    # blocked-pair census from per-block counts: one map-side-
+    # combinable agg, pair space never built — scan-linear (the PAIR
+    # NUMBERS it reports grow K², the cost of counting them doesn't)
+    "pair_space_audit",
+    # map-only alphabet×len higher-order-function arithmetic
+    "char_diversity",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
     # so no row here; trend_slopes / winsorize / anomaly_days / dq_checks
-    # / rolling_corr / k_anonymity / dist_drift read orders/lineitem/
-    # customer, which the multiplier doesn't touch)
+    # / rolling_corr / k_anonymity / dist_drift / zorder_layout read
+    # orders/lineitem/customer, which the multiplier doesn't touch)
 ]
 
 
