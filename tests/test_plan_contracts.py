@@ -355,6 +355,20 @@ _SHUFFLE_BUDGET = {
     # packing audit: the per-lang running-sum window's ONE exchange is
     # REUSED by the lang rollup (same partitioning key)
     "pack_efficiency": 1,
+    # bloom prefilter is a map-only codegen probe (zero exchanges —
+    # the bit array is a literal); budget = bench-gram distinct + the
+    # two-phase count_distinct(doc_id, g) rollup, same as decontam
+    "decontam_bloom": 3,
+    # (lang, band) census + lang rollup — the pair space never shuffles
+    # because it never exists
+    "pair_space_audit": 2,
+    # (layout, bucket) envelope agg + 2-row layout rollup; the
+    # quantizer stats frame is a SinglePartition scalar agg (not
+    # counted, dim-sized by construction)
+    "zorder_layout": 2,
+    # map-only higher-order-function arithmetic — zero exchanges
+    # before the output sort
+    "char_diversity": 0,
 }
 
 
