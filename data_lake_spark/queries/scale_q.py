@@ -94,27 +94,19 @@ def _bloom_hash(col, seed: int):
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_BLOOM_BITS))
 
 
-def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination with a broadcast Bloom prefilter.
+def _bloom_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(survivors, bench): corpus (doc_id, g) rows passing the Bloom
+    probe, plus the distinct benchmark grams they must be confirmed
+    against.
 
-    Pipeline: (1) distinct benchmark 5-grams → their k·m bit positions →
-    a driver-side bit array (the collect is bounded by k × |benchmark
-    grams| — benchmark-suite-sized by definition, the same justified
-    class as tombstone-id collects); (2) the bit array ships as ONE
-    array<bigint> literal (8 KB) — membership tests are pure integer
-    expressions inside whole-stage codegen, zero joins, zero Python;
-    (3) corpus grams that pass all k bit probes (~1% of misses at this
-    geometry, every true hit) go to the exact confirm join against the
-    benchmark grams, which removes false positives — output is
-    bit-identical to plain decontam.
-
-    At 100 TB: the corpus-side scan + bloom probe is map-only; the
-    confirm join shuffles only the survivor fraction. The join is left
-    unhinted on purpose: at test scale AQE broadcasts the benchmark
-    side, at eval-stack scale it degrades to a shuffle of survivors —
-    both correct, both cheap. m/k are module constants; resize m to
-    ~10 bits per benchmark gram to hold the ~1% false-positive rate.
-    """
+    The bit array is built from the benchmark side's k·|grams| distinct
+    positions — a driver-side collect bounded by the benchmark-suite
+    size by definition (the same justified class as tombstone-id
+    collects) — and ships as ONE array<bigint> literal. Each membership
+    test is pure integer arithmetic (xxhash64 → word index → bit shift)
+    inside whole-stage codegen: zero joins, zero Python."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _corpus_grams(docs)
     bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
@@ -145,7 +137,28 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast((_p%d & 63) as int)) & 1) = 1" % (s, s) + ")"
         for s in _BLOOM_SEEDS
     )
-    survivors = corpus.filter(F.expr(probe)).select("doc_id", "g")
+    return corpus.filter(F.expr(probe)).select("doc_id", "g"), bench
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast Bloom prefilter.
+
+    Pipeline: (1) distinct benchmark 5-grams → a driver-side bit array
+    shipped as ONE 8 KB array<bigint> literal (`_bloom_survivors`);
+    (2) the corpus gram stream is map-filtered by k codegen'd bit
+    probes (~1% of misses survive at this geometry, every true hit
+    does); (3) survivors go to the exact confirm join against the
+    benchmark grams, which removes false positives — output is
+    bit-identical to plain decontam and shares its oracle.
+
+    At 100 TB: the corpus-side scan + bloom probe is map-only; the
+    confirm join shuffles only the survivor fraction. The join is left
+    unhinted on purpose: at test scale AQE broadcasts the benchmark
+    side, at eval-stack scale it degrades to a shuffle of survivors —
+    both correct, both cheap. m/k are module constants; resize m to
+    ~10 bits per benchmark gram to hold the ~1% false-positive rate.
+    """
+    survivors, bench = _bloom_survivors(spark, sf_dir)
     return (
         survivors.join(bench, "g")
         .groupBy("doc_id")
@@ -157,34 +170,7 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test hook: the corpus (doc_id, g) rows that pass the Bloom probe
     BEFORE the exact confirm join (superset of the true hits)."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = _corpus_grams(docs)
-    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
-    pos_rows = (
-        bench.select(
-            F.explode(
-                F.array(*[_bloom_hash(F.col("g"), s) for s in _BLOOM_SEEDS])
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    )
-    words = [0] * _BLOOM_WORDS
-    for r in pos_rows:
-        words[r.p // 64] |= 1 << (r.p % 64)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    corpus = grams.filter(F.col("doc_id") >= 10).withColumn(
-        "_bloom", F.lit(words).cast("array<bigint>")
-    )
-    for s in _BLOOM_SEEDS:
-        corpus = corpus.withColumn("_p%d" % s, _bloom_hash(F.col("g"), s))
-    probe = " AND ".join(
-        "((shiftrightunsigned(element_at(_bloom, "
-        "cast(shiftrightunsigned(_p%d, 6) as int) + 1), "
-        "cast((_p%d & 63) as int)) & 1) = 1" % (s, s) + ")"
-        for s in _BLOOM_SEEDS
-    )
-    return corpus.filter(F.expr(probe)).select("doc_id", "g")
+    return _bloom_survivors(spark, sf_dir)[0]
 
 
 # ---------------------------------------------------------------------------
