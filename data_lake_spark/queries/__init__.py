@@ -144,22 +144,28 @@ def full_registry() -> dict[str, QuerySpec]:
 #     displaces one row off this tail into the ROUND 11 TODO.
 #
 # ROUND 11 TODO: recompute the stale blocks from all ten CORRECTNESS
-# files at round start (the standing discipline): lead with the
-# displaced (c)-tail rows (r07-green by then), then the r08-stale
-# rows oldest-first; round-11 additions slot in at the top as they
-# land.
+# files at round start (the standing discipline): round-11 additions
+# at the top as they land, then char_diversity (the round-10 addition
+# deferred by the exact-50 slot arithmetic below — still
+# never-driver-green, so it is the round-11 pin), then the r07-stale
+# rows in their CORRECTNESS_r07 window order, then r08-stale
+# oldest-first.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) round-10 additions — first driver row this round
+    # (a) round-10 additions — first driver row this round. The slot
+    # arithmetic is exact: 6 additions + the image_dhash_pairs pin +
+    # the 44 r06-stale rows = 50 = the window. char_diversity (the
+    # fourth scale_q addition, lowest stakes of the family) therefore
+    # waits at the head of block (c) — giving it a round-10 slot would
+    # leave one r06-stale row unre-checked, violating the round-9
+    # verdict's "nothing staler than r07" done-criterion.
     "mongo_dim_conform",
     "pack_efficiency",
     # scale-posture family (queries/scale_q.py): Bloom-bit-array
     # decontam prefilter (exact-confirmed — same oracle as decontam),
-    # blocked-pair census, Z-order skipping audit, Simpson
-    # char-collision signal
+    # blocked-pair census, Z-order skipping audit
     "decontam_bloom",
     "pair_space_audit",
     "zorder_layout",
-    "char_diversity",
     # (a') the one never-driver-green row, pinned (round-9 verdict #1)
     "image_dhash_pairs",
     # (b) the 44 r06-stale rows, CORRECTNESS_r06 window order
@@ -207,8 +213,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh",
     "mixture_weights",
     "multi_agg_attrs",
-    # (c) the 49 r07-stale rows, CORRECTNESS_r07 window order — rank
-    #     50 cuts inside this block
+    # (c) first the deferred round-10 addition (see the (a) note),
+    #     then the 49 r07-stale rows in CORRECTNESS_r07 window order —
+    #     rank 50 cuts exactly at this block's top
+    "char_diversity",
     "pii_scan",
     "url_domains",
     "html_strip",
