@@ -300,7 +300,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qx",
         "qy",
         F.expr(
-            "stack(2, 'bydate', qy div 4, 'zorder', z div 1024) "
+            f"stack(2, 'bydate', qy div {_Z_GRID // _Z_FILES}, "
+            f"'zorder', z div {_Z_GRID * _Z_GRID // _Z_FILES}) "
             "as (layout, bucket)"
         ),
     )
@@ -347,9 +348,11 @@ q AS (
 ),
 m AS (SELECT qx, qy, {_morton_terms('qx', 'qy', '//')} AS z FROM q),
 lay AS (
-  SELECT qx, qy, 'bydate' AS layout, qy // 4 AS bucket FROM m
+  SELECT qx, qy, 'bydate' AS layout, qy // {_Z_GRID // _Z_FILES} AS bucket
+  FROM m
   UNION ALL
-  SELECT qx, qy, 'zorder' AS layout, z // 1024 AS bucket FROM m
+  SELECT qx, qy, 'zorder' AS layout, z // {_Z_GRID * _Z_GRID // _Z_FILES}
+  FROM m
 ),
 per AS (
   SELECT layout, bucket, COUNT(*) AS n_rows,
@@ -384,7 +387,13 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform/filter/aggregate inside codegen): map-only, zero
     shuffles besides the output sort, zero Python. Per-row cost is
     O(|alphabet| · len) and the 10^6 · n² intermediate fits int64 for
-    docs up to ~3 M chars — chunk longer docs upstream (chunk_docs)."""
+    docs up to ~3 M chars — chunk longer docs upstream (chunk_docs).
+
+    Unicode note: Spark's empty-pattern split yields UTF-16 code
+    units while the DuckDB oracle splits code points — identical over
+    the BMP (all testdata), divergent only for astral-plane symbols
+    (surrogate pairs count as 2 vs 1); normalize such corpora first
+    (unicode_nfc_audit is the audit for that hygiene)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return (
         docs.withColumn("ch", F.split("text", ""))
