@@ -283,8 +283,8 @@ HEADLINE = [
     # Morton/Z-order vs date clustering: file-envelope skipping audit
     # on a fixed 2-D box (4/64 vs 16/64 files at every sf)
     "zorder_layout",
-    # integer-exact Simpson char-collision junk signal — JVM
-    # higher-order functions, map-only
+    # integer-exact Simpson char-collision junk signal — one Arrow-
+    # batched vectorized histogram pass (the decode/NFC Python class)
     "char_diversity",
 ]
 

@@ -141,7 +141,7 @@ QUERIES = [
     # combinable agg, pair space never built — scan-linear (the PAIR
     # NUMBERS it reports grow K², the cost of counting them doesn't)
     "pair_space_audit",
-    # map-only alphabet×len higher-order-function arithmetic
+    # one Arrow-batched vectorized char-histogram pass: scan-linear
     "char_diversity",
     # (pagerank_docs and triangle_count are doc_id-window-bounded like
     # shingle_pairs — their cost doesn't grow with corpus multiplication,
