@@ -152,7 +152,7 @@ def full_registry() -> dict[str, QuerySpec]:
 # oldest-first.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) round-10 additions — first driver row this round. The slot
-    # arithmetic is exact: 6 additions + the image_dhash_pairs pin +
+    # arithmetic is exact: 5 additions + the image_dhash_pairs pin +
     # the 44 r06-stale rows = 50 = the window. char_diversity (the
     # fourth scale_q addition, lowest stakes of the family) therefore
     # waits at the head of block (c) — giving it a round-10 slot would

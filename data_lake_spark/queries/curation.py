@@ -223,6 +223,28 @@ ORDER BY ds.doc_id
 _NGRAM = 5
 
 
+def corpus_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) 5-gram stream — THE decontam gram construction,
+    shared by q_decontam and scale_q.q_decontam_bloom (whose shared
+    ORACLE_DECONTAM pairing requires the two engines' gram streams to
+    stay byte-equivalent forever — one builder, no copies to drift).
+
+    Grams are built AFTER a plain posexplode, not inside the generator
+    expression: Catalyst's infer-filters-from-Generate otherwise copies
+    the whole gram-array construction into a pre-Generate Filter and
+    evaluates it 3× per row. Here the Generate input is the cheap toks
+    array and each output row slices exactly one n-gram."""
+    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return (
+        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
+        .filter(F.col("i") <= F.size("toks") - _NGRAM)
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(toks, i + 1, {_NGRAM}))").alias("g"),
+        )
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     5-gram with a held-out benchmark set (here: doc_id < 10 stands in for
@@ -231,20 +253,7 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus shuffle at any scale. GPT-3-style n-gram collision filtering
     (Brown et al. 2020, arXiv:2005.14165 §C)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    # grams are built AFTER a plain posexplode, not inside the generator
-    # expression: Catalyst's infer-filters-from-Generate otherwise copies
-    # the whole gram-array construction into a pre-Generate Filter and
-    # evaluates it 3× per row. Here the Generate input is the cheap toks
-    # array and each output row slices exactly one n-gram.
-    grams = (
-        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
-        .filter(F.col("i") <= F.size("toks") - _NGRAM)
-        .select(
-            "doc_id",
-            F.expr(f"concat_ws(' ', slice(toks, i + 1, {_NGRAM}))").alias("g"),
-        )
-    )
+    grams = corpus_grams(docs)
     bench = (
         grams.filter(F.col("doc_id") < 10).select("g").distinct()
     )

@@ -60,31 +60,15 @@ from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
 from data_lake_spark.queries import QuerySpec
-from data_lake_spark.queries.curation import ORACLE_DECONTAM
+from data_lake_spark.queries.curation import ORACLE_DECONTAM, corpus_grams
 
 # ---------------------------------------------------------------------------
 # decontam_bloom — Bloom-bit-array broadcast prefilter + exact confirm
 # ---------------------------------------------------------------------------
 
-_NGRAM = 5  # matches curation.decontam for comparability
 _BLOOM_BITS = 1 << 16  # m: 65536 bits = 1024 longs = 8 KB broadcast
 _BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_SEEDS = (1, 2, 3)  # k = 3 hash functions
-
-
-def _corpus_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, g) 5-grams — same construction as curation.q_decontam
-    (gram sliced AFTER posexplode so Catalyst's infer-filters rewrite
-    cannot triplicate the gram-array build)."""
-    tok = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    return (
-        tok.select("doc_id", "toks", F.posexplode("toks").alias("i", "w"))
-        .filter(F.col("i") <= F.size("toks") - _NGRAM)
-        .select(
-            "doc_id",
-            F.expr(f"concat_ws(' ', slice(toks, i + 1, {_NGRAM}))").alias("g"),
-        )
-    )
 
 
 def _bloom_hash(col, seed: int):
@@ -108,7 +92,7 @@ def _bloom_survivors(
     test is pure integer arithmetic (xxhash64 → word index → bit shift)
     inside whole-stage codegen: zero joins, zero Python."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _corpus_grams(docs)
+    grams = corpus_grams(docs)
     bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
 
     pos_rows = (
@@ -186,7 +170,15 @@ def q_pair_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking reduction factor; ``max_block`` is the straggler bound (the
     largest single block a blocked compare would still have to expand).
     At 100 TB this costs one aggregate over the corpus — the audit that
-    decides blocked-compare vs LSH before a week-long join is launched."""
+    decides blocked-compare vs LSH before a week-long join is launched.
+
+    Validity bound: the pair columns are int64, so a single language
+    (or block) exceeding 2³² ≈ 4.3e9 docs overflows n·(n−1)/2 —
+    Spark wraps silently where the DuckDB oracle (HUGEINT) errors on
+    the BIGINT cast. Past that bound the audit's ANSWER is foregone
+    (nothing pairwise survives 10¹⁸ pairs — use LSH), so the columns
+    stay int64 rather than decimal; a cluster deployment that wants a
+    loud failure instead can run with spark.sql.ansi.enabled=true."""
     docs = load_table(spark, sf_dir, "documents")
     blocks = docs.groupBy(
         "lang",
@@ -377,6 +369,44 @@ FROM per GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def _char_hist_kernel(batches):
+    """mapInPandas kernel for q_char_diversity — module-level so tests
+    can drive it directly with synthetic frames (e.g. the >3M-char
+    overflow regression)."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        texts = pdf["text"].tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        cat = "".join(texts)
+        cp = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # codepoints < 0x110000 < 2^21 → (row, cp) packs collision-free
+        key = row * (1 << 21) + cp.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        urow = (uniq >> 21).astype(np.int64)
+        sum_ci2 = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(sum_ci2, urow, counts * counts)
+        ndist = np.bincount(urow, minlength=len(lens)).astype(np.int64)
+        out = pdf[["doc_id"]].copy()
+        out["n_chars_text"] = lens
+        out["n_distinct_chars"] = ndist
+        out["sum_ci2"] = sum_ci2
+        # ppm in Python ints: 10^6 · sum_ci2 wraps numpy int64 once
+        # sum_ci2 > ~9.2e12 (a ~3M-char near-uniform doc — exactly
+        # the padding-run class this signal flags), and a wrapped
+        # ppm would INVERT the junk verdict. The quotient itself is
+        # always ≤ 10^6; only the intermediate needs bignum. The
+        # DuckDB oracle computes in HUGEINT and agrees.
+        out["simpson_ppm"] = [
+            (1_000_000 * int(s)) // (int(n) * int(n))
+            for s, n in zip(sum_ci2, lens)
+        ]
+        yield out
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-collision quality signal, ppm fixed-point.
 
@@ -401,34 +431,8 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a JVM `split('')`/`length` formulation would count UTF-16 units
     instead."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-
-    def kernel(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            texts = pdf["text"].tolist()
-            lens = np.array([len(t) for t in texts], dtype=np.int64)
-            cat = "".join(texts)
-            cp = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32)
-            row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            # codepoints < 0x110000 < 2^21 → (row, cp) packs collision-free
-            key = row * (1 << 21) + cp.astype(np.int64)
-            uniq, counts = np.unique(key, return_counts=True)
-            urow = (uniq >> 21).astype(np.int64)
-            sum_ci2 = np.zeros(len(lens), dtype=np.int64)
-            np.add.at(sum_ci2, urow, counts * counts)
-            ndist = np.bincount(urow, minlength=len(lens)).astype(np.int64)
-            out = pdf[["doc_id"]].copy()
-            out["n_chars_text"] = lens
-            out["n_distinct_chars"] = ndist
-            out["sum_ci2"] = sum_ci2
-            out["simpson_ppm"] = (1_000_000 * sum_ci2) // (lens * lens)
-            yield out
-
     return docs.select("doc_id", "text").mapInPandas(
-        kernel,
+        _char_hist_kernel,
         schema=(
             "doc_id long, n_chars_text long, n_distinct_chars long, "
             "sum_ci2 long, simpson_ppm long"

@@ -366,8 +366,8 @@ _SHUFFLE_BUDGET = {
     # quantizer stats frame is a SinglePartition scalar agg (not
     # counted, dim-sized by construction)
     "zorder_layout": 2,
-    # map-only higher-order-function arithmetic — zero exchanges
-    # before the output sort
+    # map-only Arrow-batched mapInPandas histogram kernel — zero
+    # exchanges before the output sort
     "char_diversity": 0,
 }
 

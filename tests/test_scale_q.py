@@ -15,9 +15,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_lake_spark.catalog import load_table
-from data_lake_spark.queries.curation import q_decontam
+from data_lake_spark.queries.curation import corpus_grams, q_decontam
 from data_lake_spark.queries.scale_q import (
-    _corpus_grams,
     bloom_candidates,
     q_char_diversity,
     q_decontam_bloom,
@@ -45,7 +44,7 @@ def test_bloom_prefilter_prunes_and_never_drops(spark, sf_dir):
     of the corpus gram stream (the shuffle the confirm join is spared)
     yet a superset of every true benchmark collision."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _corpus_grams(docs)
+    grams = corpus_grams(docs)
     corpus_n = grams.filter(F.col("doc_id") >= 10).count()
     cand = bloom_candidates(spark, sf_dir)
     cand_n = cand.count()
@@ -166,27 +165,46 @@ def test_char_diversity_matches_python(spark, sf_dir):
 def test_char_diversity_flags_low_diversity(spark, sf_dir):
     """A degenerate single-symbol document scores ~10^6 ppm; real text
     sits far lower — the signal separates junk from prose."""
-    from data_lake_spark.queries.scale_q import q_char_diversity as q
+    import pandas as pd
+
+    from data_lake_spark.queries.scale_q import (
+        _char_hist_kernel,
+        q_char_diversity,
+    )
 
     real_max = (
-        q(spark, sf_dir).agg(F.max("simpson_ppm").alias("m")).collect()[0].m
-    )
-    junk = spark.createDataFrame(
-        [(10**9, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")], "doc_id long, text string"
-    )
-    j = (
-        junk.withColumn("ch", F.split("text", ""))
-        .select(
-            F.expr(
-                "aggregate(transform(array_distinct(ch), "
-                "c -> cast(size(filter(ch, x -> x = c)) as bigint)), "
-                "cast(0 as bigint), (a, v) -> a + v * v)"
-            ).alias("s"),
-            F.length("text").cast("long").alias("n"),
-        )
-        .select(F.expr("(1000000 * s) div (n * n)").alias("ppm"))
+        q_char_diversity(spark, sf_dir)
+        .agg(F.max("simpson_ppm").alias("m"))
         .collect()[0]
-        .ppm
+        .m
     )
-    assert j == 1_000_000
+    junk = pd.DataFrame({"doc_id": [10**9], "text": ["a" * 32]})
+    out = next(_char_hist_kernel(iter([junk])))
+    assert out["simpson_ppm"].iloc[0] == 1_000_000
     assert real_max < 500_000
+
+
+def test_char_diversity_overflow_regression(spark, sf_dir):
+    """A >3M-char uniform padding doc is exactly where a numpy-int64
+    10^6·sum_ci2 intermediate wraps (would report NEGATIVE ppm and
+    invert the junk verdict); the kernel's Python-int ppm must return
+    the full 10^6. Astral-plane text rides along: the kernel counts
+    CODE POINTS (DuckDB's semantics), not UTF-16 units."""
+    import pandas as pd
+
+    from data_lake_spark.queries.scale_q import _char_hist_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a" * 3_200_000, "\U0001F600\U0001F600b"],
+        }
+    )
+    out = next(_char_hist_kernel(iter([pdf]))).set_index("doc_id")
+    assert out.loc[1, "simpson_ppm"] == 1_000_000
+    assert out.loc[1, "n_chars_text"] == 3_200_000
+    # astral doc: 3 code points (2 distinct), sum_ci2 = 4 + 1
+    assert out.loc[2, "n_chars_text"] == 3
+    assert out.loc[2, "n_distinct_chars"] == 2
+    assert out.loc[2, "sum_ci2"] == 5
+    assert out.loc[2, "simpson_ppm"] == (1_000_000 * 5) // 9
