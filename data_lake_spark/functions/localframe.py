@@ -50,7 +50,12 @@ def _render(v, typ: str) -> str:
         elif v in (float("inf"), float("-inf")):
             lit = "'Infinity'" if v > 0 else "'-Infinity'"
         else:
-            lit = repr(v)
+            # 'D' suffix: parse as a DOUBLE literal, not a DECIMAL one.
+            # Bare `-0.0` parses as Decimal — which has no signed zero —
+            # so the sign bit dies before the CAST; `-0.0D` keeps it.
+            # repr is shortest-round-trip, so non-zero values parse back
+            # bit-identical either way.
+            lit = repr(v) + "D"
     elif isinstance(v, int):
         lit = str(v)
     elif isinstance(v, _Decimal):

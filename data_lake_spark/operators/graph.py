@@ -38,11 +38,11 @@ DRIVER_MAX_EDGES = 5_000_000
 
 
 def _driver_union_find(
-    nodes: DataFrame, edges: DataFrame, node_col: str, src_col: str, dst_col: str
+    nodes: DataFrame, rows: list, node_col: str, src_col: str, dst_col: str
 ) -> DataFrame:
-    """Driver-side union-find over a (small, counted) edge list; returns
-    (node, cluster_id) with cluster_id = min member id — bit-identical
-    to the distributed fixpoint."""
+    """Driver-side union-find over a (small, counted) edge-row list;
+    returns (node, cluster_id) with cluster_id = min member id —
+    bit-identical to the distributed fixpoint."""
     parent: dict = {}
 
     def find(x):
@@ -52,8 +52,6 @@ def _driver_union_find(
         while parent.get(x, x) != x:  # path compression
             parent[x], x = root, parent[x]
         return root
-
-    rows = edges.select(src_col, dst_col).collect()
     members = set()
     for r in rows:
         a, b = r[src_col], r[dst_col]
@@ -117,10 +115,16 @@ def connected_components(
     to prove the paths agree).
     """
     # materialize the edge list once: the size probe needs it, and the
-    # union below reads it twice (both directions)
+    # union below reads it twice (both directions). The probe IS the
+    # collect when the list is driver-safe: one LIMIT(cap+1) job
+    # replaces the old count-then-collect pair (returning ≤ cap rows
+    # proves the limit returned the ENTIRE edge list).
     edges = edges.localCheckpoint(eager=False)
-    if edges.count() <= driver_max_edges:
-        return _driver_union_find(nodes, edges, node_col, src_col, dst_col)
+    probe = (
+        edges.select(src_col, dst_col).limit(driver_max_edges + 1).collect()
+    )
+    if len(probe) <= driver_max_edges:
+        return _driver_union_find(nodes, probe, node_col, src_col, dst_col)
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
@@ -172,6 +176,63 @@ def connected_components(
 PAGERANK_ONE = 1_000_000_000_000
 
 
+def _driver_pagerank(
+    nodes: DataFrame,
+    rows: list,
+    n_iter: int,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    damping_pct: int,
+    n: int,
+    teleport: int,
+) -> DataFrame:
+    """Driver-side power iteration over a (small, counted) edge list —
+    the union-find placement argument applied to PageRank: rank state is
+    only non-constant on edge-endpoint nodes (everyone else holds the
+    bare teleport term after round 1), and the endpoint set is bounded
+    by the counted edge list. All arithmetic is the same non-negative
+    integer ``div`` schedule, so labels are bit-identical to the
+    distributed fixpoint (tests/test_pagerank.py drives both)."""
+    out_deg: dict = {}
+    for r in rows:
+        out_deg[r[src_col]] = out_deg.get(r[src_col], 0) + 1
+    endpoints = set(out_deg)
+    for r in rows:
+        endpoints.add(r[dst_col])
+    ranks = {m: PAGERANK_ONE // n for m in endpoints}
+    for _ in range(n_iter):
+        sums: dict = {}
+        for r in rows:
+            u, v = r[src_col], r[dst_col]
+            sums[v] = sums.get(v, 0) + ranks[u] // out_deg[u]
+        ranks = {
+            m: teleport + (damping_pct * sums.get(m, 0)) // 100
+            for m in endpoints
+        }
+    default = PAGERANK_ONE // n if n_iter == 0 else teleport
+    out = nodes.select(F.col(node_col).alias("node"))
+    spark = nodes.sparkSession
+    mapping = sorted(ranks.items())
+    if not mapping:
+        return out.withColumn(
+            "rank_units", F.lit(default).cast("long")
+        )
+    schema = out.schema["node"].dataType.simpleString()
+    if len(mapping) <= 10_000:
+        from data_lake_spark.functions.localframe import values_df
+
+        map_df = values_df(spark, mapping, f"node {schema}, __rank long")
+    else:
+        map_df = spark.createDataFrame(
+            mapping, f"node {schema}, __rank long"
+        )
+    return out.join(F.broadcast(map_df), "node", "left").select(
+        "node",
+        F.coalesce("__rank", F.lit(default)).cast("long").alias("rank_units"),
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -180,6 +241,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     damping_pct: int = 85,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Power-iteration PageRank over a DIRECTED edge list, exact by
     construction: ranks are integer fixed-point (:data:`PAGERANK_ONE`
@@ -212,6 +274,22 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
     teleport = (PAGERANK_ONE * (100 - damping_pct)) // (100 * n)
+
+    # adaptive placement (the connected_components convention): a
+    # counted-small edge list iterates on the driver — rank state is
+    # edge-endpoint-bounded, so this is model-state scale, not data
+    # scale. One LIMIT(cap+1) probe doubles as the collect (≤ cap rows
+    # back ⇒ the probe holds the whole list); ``driver_max_edges=0``
+    # forces the distributed path.
+    edges = edges.localCheckpoint(eager=False)
+    probe = (
+        edges.select(src_col, dst_col).limit(driver_max_edges + 1).collect()
+    )
+    if len(probe) <= driver_max_edges:
+        return _driver_pagerank(
+            nodes, probe, n_iter, node_col, src_col, dst_col,
+            damping_pct, n, teleport,
+        )
 
     deg = edges.groupBy(F.col(src_col).alias("u")).agg(
         F.count(F.lit(1)).alias("out_deg")

@@ -196,7 +196,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine side broadcasts 3 query vectors and streams the corpus; the
     fusion full-outer-joins two ≤TOPN·|Q| rank lists — dim-sized."""
     from data_lake_spark.operators.similarity import cosine_topk
-    from data_lake_spark.queries.llm8 import doc_embed_expr
+    from data_lake_spark.queries.llm8 import doc_embed_arrays
 
     docs = load_table(spark, sf_dir, "documents")
     toks_arr = F.split(F.col("text"), " ")
@@ -254,14 +254,12 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus ships as one parquet row group, so the CPU-bound md5
     # token hashing needs the same narrow spread q_doc_embed documents
     vecs = (
-        docs.select("doc_id", "text")
-        .repartition(shuffle_parallelism(spark))
-        .select(
-            "doc_id",
-            F.transform(
-                doc_embed_expr("text"), lambda x: x.cast("double")
-            ).alias("v"),
+        doc_embed_arrays(
+            docs.select("doc_id", "text").repartition(
+                shuffle_parallelism(spark)
+            )
         )
+        .select("doc_id", F.col("emb").cast("array<double>").alias("v"))
         .localCheckpoint(eager=False)
     )
     sem = (

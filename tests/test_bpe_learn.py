@@ -88,3 +88,16 @@ def test_early_stop_when_nothing_repeats(spark):
     docs = spark.createDataFrame([("ab cd ef",)], "text string")
     merges, _ = bpe_learn(docs, n_merges=10)
     assert merges == []  # every adjacent pair occurs once (< 2)
+
+
+def test_driver_path_matches_distributed_path(spark, learned):
+    # the r10 driver-side fold (vocab counted ≤ driver_max_words) must
+    # pick the same merges and symbolizations as the distributed merge
+    # rounds (driver_max_words=0 forces them — the graph.py convention)
+    merges, syms = learned
+    docs = spark.createDataFrame([(" ".join(_WORDS),)], "text string")
+    merges_dist, vocab_dist = bpe_learn(docs, n_merges=8, driver_max_words=0)
+    assert merges_dist == merges
+    assert {
+        r["word"]: list(r["symbols"]) for r in vocab_dist.collect()
+    } == syms

@@ -68,6 +68,16 @@ def test_bit_identical_across_partitionings(spark, ranks):
     assert {r["node"]: r["rank_units"] for r in out.collect()} == ranks
 
 
+def test_driver_path_matches_distributed_path(spark, ranks):
+    # r10 adaptive placement: the counted-small driver fold (the module
+    # fixture's path) must agree bit-for-bit with the distributed
+    # iteration (driver_max_edges=0 forces it)
+    nodes = spark.createDataFrame([(n,) for n in _NODES], "node long")
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    out = pagerank(nodes, edges, n_iter=3, driver_max_edges=0)
+    assert {r["node"]: r["rank_units"] for r in out.collect()} == ranks
+
+
 def test_empty_graph_is_all_teleport(spark):
     nodes = spark.createDataFrame([(n,) for n in _NODES], "node long")
     edges = spark.createDataFrame([], "src long, dst long")
