@@ -52,117 +52,23 @@ def norm_exact(col: str) -> Column:
     return F.sqrt(dot_exact(col, col))
 
 
-def _pair_dot_batches(n_other: int, out_col: str):
-    """mapInArrow body for :func:`pair_dot_exact`: the last two columns
-    are the vector pair; everything before passes through unchanged."""
-
-    def fn(it):
-        import numpy as np
-        import pyarrow as pa
-
-        for batch in it:
-            ca = batch.column(n_other)
-            cb = batch.column(n_other + 1)
-            n = batch.num_rows
-            vectorized = False
-            if n and not ca.null_count and not cb.null_count:
-                offs_a = np.asarray(ca.offsets)
-                offs_b = np.asarray(cb.offsets)
-                lens = np.diff(offs_a)
-                if (lens > 0).all() and (lens == np.diff(offs_b)).all():
-                    va = np.asarray(
-                        ca.flatten().to_numpy(zero_copy_only=False),
-                        dtype=np.float64,
-                    )
-                    vb = np.asarray(
-                        cb.flatten().to_numpy(zero_copy_only=False),
-                        dtype=np.float64,
-                    )
-                    prod = np.floor(va * vb * PSCALE).astype(np.int64)
-                    starts = (offs_a - offs_a[0])[:-1]
-                    dq = np.add.reduceat(prod, starts)
-                    out = pa.array(dq, type=pa.int64())
-                    vectorized = True
-            if not vectorized:
-                # null vectors / empty lists: per-row replay of the
-                # exact lambda semantics (null in ⇒ null out)
-                import math
-
-                vals = []
-                pa_list_a = ca.to_pylist()
-                pa_list_b = cb.to_pylist()
-                for xa, xb in zip(pa_list_a, pa_list_b):
-                    if xa is None or xb is None:
-                        vals.append(None)
-                    else:
-                        vals.append(
-                            sum(
-                                int(math.floor(x * y * PSCALE))
-                                for x, y in zip(xa, xb)
-                            )
-                        )
-                out = pa.array(vals, type=pa.int64())
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(n_other)] + [out],
-                names=[batch.schema.field(i).name for i in range(n_other)]
-                + [out_col],
-            )
-
-    return fn
-
-
-def pair_dot_exact(
-    df: DataFrame, a_col: str, b_col: str, out_col: str = "_dq"
-) -> DataFrame:
-    """The quantized-exact pairwise dot product (``Σ floor(x·y·1e12)``
-    as long) computed in ONE Arrow kernel instead of the interpreted
-    ``zip_with``+``aggregate`` lambda chain — same IEEE double multiply,
-    same floor, same exact integer sum, so values are bit-identical to
-    :func:`dot_exact` (tests/test_similarity_kernel.py). Higher-order
-    functions evaluate per ELEMENT outside whole-stage codegen; at
-    pair-space element counts (pairs × dim) the vectorized numpy pass
-    is the char_diversity/doc_embed regime — ~an order of magnitude
-    cheaper per element. Returns ``df`` with ``a_col``/``b_col``
-    REPLACED by ``out_col`` (divide by 1e12 for the double dot value);
-    all other columns pass through the kernel unchanged, so use it as
-    the last step before the score projection."""
-    from pyspark.sql import types as T
-
-    others = [c for c in df.columns if c not in (a_col, b_col)]
-    sel = df.select(*others, a_col, b_col)
-    out_schema = T.StructType(
-        [f for f in sel.schema.fields if f.name in others]
-        + [T.StructField(out_col, T.LongType())]
-    )
-    return sel.mapInArrow(
-        _pair_dot_batches(len(others), out_col), schema=out_schema
-    )
-
-
 def cosine_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10
 ) -> DataFrame:
     """Exact top-k: broadcast the (small) query set, stream the corpus.
     queries: (query_id, qv), candidates: (cand_id, cv). Norms are
-    precomputed per side so each pair pays one dot product, not three;
-    the pair dot runs in the Arrow kernel (:func:`pair_dot_exact`),
-    bit-identical to the lambda form."""
+    precomputed per side so each pair pays one dot product, not three.
+    (r10 measured: an Arrow mapInArrow pair-dot kernel was ~1.3x SLOWER
+    here — see the semantic_dedup note — so the dot stays a JVM HOF.)"""
     q = queries.withColumn("qn", norm_exact("qv"))
     c = candidates.withColumn("cn", norm_exact("cv"))
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("cand_id")
     )
-    scored = pair_dot_exact(
-        pairs.select("query_id", "cand_id", "qn", "cn", "qv", "cv"),
-        "qv",
-        "cv",
-    ).select(
+    scored = pairs.select(
         "query_id",
         "cand_id",
-        (
-            (F.col("_dq").cast("double") / F.lit(PSCALE))
-            / (F.col("qn") * F.col("cn"))
-        ).alias("cosine"),
+        (dot_exact("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -642,21 +548,22 @@ def semantic_dedup(
         F.col(id_col).alias("ib"), F.col(label_col),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
+    # r10 MEASURED NEGATIVE: routing this pair scoring through an Arrow
+    # mapInArrow kernel (one vectorized numpy dot per batch) was 1.3-1.6x
+    # SLOWER than this interpreted HOF at every call-site (interleaved
+    # noop-sink A/B, sf0.1: semantic_dedup 1.73 s HOF vs 2.05 s kernel,
+    # capped 1.44 vs 1.96, cosine_topk 0.78 vs 1.00) — each blocked pair
+    # ships BOTH full vectors across the Python boundary, and that
+    # serialization dwarfs the interpreted-lambda cost. The kernel
+    # pattern wins only where Python REPLACES heavy per-element JVM work
+    # (md5 in llm8.doc_embed_arrays), not where it re-hosts multiplies.
     scored = (
-        pair_dot_exact(
-            a.join(b, label_col)
-            .filter(F.col("ia") < F.col("ib"))
-            .select("ia", "ib", "na", "nb", "va", "vb"),
-            "va",
-            "vb",
-        )
+        a.join(b, label_col)
+        .filter(F.col("ia") < F.col("ib"))
         .select(
             "ia",
             "ib",
-            (
-                (F.col("_dq").cast("double") / F.lit(PSCALE))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos"),
+            (dot_exact("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(tau))
     )
