@@ -302,9 +302,66 @@ def _lut_frame(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(query_id, s, code, lut): each query's m×k ADC lookup table as
-    rows — built by per-subspace transforms against the broadcast
-    codebook column (small expression tree, zero shuffle)."""
+    """(query_id, s, code, lut): each query's m×k ADC lookup table.
+
+    r10: computed on the DRIVER and emitted as a VALUES-literal frame.
+    The LUT is model-state-sized (|Q|·m·k rows) and both inputs are
+    already driver-local — the codebook IS the collected
+    pq_codebook_lit triple, and the query vectors are an id-pushdown
+    scan of |Q| parameter rows. The old expression form built m×k
+    lambda subtrees per call (~1 s of py4j round-trips at m=8/k=16,
+    measured via cProfile: 7k gateway calls inside q_ann_recall's
+    build) and paid a crossJoin+explode at run time. Arithmetic here is
+    the same IEEE schedule — floor(x·c·1e12) per element, exact integer
+    sum — so every lut value is bit-identical (tests/test_pq.py parity
+    suite drives both paths). Irregular rows (null / wrong-length
+    vectors, where the HOF form's null-padding semantics differ from a
+    Python zip) fall back to the expression form wholesale."""
+    import math
+
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q"), _to_double(vec_col).alias("v"))
+        .collect()
+    )
+    dim = subdim * len(values)
+    if all(r["v"] is not None and len(r["v"]) == dim for r in qrows):
+        rows = []
+        for r in qrows:
+            vec = r["v"]
+            for s in range(len(values)):
+                sub = vec[s * subdim : (s + 1) * subdim]
+                for c in present[s]:
+                    cent = values[s][c]
+                    lut = 0
+                    for x, cv in zip(sub, cent):
+                        lut += int(math.floor(x * cv * PSCALE))
+                    rows.append((r["q"], s, c, lut))
+        from data_lake_spark.functions.localframe import values_df
+
+        id_type = emb.schema[id_col].dataType.simpleString()
+        return values_df(
+            emb.sparkSession,
+            rows,
+            f"query_id {id_type}, s int, code int, lut long",
+        )
+    return _lut_frame_expr(
+        emb, query_ids, values, present, subdim, id_col, vec_col
+    )
+
+
+def _lut_frame_expr(
+    emb: DataFrame,
+    query_ids: list[int],
+    values: list,
+    present: list,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The in-plan expression form of :func:`_lut_frame` (null-safe
+    fallback): per-subspace transforms against the broadcast codebook
+    column — small expression tree, zero shuffle."""
     cbdf = _codebook_df(emb.sparkSession, values)
 
     def lut_entries(cb: Column) -> Column:
