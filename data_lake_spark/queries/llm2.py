@@ -121,10 +121,21 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # shingles feed the truth join AND the signatures — materialize once
+    # Materialization policy (r10, measured at sf0.1): each
+    # localCheckpoint(eager=False) costs ~0.45 s of eager Catalyst
+    # planning at BUILD time — a driver-side constant — and buys
+    # exec-once reuse of its subtree — cluster work that scales with
+    # data. A no-checkpoint variant relying on ReuseExchange alone ties
+    # on bench total (driver planning dominates at this sf) but runs
+    # 6× the physical exec (1.8 s vs 0.3 s): the thrice-consumed truth
+    # join only partially dedupes in-plan. So multi-consumer frames
+    # (sh → truth+sigs; truth → n_true + both rungs; sigs → both rungs)
+    # KEEP their checkpoints; single-consumer ones lost theirs (the old
+    # per-rung cands checkpoint, and jaccard_pairs' internal one — sh
+    # is already a materialized LogicalRDD when it gets it).
     sh = shingles(docs, n=3).localCheckpoint(eager=False)
     truth = (
-        jaccard_pairs(sh, min_jaccard=0.5)
+        jaccard_pairs(sh, min_jaccard=0.5, materialize=False)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -132,16 +143,24 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
 
     def rung(config: str, rows_per_band: int) -> DataFrame:
+        # ONE aggregation per rung (r10): candidates LEFT-join the truth
+        # set and count rows / matches together. |cands ∩ truth| ≡ the
+        # old truth-side semi-join count (both sides are distinct pair
+        # sets), and the single consumer removes the per-rung
+        # localCheckpoint — whose eager physical planning cost ~0.5 s
+        # per call at build time (cProfile, guide §1) — plus one of the
+        # two aggregation branches.
         cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band)).select(
             "doc_a", "doc_b"
-        ).localCheckpoint(eager=False)
-        n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-        n_hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_caught")
+        )
+        counts = cands.join(
+            truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("__t").alias("n_caught"),
         )
         return (
-            n_cand.crossJoin(F.broadcast(n_true))
-            .crossJoin(F.broadcast(n_hit))
+            counts.crossJoin(F.broadcast(n_true))
             .select(
                 F.lit(config).alias("config"),
                 "n_candidates",
