@@ -395,8 +395,8 @@ def q_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_spark.operators.textdedup import _POS_BITS, pack_doc_pos, token_kgrams
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = token_kgrams(docs, _K).withColumn(
-        "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"))
+    grams = token_kgrams(docs, _K, guard_pos=True).withColumn(
+        "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"), pos_bounded=True)
     )
     keep = (
         grams.groupBy("h")

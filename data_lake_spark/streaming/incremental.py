@@ -887,8 +887,8 @@ def _gram_partials(
     documents, so the finer key costs ≈ nothing in rows."""
     from data_lake_spark.operators.textdedup import pack_doc_pos, token_kgrams
 
-    grams = token_kgrams(docs, k, id_col, text_col).withColumn(
-        "enc", pack_doc_pos(F.col(id_col), F.col("pos"))
+    grams = token_kgrams(docs, k, id_col, text_col, guard_pos=True).withColumn(
+        "enc", pack_doc_pos(F.col(id_col), F.col("pos"), pos_bounded=True)
     )
     return grams.groupBy("h", id_col).agg(
         F.min("enc").alias("keeper"),

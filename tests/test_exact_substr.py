@@ -152,3 +152,33 @@ def test_pack_doc_pos_overflow_raises_not_bleeds(spark):
     ).select(pack_doc_pos(F.col("doc_id"), F.col("pos")).alias("enc"))
     with pytest.raises(Exception, match="pack_doc_pos overflow"):
         bad.collect()
+
+
+def test_token_kgrams_guard_pos_doc_level(spark):
+    # r10 optimization: the per-gram-row overflow branch moved to ONE
+    # check per document (guard_pos=True at the gram builder); the
+    # enforcement must still fire for a doc whose token count exceeds
+    # the packing bound, and stay silent (bit-identical grams) below it
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+
+    ok = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    guarded = token_kgrams(ok, 3, guard_pos=True).orderBy("pos").collect()
+    plain = token_kgrams(ok, 3).orderBy("pos").collect()
+    assert guarded == plain and len(guarded) == 4
+
+    monster = spark.range(1).select(
+        F.lit(9).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_POS_BITS)), lambda i: F.lit("x")
+            ),
+            " ",
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="pack_doc_pos overflow"):
+        token_kgrams(monster, 3, guard_pos=True).count()
