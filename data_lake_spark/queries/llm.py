@@ -214,12 +214,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one row per doc, zero shuffle; the exact integer vote folds make
     it bit-identical to the explode→groupBy formulation the oracle
     mirrors."""
+    from data_lake_spark.operators.partitioning import shuffle_parallelism
     from data_lake_spark.operators.textdedup import simhash16_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash16_expr("text").alias("simhash16")
-    ).orderBy("doc_id")
+    # Output order (doc_id asc) is established on the narrow (id, text)
+    # input — repartitionByRange samples two cheap columns — and the
+    # map-only fold preserves it, so the interpreted HOF work (the
+    # expensive part) spreads across cores AND is computed once. The
+    # old shape (fold → orderBy) ran the fold single-task and a second
+    # time inside the range-sort sampling pass (r10 A/B: 1.43 s →
+    # 0.45 s at sf0.1, rows and order bit-identical).
+    return (
+        docs.select("doc_id", "text")
+        .repartitionByRange(shuffle_parallelism(spark), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select("doc_id", simhash16_expr("text").alias("simhash16"))
+    )
 
 
 ORACLE_SIMHASH = """

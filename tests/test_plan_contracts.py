@@ -379,7 +379,19 @@ def test_shuffle_budget(spark, sf_dir, name):
     # the final orderBy's rangepartitioning exchange is not counted —
     # it exists only for driver-comparable output ordering
     plan = _explain(spark, _REG[name].fn(spark, sf_dir), "simple")
-    n = plan.count("Exchange hashpartitioning")
+    # Count DISTINCT exchange nodes, not occurrences: a persist()ed
+    # multi-consumer subtree prints once per consumer but its internal
+    # exchange executes once (the cache is populated on first use);
+    # node identity is the line text itself — expr IDs and plan_id make
+    # distinct physical exchanges render distinctly (same convention as
+    # tools/plan_report.py since r10).
+    n = len(
+        {
+            ln.strip()
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        }
+    )
     assert n <= _SHUFFLE_BUDGET[name], (name, n, plan)
 
 
