@@ -398,19 +398,20 @@ def q_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = token_kgrams(docs, _K, guard_pos=True).withColumn(
         "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"), pos_bounded=True)
     )
-    keep = (
-        grams.groupBy("h")
-        .agg(F.min("enc").alias("keeper"), F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h", "keeper")
-    )
+    # keeper + duplicated-ness in ONE window over h (the
+    # exact_substr_spans r10 rewrite): the old agg + join-back computed
+    # the gram subtree twice; this pays the same single shuffle by h
+    from pyspark.sql.window import Window
+
+    wh = Window.partitionBy("h")
     marked = (
-        grams.join(keep, "h")
-        .filter(F.col("enc") != F.col("keeper"))
+        grams.withColumn("_keeper", F.min("enc").over(wh))
+        .withColumn("_c", F.count(F.lit(1)).over(wh))
+        .filter((F.col("_c") > 1) & (F.col("enc") != F.col("_keeper")))
         .select(
             "doc_id",
             "pos",
-            F.expr(f"keeper div {_POS_BITS}").alias("src_doc"),
+            F.expr(f"_keeper div {_POS_BITS}").alias("src_doc"),
         )
     )
     return (
