@@ -174,8 +174,13 @@ _SHUFFLE_BUDGET = {
     # BM25 over the corpus is a single scan, zero shuffles
     "bm25_topk": 0,
     # inverted-index tf/df aggregates (one checkpointed tf frame), two
-    # per-query rank windows, and the (tiny-list) full-outer fusion join
-    "rrf_fusion": 7,
+    # per-query rank windows, and the (tiny-list) full-outer fusion join;
+    # +1 in r10: the stats row's count_distinct(doc_id) over the
+    # MATERIALIZED tf frame — it replaced a second full-corpus
+    # tokenization scan whose single-partition agg exchange this census
+    # never counted (strictly cheaper at scale, one more hash exchange
+    # in the ledger)
+    "rrf_fusion": 8,
     # iterations are lineage-cut per round (the connected_components
     # pattern); the visible final stage is teleport + damped-sum only
     "pagerank_docs": 0,
