@@ -203,23 +203,100 @@ def dhash64(content: bytes) -> Optional[int]:
     return bits
 
 
+def dhash64_batch(contents) -> list:
+    """Batch twin of :func:`dhash64` (guide §4.2 — hand whole batches to
+    vectorized numpy instead of 72 tiny per-image block ops): images are
+    grouped by decoded geometry (offset, w, h, row order, stride), each
+    group is stacked into ONE (n, h, w, 3) array, and grayscale / cell
+    averaging / gradient bits run as ~80 vectorized ops per GROUP
+    instead of per image. All arithmetic is the same int64 integer
+    recipe, so results are bit-identical to the scalar kernel for every
+    input (pinned by tests/test_imagehash.py); undecodable entries come
+    back None. Input may be a list/Series of bytes-or-None; returns a
+    list of unsigned ints-or-None in input order."""
+    import numpy as np
+
+    out: list = [None] * len(contents)
+    groups: dict = {}
+    for i, raw in enumerate(contents):
+        if raw is None:
+            continue
+        c = bytes(raw)
+        if len(c) < 54 or c[:2] != b"BM":
+            continue
+        offset = struct.unpack("<I", c[10:14])[0]
+        w = struct.unpack("<i", c[18:22])[0]
+        h = struct.unpack("<i", c[22:26])[0]
+        bpp = struct.unpack("<H", c[28:30])[0]
+        comp = struct.unpack("<I", c[30:34])[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            continue
+        top_down = h < 0
+        ah = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if len(c) < offset + stride * ah:
+            continue
+        groups.setdefault((offset, w, ah, top_down, stride), []).append(
+            (i, c)
+        )
+    for (offset, w, ah, top_down, stride), items in groups.items():
+        n = len(items)
+        px = np.empty((n, ah, w, 3), dtype=np.uint8)
+        for j, (_, c) in enumerate(items):
+            arr = (
+                np.frombuffer(c, np.uint8, count=stride * ah, offset=offset)
+                .reshape(ah, stride)[:, : w * 3]
+                .reshape(ah, w, 3)
+            )
+            px[j] = arr if top_down else arr[::-1]
+        g = px.astype(np.int64)
+        gray = (299 * g[:, :, :, 2] + 587 * g[:, :, :, 1] + 114 * g[:, :, :, 0]) // 1000
+        rb = [(r * ah) // 8 for r in range(8)] + [ah]
+        cb = [(c0 * w) // 9 for c0 in range(9)] + [w]
+        cells = np.empty((n, 8, 9), dtype=np.int64)
+        for r in range(8):
+            r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
+            for c0 in range(9):
+                c_lo, c_hi = cb[c0], max(cb[c0 + 1], cb[c0] + 1)
+                block = gray[:, r0:r1, c_lo:c_hi]
+                cells[:, r, c0] = block.sum(axis=(1, 2)) // (
+                    (r1 - r0) * (c_hi - c_lo)
+                )
+        diff = cells[:, :, :8] > cells[:, :, 1:]
+        # bit k = (r, c) at k = r*8 + c — identical weight layout to the
+        # scalar kernel's `bits |= 1 << (r * 8 + c)`
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(
+            8, 8
+        )
+        bits = (diff.astype(np.uint64) * weights).sum(
+            axis=(1, 2), dtype=np.uint64
+        )
+        for (i, _), b in zip(items, bits):
+            out[i] = int(b)
+    return out
+
+
+def _signed64(vals: list) -> list:
+    """Two's-complement unsigned-int-or-None list into signed long range
+    (bit 63 set ⇒ negative) — banding and XOR read raw bits either way."""
+    return [
+        v - (1 << 64) if v is not None and v >= 1 << 63 else v for v in vals
+    ]
+
+
 def dhash_table(media: DataFrame) -> DataFrame:
     """(media_id, content) → (media_id, dhash long): the one Python pass
     (Arrow batches); undecodable content yields a NULL hash rather than
     poisoning the batch. dHash's sign convention needs the result as a
     SIGNED 64-bit long — bit 63 set means negative, which is fine: both
-    banding and XOR treat it as raw bits."""
+    banding and XOR treat it as raw bits. Hashing itself runs through
+    the vectorized batch kernel (one numpy pass per geometry group, not
+    per image — guide §4.2; bit-identity to the scalar kernel is
+    test-pinned)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hashes = []
-            for raw in pdf["content"]:
-                # NULL content must yield a NULL hash, not a TypeError —
-                # bytes(None) would poison the whole Arrow batch
-                hv = dhash64(bytes(raw)) if raw is not None else None
-                if hv is not None and hv >= 1 << 63:
-                    hv -= 1 << 64  # two's-complement into long range
-                hashes.append(hv)
+            hashes = _signed64(dhash64_batch(pdf["content"]))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "dhash": pd.array(hashes, dtype="Int64")}
             )

@@ -43,8 +43,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_spark.operators.imagehash import dhash64
-
 #: synthesized clip geometry: 4 frames of 16×16 24-bit DIB (768-byte
 #: raw BGR payloads, 48-byte rows — already 4-aligned, like the BMP
 #: synthesis in imagehash)
@@ -304,22 +302,28 @@ def frame_hash_table(media: DataFrame) -> DataFrame:
     still sees the video (the dhash_table contract, per-frame)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_lake_spark.operators.imagehash import (
+            _signed64,
+            dhash64_batch,
+        )
+
         for pdf in it:
-            mids, idxs, hashes = [], [], []
+            # container walk per video (cheap), then ONE vectorized
+            # dHash pass over every frame in the batch (guide §4.2 —
+            # the per-frame scalar kernel was the hot loop here)
+            mids, idxs, frames_all = [], [], []
             for mid, raw in zip(pdf["media_id"], pdf["content"]):
                 frames = avi_frames(bytes(raw)) if raw is not None else None
                 if not frames:
                     mids.append(mid)
                     idxs.append(None)
-                    hashes.append(None)
+                    frames_all.append(None)
                     continue
                 for i, fr in enumerate(frames):
-                    hv = dhash64(fr)
-                    if hv is not None and hv >= 1 << 63:
-                        hv -= 1 << 64
                     mids.append(mid)
                     idxs.append(i)
-                    hashes.append(hv)
+                    frames_all.append(fr)
+            hashes = _signed64(dhash64_batch(frames_all))
             yield pd.DataFrame(
                 {
                     "media_id": mids,

@@ -25,6 +25,18 @@ from data_lake_spark.queries import QuerySpec
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _decode_spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """One narrow round-robin exchange before a media synthesis +
+    Arrow decode pass — the llm11._decode_spread rationale: the
+    testdata corpus is a single parquet row group, so the per-media
+    Python decode otherwise serializes on ONE task. Sized from the
+    session's shuffle width (scale-adaptive); on cluster files with
+    real splits the exchange is redundant but narrow (r11, §2.2/§2.6)."""
+    from data_lake_spark.operators.partitioning import shuffle_parallelism
+
+    return docs.repartition(shuffle_parallelism(spark))
+
+
 # ---------------------------------------------------------------------------
 # audio_fp_pairs — perceptual near-dup pairs over the audio column
 # ---------------------------------------------------------------------------
@@ -54,6 +66,8 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_from_text_col,
     )
 
+    # no _decode_spread: the audio kernel is too cheap for the extra
+    # exchange to pay (see q_dedup_audio_keepers, r11 measured)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = audio_pairs(wav_from_text_col(docs), max_hamming=6)
     return (
@@ -165,7 +179,9 @@ def q_video_frame_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _decode_spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     pairs = video_pairs(avi_from_text_col(docs), max_hamming=6)
     return (
         pairs.groupBy("media_a")
@@ -289,7 +305,9 @@ def q_dedup_videos_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_videos,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _decode_spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return dedup_videos(avi_from_text_col(docs), max_hamming=6).orderBy(
         "media_id"
     )
@@ -351,7 +369,10 @@ def stored_video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = _decode_spread(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        )
         return frame_hash_table(avi_from_text_col(docs)).filter(
             F.col("dhash").isNotNull()
         )
@@ -471,7 +492,12 @@ def q_video_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "media_id",
         )
-    media = avi_from_frame_text_cols(base, "media_id", ["t0", "t1", "t2", "t3"])
+    # spread AFTER the window-assembly joins: one narrow exchange of the
+    # assembled (id, t0..t3) rows instead of a spread docs frame feeding
+    # four join consumers (the _decode_spread rationale, placed once)
+    media = avi_from_frame_text_cols(
+        _decode_spread(spark, base), "media_id", ["t0", "t1", "t2", "t3"]
+    )
     spans = video_clip_spans(media, min_frames=2)
     return (
         spans.groupBy("media_id")
@@ -594,7 +620,9 @@ def q_dedup_images_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _decode_spread(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return dedup_images(bmp_from_text_col(docs), max_hamming=6).orderBy(
         "media_id"
     )
@@ -603,7 +631,14 @@ def q_dedup_images_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_audio_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-call audio dedup decision (operators/audiofp.
     dedup_audio): envelope-fingerprint pairs → connected components →
-    (media_id, keeper, is_dup). Oracle-paired end to end."""
+    (media_id, keeper, is_dup). Oracle-paired end to end.
+
+    No _decode_spread here (r11, measured): the audio fingerprint is
+    ~0.3 s of vectorized Python at sf0.1 — too cheap for the extra
+    exchange to pay for itself (interleaved A/B: fingerprint stage
+    0.61 s spread vs 0.63 s not), while the keepers tail pays the
+    32-task scheduling overhead on every CC probe job. On cluster
+    files the decode parallelism comes from file splits for free."""
     from data_lake_spark.operators.audiofp import (
         dedup_audio,
         wav_from_text_col,
@@ -816,7 +851,10 @@ def stored_audio_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = _decode_spread(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        )
         return (
             audiofp_table(wav_from_text_col(docs))
             .withColumnRenamed("afp", "dhash")

@@ -171,3 +171,35 @@ def test_dedup_audio_keeper_assignment(spark):
     )
     again = dedup_audio(keepers, max_hamming=6).collect()
     assert all(not r["is_dup"] for r in again)
+
+
+def test_audiofp64_batch_bit_identical_to_scalar_kernel():
+    """r11: the vectorized batch fingerprint must agree with the scalar
+    reference — mixed lengths, 8/16-bit, multi-channel, too-short,
+    garbage, Nones — and must take the exact-Python fallback when the
+    int64 cross-multiply bound could overflow (large 16-bit clips)."""
+    import random
+    import struct as st
+
+    from data_lake_spark.operators.audiofp import audiofp64, audiofp64_batch
+
+    rng = random.Random(11)
+
+    def wav(n, bits=8, ch=1):
+        data = bytes(rng.randrange(256) for _ in range(n * ch * (bits // 8)))
+        fmt = st.pack("<HHIIHH", 1, ch, 8000, 8000 * ch * bits // 8, ch * bits // 8, bits)
+        body = (
+            b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    cases = []
+    for n in (1040, 1040, 65, 64, 200, 1041):
+        cases.extend(wav(n) for _ in range(3))
+    cases += [wav(130, bits=16, ch=2), wav(1040, bits=16, ch=2)]
+    cases += [None, b"nope", wav(1040)[:50], wav(200000, bits=16)]
+    rng.shuffle(cases)
+    got = audiofp64_batch(cases)
+    want = [audiofp64(bytes(c)) if c is not None else None for c in cases]
+    assert got == want

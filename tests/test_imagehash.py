@@ -201,3 +201,47 @@ def test_dedup_images_keeper_assignment_and_idempotence(spark):
     )
     relabel = dedup_images(kept).collect()
     assert all(not r["is_dup"] for r in relabel)
+
+
+def test_dhash64_batch_bit_identical_to_scalar_kernel():
+    """r11: the vectorized batch kernel must agree with the scalar
+    reference on EVERY input — synthesized geometry, odd widths with
+    stride padding, top-down rows, truncated/garbage bytes, Nones —
+    including mixed-geometry batches (one numpy pass per group)."""
+    import random
+
+    from data_lake_spark.operators.imagehash import dhash64, dhash64_batch
+
+    rng = random.Random(11)
+
+    def bmp(w, h, top_down=False):
+        stride = (w * 3 + 3) & ~3
+        ah = abs(h)
+        data = bytes(rng.randrange(256) for _ in range(stride * ah))
+        hdr = (
+            b"BM"
+            + struct.pack("<I", 54 + len(data))
+            + b"\x00" * 4
+            + struct.pack("<I", 54)
+            + struct.pack("<I", 40)
+            + struct.pack("<i", w)
+            + struct.pack("<i", -ah if top_down else ah)
+            + struct.pack("<H", 1)
+            + struct.pack("<H", 24)
+            + struct.pack("<I", 0)
+            + struct.pack("<I", len(data))
+            + b"\x00" * 16
+        )
+        return hdr + data
+
+    cases = []
+    for w, h, td in [
+        (16, 16, False), (16, 16, True), (7, 5, False), (7, 5, True),
+        (9, 16, False), (33, 12, True), (1, 1, False), (8, 3, False),
+    ]:
+        cases.extend(bmp(w, h, td) for _ in range(4))
+    cases += [None, b"junk", b"BM" + b"\x00" * 40, bmp(16, 16)[:100]]
+    rng.shuffle(cases)
+    got = dhash64_batch(cases)
+    want = [dhash64(bytes(c)) if c is not None else None for c in cases]
+    assert got == want
