@@ -295,9 +295,21 @@ HEADLINE = [
 # twin may displace its decode twin once the decode cost itself is
 # pinned by SCALING.md), never a family's sole representative; every
 # registry query keeps its CORRECTNESS coverage regardless of headline
-# membership. Evictions are recorded here as comments and in
-# bench_index.json history, so cross-round name-keyed comparisons stay
-# well-defined (the dense encoding below is positional per-round).
+# membership.
+#
+# Eviction MECHANICS (changed r11 — the r10 eviction compacted HEADLINE
+# positions and the driver's positional cross-round join silently
+# compared different queries at positions 119+, PERF_r10's rows there
+# are garbage): from r11 on, an evicted query is NEVER removed from
+# HEADLINE — its name moves to EVICTED below and its position becomes a
+# TOMBSTONE: the timing loop skips it and the stdout dict emits `null`
+# at its position ('"119":null,' is 11 chars, cheaper than a timed
+# entry). Every surviving query therefore keeps its position across
+# rounds by construction (tests/test_bench_contract.py simulates an
+# eviction and pins this), and the driver's positional join stays
+# name-correct without any driver-side change. EVICTED is empty this
+# round — the stdout line is byte-compatible with r10's encoding.
+EVICTED: frozenset = frozenset()
 
 # The driver's stdout tail capture holds ~1900 chars and QUERY NAMES
 # dominate the JSON line (~19 chars each): at 97 headline entries even a
@@ -324,15 +336,29 @@ def write_index() -> None:
                 "comment": (
                     "Maps the stringified keys of the `queries` dict in "
                     "BENCH_r*.json (round >= 6) to query names: key i -> "
-                    "index[i]. Regenerate with `python bench.py "
-                    "--write-index`."
+                    "index[i]. Names in `evicted` (round >= 11) keep "
+                    "their index slot as a tombstone — the stdout dict "
+                    "emits null there — so surviving positions never "
+                    "shift across rounds. Regenerate with `python "
+                    "bench.py --write-index`."
                 ),
                 "index": HEADLINE,
+                "evicted": sorted(EVICTED),
             },
             f,
             indent=1,
         )
         f.write("\n")
+
+
+def dense_queries(times: dict, ndec: int) -> dict:
+    """The position-keyed stdout encoding: key i -> HEADLINE[i]'s time,
+    or null for a tombstoned (EVICTED) slot. Shared by main() and the
+    contract test that simulates an eviction."""
+    return {
+        str(i): (None if name in EVICTED else round(times[name], ndec))
+        for i, name in enumerate(HEADLINE)
+    }
 
 
 def main() -> None:
@@ -378,6 +404,8 @@ def main() -> None:
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
+        if name in EVICTED:  # tombstone: position kept, never timed
+            continue
         fn = reg[name].fn
         n = len(fn(spark, sf_dir).collect())
         passes = []
@@ -417,10 +445,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
-                "queries": {
-                    str(i): round(times[name], ndec)
-                    for i, name in enumerate(HEADLINE)
-                },
+                "queries": dense_queries(times, ndec),
                 "sf": sf_val,
                 "idx": "bench_index.json",
             },

@@ -65,3 +65,37 @@ def test_headline_names_resolve():
     reg = full_registry()
     missing = [n for n in HEADLINE if n not in reg]
     assert not missing, missing
+
+
+def test_eviction_tombstones_keep_positions_stable(monkeypatch):
+    """r11 (PERF_r10's positional-join breakage): a future eviction must
+    NOT shift any surviving query's position. Simulate evicting one
+    mid-list query and pin (a) every surviving name keeps its index,
+    (b) the evicted slot encodes as JSON null at its original position,
+    (c) the line still fits the driver capture."""
+    import bench
+
+    victim = HEADLINE[100]
+    monkeypatch.setattr(bench, "EVICTED", frozenset({victim}))
+    times = {n: 1.23 for n in HEADLINE if n != victim}
+    q = bench.dense_queries(times, 2)
+    assert q[str(100)] is None
+    for i, name in enumerate(HEADLINE):
+        if name != victim:
+            assert q[str(i)] == 1.23
+    # HEADLINE itself is untouched by an eviction — positions stable
+    # across the two index files by construction
+    assert len(q) == len(HEADLINE)
+    line = json.dumps({"queries": q}, separators=(",", ":"))
+    assert '"100":null' in line
+
+
+def test_evicted_names_stay_in_headline_and_index():
+    # the tombstone contract: EVICTED ⊆ HEADLINE (a name leaves the
+    # timing loop, never the position map), and the index publishes it
+    import bench
+
+    assert bench.EVICTED <= set(HEADLINE)
+    with open(INDEX_FILE) as f:
+        idx = json.load(f)
+    assert sorted(bench.EVICTED) == idx.get("evicted", [])
