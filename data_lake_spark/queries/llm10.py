@@ -392,27 +392,24 @@ def q_exact_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     provenance costs ONE extra groupBy over the marked frame — no new
     pair space (pairs only exist where the inverted index already
     placed both docs on one hash)."""
-    from data_lake_spark.operators.textdedup import _POS_BITS, pack_doc_pos, token_kgrams
+    from data_lake_spark.operators.textdedup import (
+        _POS_BITS,
+        gram_keeper_marks,
+        pack_doc_pos,
+        token_kgrams,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = token_kgrams(docs, _K, guard_pos=True).withColumn(
         "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"), pos_bounded=True)
     )
-    # keeper + duplicated-ness in ONE window over h (the
-    # exact_substr_spans r10 rewrite): the old agg + join-back computed
-    # the gram subtree twice; this pays the same single shuffle by h
-    from pyspark.sql.window import Window
-
-    wh = Window.partitionBy("h")
-    marked = (
-        grams.withColumn("_keeper", F.min("enc").over(wh))
-        .withColumn("_c", F.count(F.lit(1)).over(wh))
-        .filter((F.col("_c") > 1) & (F.col("enc") != F.col("_keeper")))
-        .select(
-            "doc_id",
-            "pos",
-            F.expr(f"_keeper div {_POS_BITS}").alias("src_doc"),
-        )
+    # keeper + non-keeper marks from the shared salted two-level helper
+    # (r11 skew posture — see gram_keeper_marks; same one heavy
+    # exchange, no single-task hash, keeper value kept for provenance)
+    marked = gram_keeper_marks(grams).select(
+        "doc_id",
+        "pos",
+        F.expr(f"_keeper div {_POS_BITS}").alias("src_doc"),
     )
     return (
         marked.groupBy("doc_id", "src_doc")

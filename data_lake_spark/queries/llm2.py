@@ -133,13 +133,43 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KEEP their checkpoints; single-consumer ones lost theirs (the old
     # per-rung cands checkpoint, and jaccard_pairs' internal one — sh
     # is already a materialized LogicalRDD when it gets it).
+    #
+    # Overlap (r11, guide §2.6): the three materializations used to run
+    # back to back — sh during the n_true broadcast build, then truth,
+    # then sigs, each leaving the cluster idle at its stage tail. sh
+    # (the shared input) still materializes first; truth (the exact-
+    # Jaccard join, the expensive one) and sigs (the 8-hash MIN
+    # aggregate) are INDEPENDENT given sh, so their planning + compute
+    # now run as two concurrent driver-submitted jobs — sigs' tasks
+    # back-fill executors the truth join's tail frees. Serial path kept
+    # under SPARK_GRAFT_SERIAL_BUILD=1 for A/B.
     sh = shingles(docs, n=3).localCheckpoint(eager=False)
-    truth = (
-        jaccard_pairs(sh, min_jaccard=0.5, materialize=False)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    sigs = minhash_signatures(sh, n_hashes=8).localCheckpoint(eager=False)
+    sh.count()  # materialize the shared input once, not racily twice
+
+    def _truth() -> DataFrame:
+        t = (
+            jaccard_pairs(sh, min_jaccard=0.5, materialize=False)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        t.count()
+        return t
+
+    def _sigs() -> DataFrame:
+        s = minhash_signatures(sh, n_hashes=8).localCheckpoint(eager=False)
+        s.count()
+        return s
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SERIAL_BUILD"):
+        truth, sigs = _truth(), _sigs()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_truth, f_sigs = pool.submit(_truth), pool.submit(_sigs)
+            truth, sigs = f_truth.result(), f_sigs.result()
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
 
     def rung(config: str, rows_per_band: int) -> DataFrame:

@@ -35,7 +35,11 @@ def sq_codes_expr(vec_col: str = "embedding") -> Column:
     """array<long> int8 codes of a float-vector column: symmetric
     per-vector max-|x| scale, round-half-up via the floor(+0.5) recipe
     (deterministic in both engines, unlike ROUND's half-even vs
-    half-up ambiguity). Zero vectors quantize to zero codes."""
+    half-up ambiguity). Zero vectors quantize to zero codes.
+
+    NB: inlines the scale subtree into the per-element lambda — O(d²)
+    work per row. Fine for one-off audits; the scan path uses
+    :func:`sq_code_cols` which hoists the scale to a per-row column."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, F.abs))
     return F.transform(
@@ -44,6 +48,29 @@ def sq_codes_expr(vec_col: str = "embedding") -> Column:
             F.floor(x / scale * 127 + 0.5).cast("long")
         ),
     )
+
+
+def sq_code_cols(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``df`` + a ``qv`` int8-codes column, with the per-vector scale
+    HOISTED to its own projection step: the single-Column form
+    (:func:`sq_codes_expr`) re-evaluates ``array_max`` inside the
+    per-element lambda — twice per element, O(d²) per row (the r11
+    sq_search plan showed the max subtree inlined 2d times). Here the
+    scale is computed once per row and referenced from the lambda as a
+    plain attribute (CollapseProject keeps non-cheap multi-referenced
+    expressions un-inlined, pinned by tests/test_plan_contracts.py).
+    Same floor(+0.5) recipe, bit-identical codes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.withColumn("_v", v).withColumn(
+        "_scale", F.array_max(F.transform(F.col("_v"), F.abs))
+    )
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("_scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x / F.col("_scale") * 127 + 0.5).cast("long")
+        ),
+    )
+    return out.withColumn("qv", codes).drop("_v", "_scale")
 
 
 def _idot(a: str, b: str) -> Column:
@@ -60,7 +87,7 @@ def q_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine. Broadcast-queries / stream-corpus, per-query row_number
     top-k — the cosine_topk shape on 4×-compressed codes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = emb.select("vec_id", sq_codes_expr("embedding").alias("qv"))
+    codes = sq_code_cols(emb).select("vec_id", "qv")
     q = codes.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv")
     )

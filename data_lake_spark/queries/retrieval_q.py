@@ -215,10 +215,49 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the per-(doc, token) frequencies ONCE: dfreq, the
     # query-term list, and the scoring join all read it — without the
     # checkpoint each consumer re-tokenizes the whole corpus
-    tf = tokens.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"),
-        F.min("dl").alias("dl"),  # constant within the group
-    ).localCheckpoint(eager=False)
+    # Overlap the two independent side builds (r11, guide §2.6): the
+    # lexical tf table (corpus tokenize + groupBy) and the semantic
+    # hashed-embedding table (md5-heavy map pass) share no lineage but
+    # used to build back to back. Each side pays ~0.45 s of
+    # DRIVER-SIDE Catalyst planning inside localCheckpoint (the r10
+    # measured constant) plus its cluster pass; planning is serial on
+    # the driver thread regardless of core count — the reason rrf's
+    # 8↔32-core bench ratio sat at 0.98. Each thread now plans AND
+    # materializes its own side, so the driver work overlaps the other
+    # side's cluster work. Serial path kept under
+    # SPARK_GRAFT_SERIAL_BUILD=1 for A/B.
+    def _tf() -> DataFrame:
+        t = tokens.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.min("dl").alias("dl"),  # constant within the group
+        ).localCheckpoint(eager=False)
+        t.count()
+        return t
+
+    def _vecs() -> DataFrame:
+        v = (
+            doc_embed_arrays(
+                docs.select("doc_id", "text").repartition(
+                    shuffle_parallelism(spark)
+                )
+            )
+            .select("doc_id", F.col("emb").cast("array<double>").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        v.count()
+        return v
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SERIAL_BUILD"):
+        tf, vecs = _tf(), _vecs()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_tf, f_vecs = pool.submit(_tf), pool.submit(_vecs)
+            tf, vecs = f_tf.result(), f_vecs.result()
+
     dfreq = tf.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -226,7 +265,14 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan: split() never returns an empty array, so every doc
     # carries >= 1 (doc, tok) row and count(distinct doc_id) == n_docs,
     # sum(tf) == total token occurrences — bit-identical to the
-    # docs-side aggregate (r10; A/B 3.41 s -> 3.20 s at sf0.1)
+    # docs-side aggregate (r10; A/B 3.41 s -> 3.20 s at sf0.1).
+    # INVARIANT (r11 ADVICE): this equivalence additionally assumes
+    # documents.text is NEVER NULL — explode(split(NULL)) emits zero
+    # rows, so a NULL-text doc would drop out of n_docs here while the
+    # old docs.agg(count(1)) counted it. The documents table is
+    # generated NOT NULL (catalog contract; every text query in the
+    # registry splits text unguarded on the same invariant) — if a
+    # nullable-text source ever lands, coalesce(text, '') at toks_arr.
     stats = tf.agg(
         F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
         F.sum("tf").cast("long").alias("t_tokens"),
@@ -259,15 +305,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- semantic side: hashed-embedding cosine top-N (llm8 stack) ----
     # the corpus ships as one parquet row group, so the CPU-bound md5
     # token hashing needs the same narrow spread q_doc_embed documents
-    vecs = (
-        doc_embed_arrays(
-            docs.select("doc_id", "text").repartition(
-                shuffle_parallelism(spark)
-            )
-        )
-        .select("doc_id", F.col("emb").cast("array<double>").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+    # (vecs built above so its materialization overlaps tf's)
     sem = (
         cosine_topk(
             vecs.filter(F.col("doc_id") < 3).select(

@@ -18,13 +18,30 @@ import pandas as pd
 from data_lake_spark.catalog import TABLES, table_path
 
 
+# Oracle-result memo (r11, VERDICT item 3 — suite runtime): the stored
+# serving twins share their decode twins' oracle SQL VERBATIM (same
+# answer, different serving cost), so the suite used to pay the
+# expensive oracles twice — the video keepers' recursive-closure CTE
+# alone is ~31 s of single-threaded DuckDB at sf0.001, per test. The
+# memo key is the exact (sql, sf_dir) pair; the SPARK side of every
+# parity test still runs fresh. DuckDB results for identical SQL on
+# identical parquet inputs are deterministic, so this cannot mask a
+# parity break.
+_ORACLE_MEMO: dict[tuple[str, str], pd.DataFrame] = {}
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in TABLES:
-        p = table_path(sf_dir, t)
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con.execute(sql).fetchdf()
+    key = (sql, sf_dir)
+    if key not in _ORACLE_MEMO:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = table_path(sf_dir, t)
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        _ORACLE_MEMO[key] = con.execute(sql).fetchdf()
+    return _ORACLE_MEMO[key]
 
 
 def _norm_cell(v: Any) -> Any:

@@ -154,15 +154,20 @@ def test_pack_doc_pos_overflow_raises_not_bleeds(spark):
         bad.collect()
 
 
-def test_token_kgrams_guard_pos_doc_level(spark):
+def test_token_kgrams_guard_pos_doc_level(spark, monkeypatch):
     # r10 optimization: the per-gram-row overflow branch moved to ONE
     # check per document (guard_pos=True at the gram builder); the
     # enforcement must still fire for a doc whose token count exceeds
-    # the packing bound, and stay silent (bit-identical grams) below it
+    # the packing bound, and stay silent (bit-identical grams) below it.
+    # r11 ADVICE fix: the doc-level bound is EXACT — n tokens emit max
+    # pos n - k, so n <= _POS_BITS + k - 1 packs fine and n = _POS_BITS
+    # + k raises; the r10 form (n <= _POS_BITS) rejected valid docs.
+    # _POS_BITS is monkeypatched small so the boundary runs in ms.
     import pytest
     from pyspark.sql import functions as F
 
-    from data_lake_spark.operators.textdedup import _POS_BITS, token_kgrams
+    from data_lake_spark.operators import textdedup
+    from data_lake_spark.operators.textdedup import token_kgrams
 
     ok = spark.createDataFrame(
         [(1, "a b c d e f")], "doc_id long, text string"
@@ -171,14 +176,86 @@ def test_token_kgrams_guard_pos_doc_level(spark):
     plain = token_kgrams(ok, 3).orderBy("pos").collect()
     assert guarded == plain and len(guarded) == 4
 
-    monster = spark.range(1).select(
-        F.lit(9).alias("doc_id"),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_POS_BITS)), lambda i: F.lit("x")
-            ),
-            " ",
-        ).alias("text"),
-    )
+    monkeypatch.setattr(textdedup, "_POS_BITS", 8)
+    k = 3
+
+    def doc(n_tokens: int):
+        return spark.range(1).select(
+            F.lit(9).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_tokens)), lambda i: F.lit("x")
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    # n = _POS_BITS + k - 1 = 10: max emitted pos = n - k = 7 < 8 — OK
+    at_bound = token_kgrams(doc(8 + k - 1), k, guard_pos=True)
+    assert at_bound.count() == 8  # n - k + 1 grams, no raise
+    assert at_bound.agg(F.max("pos")).collect()[0][0] == 7
+    # n = _POS_BITS + k = 11: pos n - k = 8 would overflow — raises
     with pytest.raises(Exception, match="pack_doc_pos overflow"):
-        token_kgrams(monster, 3, guard_pos=True).count()
+        token_kgrams(doc(8 + k), k, guard_pos=True).count()
+
+
+def test_hot_gram_marks_are_salt_bounded(spark, monkeypatch):
+    # r11 skew posture (VERDICT item 6): a single mega-frequent gram
+    # (boilerplate at 100 TB) must not serialize one task. Synthetic
+    # hot corpus: ONE k-gram occurs in 30% of documents; with salting
+    # on, the hot hash's probe rows spread across salt buckets (max
+    # bucket << hot count — structural, not an AQE runtime heuristic),
+    # the marks stage is a (h, salt) join not a Window over raw h, and
+    # the spans are bit-identical to the unsalted reference path.
+    from data_lake_spark.operators.textdedup import (
+        exact_substr_spans,
+        gram_keeper_marks,
+        pack_doc_pos,
+        token_kgrams,
+    )
+
+    k, n_docs, salts = 10, 200, 8
+    hot = " ".join(f"h{i}" for i in range(k))  # one shared 10-token run
+
+    def text(i: int) -> str:
+        return hot if i % 10 < 3 else " ".join(f"u{i}x{j}" for j in range(k))
+
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(n_docs)], "doc_id long, text string"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_GRAM_SALTS", str(salts))
+    grams = token_kgrams(docs, k, guard_pos=True).withColumn(
+        "enc", pack_doc_pos(F.col("doc_id"), F.col("pos"), pos_bounded=True)
+    )
+    hot_count = 60  # 30% of 200 docs, one gram each
+
+    # 1. per-(h, salt) bucket bound: the hot hash's rows never collapse
+    #    into one bucket (deterministic xxhash64(enc) salt)
+    buckets = (
+        grams.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("enc")), F.lit(salts))
+        )
+        .groupBy("h", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert buckets < hot_count, buckets  # spread at all
+    assert buckets <= 3 * hot_count // salts, buckets  # and roughly even
+
+    # 2. plan pin: marks are a salted SHUFFLE_HASH join on (h, _salt);
+    #    no window/exchange partitioned by the raw gram hash (the
+    #    per-doc lead window of the gram BUILDER stays — doc-bounded)
+    plan = gram_keeper_marks(grams)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    import re
+
+    assert not re.search(r"windowspecdefinition\(h#", plan), "window over raw h"
+
+    # 3. spans identical to the unsalted reference (the r10 window form)
+    salted = sorted(map(tuple, exact_substr_spans(docs, k=k, min_tokens=k).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_GRAM_SALTS", "0")
+    window = sorted(map(tuple, exact_substr_spans(docs, k=k, min_tokens=k).collect()))
+    assert salted == window
+    assert len(salted) == hot_count - 1  # every non-keeper occurrence

@@ -261,15 +261,20 @@ _SHUFFLE_BUDGET = {
     # one QI-pair groupBy; the nation rollup re-aggregates the
     # dim-sized class frame; union of detail + rollup is dim-sized
     "k_anonymity": 3,
-    # gram window rides one doc_id exchange; groupBy(h) keeper index;
-    # grams⋈keep equi-join reuses the h partitioning; island window +
-    # span agg ride doc_id — the inverted index IS the candidate
-    # structure, no pair space
-    "exact_substr": 3,
-    # spans pipeline (3) + covered distinct + the (doc_id,pos)
+    # r11 salted-keeper shape (gram_keeper_marks, skew posture §2.5):
+    # token window rides one doc_id exchange — PRINTED once per
+    # consumer branch with distinct expr IDs in the initial plan but
+    # ReusedExchange-deduped at runtime (2 of the 7) — plus the ONE
+    # heavy (h, salt) probe exchange, the map-side-combined (h, salt)
+    # partials exchange (one row per group per task), the tiny (h)
+    # keeper window + (h, salt) build-side exchanges over the partials
+    # frame, and the islands doc_id window. Only probe + one doc_id
+    # exchange move corpus-sized rows.
+    "exact_substr": 7,
+    # spans pipeline (7, above) + covered distinct + the (doc_id,pos)
     # anti-join + per-doc reassembly agg; the final corpus left joins
     # reuse the doc_id partitioning
-    "exact_substr_clean": 7,
+    "exact_substr_clean": 15,
     # one conditional groupBy(bin) + the detail/total union re-agg;
     # cohort totals ride single-partition windows over the 10-row bin
     # frame (bounded by construction, not counted here)
@@ -290,9 +295,10 @@ _SHUFFLE_BUDGET = {
     # broadcast (dim-sized); BPE merge rounds run driver-side over the
     # vocabulary frame, not the corpus (the bpe_merges budget argument)
     "bpe_fertility": 4,
-    # the exact_substr gram/keeper frames + ONE extra (copy, keeper)
+    # the exact_substr salted gram/keeper frames (6 — marks stage of
+    # the exact_substr budget above) + ONE extra (copy, keeper)
     # groupBy — provenance without a pair space
-    "exact_substr_pairs": 3,
+    "exact_substr_pairs": 7,
     # one groupBy(lang); totals and the sqrt-sum ride constant-
     # partition windows over the language frame
     "temp_weights": 1,
@@ -390,14 +396,24 @@ def test_shuffle_budget(spark, sf_dir, name):
     # node identity is the line text itself — expr IDs and plan_id make
     # distinct physical exchanges render distinctly (same convention as
     # tools/plan_report.py since r10).
-    n = len(
-        {
-            ln.strip()
-            for ln in plan.splitlines()
-            if "Exchange hashpartitioning" in ln
-        }
-    )
+    lines = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    n = len(set(lines))
     assert n <= _SHUFFLE_BUDGET[name], (name, n, plan)
+    # r11 ADVICE guard: distinct counting alone would under-count if two
+    # PHYSICALLY DISTINCT exchanges ever rendered with identical expr
+    # IDs (un-re-aliased duplicated subtrees). A loose cap on TOTAL
+    # occurrences keeps that failure mode visible without flagging
+    # legitimate multi-consumer re-prints (a checkpointed subtree
+    # prints once per consumer; none of ours has more than 3 consumers).
+    assert len(lines) <= 4 * _SHUFFLE_BUDGET[name] + 2, (
+        name,
+        len(lines),
+        plan,
+    )
 
 
 def test_filters_reach_parquet_scan(spark, sf_dir):
