@@ -114,17 +114,23 @@ def connected_components(
     ``driver_max_edges=0`` forces the distributed path (used by tests
     to prove the paths agree).
     """
-    # materialize the edge list once: the size probe needs it, and the
-    # union below reads it twice (both directions). The probe IS the
-    # collect when the list is driver-safe: one LIMIT(cap+1) job
-    # replaces the old count-then-collect pair (returning ≤ cap rows
-    # proves the limit returned the ENTIRE edge list).
-    edges = edges.localCheckpoint(eager=False)
+    # The probe IS the collect when the list is driver-safe: one
+    # LIMIT(cap+1) job replaces the old count-then-collect pair
+    # (returning ≤ cap rows proves the limit returned the ENTIRE edge
+    # list). No checkpoint before the probe (r11): on the driver path —
+    # every dedup graph under the cap — the probe is the edge list's
+    # ONLY consumer, and the checkpoint bought nothing but ~0.5 s of
+    # eager physical planning of the deep pairs pipeline per query
+    # (the r10-measured per-checkpoint constant). Past the cap the
+    # probe short-circuits cheaply (first partitions hit the limit)
+    # and the distributed path below checkpoints ONCE for its
+    # multi-round re-joins, exactly as before.
     probe = (
         edges.select(src_col, dst_col).limit(driver_max_edges + 1).collect()
     )
     if len(probe) <= driver_max_edges:
         return _driver_union_find(nodes, probe, node_col, src_col, dst_col)
+    edges = edges.localCheckpoint(eager=False)
     und = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))

@@ -272,9 +272,12 @@ _SHUFFLE_BUDGET = {
     # exchange move corpus-sized rows.
     "exact_substr": 7,
     # spans pipeline (7, above) + covered distinct + the (doc_id,pos)
-    # anti-join + per-doc reassembly agg; the final corpus left joins
-    # reuse the doc_id partitioning
-    "exact_substr_clean": 15,
+    # anti-join + per-doc reassembly agg + the final corpus left joins,
+    # which planned SMJ under the salted marks' larger size estimates —
+    # the honest scale choice (rebuilt/removed are corpus-sized at
+    # 100 TB; their old broadcast was an sf artifact) at two exchanges
+    # per join side
+    "exact_substr_clean": 16,
     # one conditional groupBy(bin) + the detail/total union re-agg;
     # cohort totals ride single-partition windows over the 10-row bin
     # frame (bounded by construction, not counted here)
