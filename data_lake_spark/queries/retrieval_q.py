@@ -602,15 +602,37 @@ def q_central_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, n=3, n_hashes=8, rows_per_band=2).select(
         "doc_a", "doc_b"
     ).localCheckpoint(eager=False)  # cc and pagerank both read it
+    pairs.count()  # materialize once, not racily under both probes
     nodes = docs.select(F.col("doc_id").alias("node"))
 
-    cc = connected_components(nodes, pairs, src_col="doc_a", dst_col="doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    pr = pagerank(nodes, edges, n_iter=3)
+    # CC and PageRank are independent given the edge set; each is a
+    # counted-probe driver fold (its own collect + driver compute), and
+    # they ran back to back. Thread the two builds (r11, guide §2.6 —
+    # the ann_recall/lsh_recall pattern). Serial path kept under
+    # SPARK_GRAFT_SERIAL_BUILD=1 for A/B.
+    def _cc() -> DataFrame:
+        return connected_components(
+            nodes, pairs, src_col="doc_a", dst_col="doc_b"
+        )
+
+    def _pr() -> DataFrame:
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        return pagerank(nodes, edges, n_iter=3)
+
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SERIAL_BUILD"):
+        cc, pr = _cc(), _pr()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cc, f_pr = pool.submit(_cc), pool.submit(_pr)
+            cc, pr = f_cc.result(), f_pr.result()
 
     joined = cc.join(pr, "node").select(
         F.col("node").alias("doc_id"), "cluster_id", "rank_units"
